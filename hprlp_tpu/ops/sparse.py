@@ -1,0 +1,238 @@
+"""TPU-native sparse-matrix format and kernels (bucketed ELL).
+
+Role parity with the reference's CSR + cuSPARSE SpMV + warp-bucketed fused
+kernels (reference: src/preprocess.cu:17-39 row buckets,
+src/cuda_kernels/HPR_cuda_kernels.cu:297-427 fused row kernels), redesigned
+for TPU/XLA:
+
+  * Rows are grouped into buckets by power-of-two nnz width.  The problem's
+    row space is PERMUTED so each bucket owns a contiguous row range; a
+    bucket is then a dense (R, W) pair of (vals, cols) tiles with a validity
+    mask.  SpMV = gather + multiply + row-reduce per bucket, concatenated —
+    static shapes, no scatter, no dynamic control flow, fully fusable by XLA
+    and directly expressible as a Pallas kernel per bucket.
+  * A and A^T are stored separately (the reference also materialises A^T,
+    src/preprocess.cu:80-90); the column space of A is the (permuted, padded)
+    row space of A^T and vice versa.
+  * Dummy padding rows/cols are REAL problem entities (free constraint rows,
+    variables fixed at zero), so every downstream computation is oblivious
+    to padding.  See ell_build.build_device_problem.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EllBucket:
+    vals: jax.Array  # (R, W) matrix values, zero-padded
+    cols: jax.Array  # (R, W) int32 column positions (padded col space), 0-padded
+    valid: jax.Array  # (R, W) bool, True on real nonzeros
+    row_start: int = dataclasses.field(metadata=dict(static=True))
+    width: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def nrows(self) -> int:
+        return self.vals.shape[0]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EllMatrix:
+    """Bucketed-ELL sparse matrix over padded row/col index spaces."""
+
+    buckets: Tuple[EllBucket, ...]
+    nrows: int = dataclasses.field(metadata=dict(static=True))
+    ncols: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def dtype(self):
+        return self.buckets[0].vals.dtype
+
+    @property
+    def nnz(self) -> int:
+        return sum(int(b.vals.size) for b in self.buckets)
+
+
+def spmv(A: EllMatrix, x: jax.Array) -> jax.Array:
+    """y = A @ x.  x: (ncols,) -> y: (nrows,).
+
+    Each bucket is a dense gather+reduce; buckets cover contiguous row
+    ranges in order, so concatenation reassembles y.
+    """
+    parts = [jnp.sum(b.vals * x[b.cols], axis=1) for b in A.buckets]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+
+def spmm(A: EllMatrix, X: jax.Array) -> jax.Array:
+    """Y = A @ X for batched solves.  X: (ncols, B) -> Y: (nrows, B).
+
+    TPU-native replacement for the reference's cuSPARSE SpMM batched path
+    (reference: src/batched_solver.cu:428-477).
+    """
+    parts = [
+        jnp.einsum("rw,rwb->rb", b.vals, X[b.cols],
+                   preferred_element_type=X.dtype)
+        for b in A.buckets
+    ]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
+def row_inf_norms(A: EllMatrix) -> jax.Array:
+    """Per-row max |a_ij| (padding is zero so it never wins)."""
+    return jnp.concatenate([jnp.max(jnp.abs(b.vals), axis=1) for b in A.buckets])
+
+
+def row_one_norms(A: EllMatrix) -> jax.Array:
+    """Per-row sum |a_ij|."""
+    return jnp.concatenate([jnp.sum(jnp.abs(b.vals), axis=1) for b in A.buckets])
+
+
+def row_counts(A: EllMatrix) -> jax.Array:
+    """Per-row number of structural nonzeros."""
+    return jnp.concatenate(
+        [jnp.sum(b.valid, axis=1).astype(jnp.int32) for b in A.buckets])
+
+
+def scale_rows(A: EllMatrix, s: jax.Array) -> EllMatrix:
+    """Return A with row i multiplied by s[i].  s: (nrows,)."""
+    buckets = tuple(
+        dataclasses.replace(
+            b, vals=b.vals * s[b.row_start:b.row_start + b.nrows, None])
+        for b in A.buckets)
+    return dataclasses.replace(A, buckets=buckets)
+
+
+def scale_cols(A: EllMatrix, s: jax.Array) -> EllMatrix:
+    """Return A with column j multiplied by s[j].  s: (ncols,)."""
+    buckets = tuple(
+        dataclasses.replace(b, vals=b.vals * s[b.cols]) for b in A.buckets)
+    return dataclasses.replace(A, buckets=buckets)
+
+
+def row_masked_mean(A: EllMatrix, per_entry_fn) -> jax.Array:
+    """Per-row mean of per_entry_fn(vals, cols) over valid entries; 0 for
+    empty rows (reference: src/scaling.cu:5-31 Curtis-Reid row update)."""
+    outs = []
+    for b in A.buckets:
+        t = jnp.where(b.valid, per_entry_fn(b.vals, b.cols), 0.0)
+        cnt = jnp.sum(b.valid, axis=1).astype(t.dtype)
+        outs.append(jnp.where(cnt > 0, jnp.sum(t, axis=1) / jnp.maximum(cnt, 1), 0.0))
+    return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+
+
+# ---------------------------------------------------------------------------
+# Host-side construction
+# ---------------------------------------------------------------------------
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, int(x - 1).bit_length()) if x > 1 else 1
+
+
+def plan_buckets(nnz_per_row: np.ndarray, min_width: int,
+                 min_bucket_rows: int) -> list[tuple[int, np.ndarray]]:
+    """Assign each row a power-of-two ELL width and group rows by width.
+
+    Groups smaller than min_bucket_rows are merged into the next wider
+    group (analogous in spirit to the reference's short/medium row split,
+    src/preprocess.cu:17-39, generalised to geometric widths).
+    Returns [(width, row_indices)] with widths ascending; row order within a
+    bucket preserves original order.
+    """
+    nnz_per_row = np.asarray(nnz_per_row)
+    widths = np.maximum(min_width,
+                        np.exp2(np.ceil(np.log2(np.maximum(nnz_per_row, 1)))).astype(np.int64))
+    uniq = np.unique(widths)
+    groups = [(int(w), np.nonzero(widths == w)[0]) for w in uniq]
+    # Merge small groups upward.
+    merged: list[tuple[int, np.ndarray]] = []
+    carry = None
+    for i, (w, rows) in enumerate(groups):
+        if carry is not None:
+            rows = np.sort(np.concatenate([carry, rows]))
+            carry = None
+        if len(rows) < min_bucket_rows and i + 1 < len(groups):
+            carry = rows
+        else:
+            merged.append((w, rows))
+    if carry is not None:
+        # Everything was small: single bucket at the largest width seen.
+        if merged:
+            w, rows = merged[-1]
+            merged[-1] = (w, np.sort(np.concatenate([rows, carry])))
+        else:
+            merged = [(int(uniq[-1]), carry)]
+    return merged
+
+
+def build_ell_from_csr(indptr: np.ndarray, indices: np.ndarray,
+                       data: np.ndarray, bucket_plan, col_pos: np.ndarray,
+                       nrows_padded: int, ncols_padded: int,
+                       row_multiple: int, dtype) -> tuple[EllMatrix, np.ndarray]:
+    """Build an EllMatrix from host CSR arrays.
+
+    bucket_plan: output of plan_buckets over this matrix's rows.
+    col_pos: map original column id -> padded column position.
+    Returns (matrix, row_pos) where row_pos maps original row id -> padded
+    row position.  Bucket row counts are padded to row_multiple; a final
+    all-dummy bucket absorbs the remaining padding up to nrows_padded.
+    """
+    indptr = np.asarray(indptr)
+    indices = np.asarray(indices)
+    data = np.asarray(data)
+    n_orig = len(indptr) - 1
+    row_pos = np.full(n_orig, -1, dtype=np.int64)
+
+    buckets = []
+    cursor = 0
+    for w, rows in bucket_plan:
+        r_real = len(rows)
+        r_total = -(-max(r_real, 1) // row_multiple) * row_multiple
+        vals = np.zeros((r_total, w), dtype=dtype)
+        cols = np.zeros((r_total, w), dtype=np.int32)
+        valid = np.zeros((r_total, w), dtype=bool)
+        if r_real:
+            starts = indptr[rows]
+            counts = indptr[rows + 1] - starts
+            offs = np.arange(w)
+            mask = offs[None, :] < counts[:, None]
+            idx = np.where(mask, starts[:, None] + offs[None, :], 0)
+            vals[:r_real] = np.where(mask, data[idx], 0.0)
+            cols[:r_real] = np.where(mask, col_pos[indices[idx]], 0)
+            valid[:r_real] = mask
+            row_pos[rows] = cursor + np.arange(r_real)
+        buckets.append(EllBucket(vals=jnp.asarray(vals), cols=jnp.asarray(cols),
+                                 valid=jnp.asarray(valid), row_start=cursor,
+                                 width=int(w)))
+        cursor += r_total
+
+    if cursor > nrows_padded:
+        raise ValueError(f"bucket padding overflow: {cursor} > {nrows_padded}")
+    if cursor < nrows_padded:
+        pad = nrows_padded - cursor
+        w = 4
+        buckets.append(EllBucket(
+            vals=jnp.zeros((pad, w), dtype=dtype),
+            cols=jnp.zeros((pad, w), dtype=jnp.int32),
+            valid=jnp.zeros((pad, w), dtype=bool),
+            row_start=cursor, width=w))
+
+    mat = EllMatrix(buckets=tuple(buckets), nrows=nrows_padded,
+                    ncols=ncols_padded)
+    return mat, row_pos
+
+
+def padded_size(real_rows_after_bucket_pad: int, vec_multiple: int) -> int:
+    return -(-max(real_rows_after_bucket_pad, 1) // vec_multiple) * vec_multiple
+
+
+def bucketed_row_total(bucket_plan, row_multiple: int) -> int:
+    return sum(-(-max(len(rows), 1) // row_multiple) * row_multiple
+               for _, rows in bucket_plan)

@@ -1,0 +1,332 @@
+"""Host orchestration of the solve (parity: HPRLP_main_solve,
+reference: src/HPRLP.cu:116-310, restart/sigma logic src/main_iterate.cu:
+312-420).
+
+The host only sees ~15 scalars per chunk boundary; all vector work happens
+inside the jitted chunk (chunk.py).  Chunk boundaries reproduce the
+reference's schedule: every check_iter iterations (restart + stopping) plus
+the log-spaced print steps (utils.cu:100-102 step()).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.device_problem import HostMaps, LpDevice, build_device_problem
+from ..params import Parameters
+from ..problem import LpProblem
+from ..results import Results
+from .chunk import (SolverState, init_state, initial_metrics, run_chunk,
+                    unscale_solution)
+from .power_iteration import power_method
+from .scaling import ScalingInfo, scale_problem
+
+
+@dataclasses.dataclass
+class RestartInfo:
+    """Parity: HPRLP_restart (reference: include/structs.h:215-228)."""
+
+    restart_flag: int = 0
+    first_restart: bool = True
+    last_gap: float = math.inf
+    current_gap: float = math.inf
+    save_gap: float = math.inf
+    best_gap: float = math.inf
+    best_sigma: float = 1.0
+    inner: int = 0
+    sufficient: int = 0
+    necessary: int = 0
+    long: int = 0
+    times: int = 0
+
+
+@dataclasses.dataclass
+class Residuals:
+    """Parity: HPRLP_residuals (reference: include/structs.h:255-263)."""
+
+    err_Rp: float = math.inf
+    err_Rd: float = math.inf
+    primal_obj: float = 0.0
+    dual_obj: float = 0.0
+    rel_gap: float = math.inf
+    kkt: float = math.inf
+
+
+def _print_step(it: int) -> int:
+    """Log-spaced print cadence (reference: src/utils.cu:100-102)."""
+    if it <= 0:
+        return 10
+    return max(10, 10 ** int(math.floor(math.log10(it))) // 10)
+
+
+def next_checkpoint(it: int, check_iter: int) -> int:
+    """Smallest iteration > it that is a periodic check or a print step."""
+    j = it + 1
+    while True:
+        if j % check_iter == 0 or j % _print_step(j) == 0:
+            return j
+        j += 1
+
+
+def _m_norm(sigma: float, lam: float, dot: float, dy2: float, dx2: float
+            ) -> tuple[float, float]:
+    """M-weighted norm with the reference's lambda_max self-correction
+    (reference: src/main_iterate.cu:293-308, :486-515).
+    Returns (norm, possibly-corrected lambda_max)."""
+    dot2 = 2.0 * dot
+    w = sigma * lam * dy2 + dx2 / sigma + dot2
+    if w < 0:
+        if sigma * dy2 > 0:
+            lam = -(dot2 + dx2 / sigma) / (sigma * dy2) * 1.05
+        w = math.sqrt(max(-(dot2 + dx2 / sigma) * 0.05, 0.0))
+        return w, lam
+    return math.sqrt(w), lam
+
+
+def _derive_residuals(metrics: dict, scal_host: dict, obj_constant: float,
+                      is_iter0: bool) -> Residuals:
+    obj_scale = scal_host["b_scale"] * scal_host["c_scale"]
+    r = Residuals()
+    r.primal_obj = obj_scale * metrics["dot_c_xbar"] + obj_constant
+    r.dual_obj = obj_scale * (metrics["dot_yobj_ybar"]
+                              + metrics["dot_xbar_zbar"]) + obj_constant
+    r.rel_gap = abs(r.primal_obj - r.dual_obj) / (
+        1.0 + abs(r.primal_obj) + abs(r.dual_obj))
+    r.err_Rd = scal_host["c_scale"] * metrics["nrm_Rd"] / scal_host["norm_c_org"]
+    r.err_Rp = scal_host["b_scale"] * metrics["nrm_Rp"] / scal_host["norm_b_org"]
+    if is_iter0:
+        r.err_Rp = max(r.err_Rp, scal_host["b_scale"] * metrics["nrm_lu_viol"])
+    r.kkt = max(r.err_Rd, r.err_Rp, r.rel_gap)
+    return r
+
+
+def check_restart(ri: RestartInfo, it: int, check_iter: int, sigma: float
+                  ) -> None:
+    """Reference: src/main_iterate.cu:324-364 (flags overwrite in order)."""
+    ri.restart_flag = 0
+    if ri.first_restart:
+        if it == check_iter:
+            ri.first_restart = False
+            ri.restart_flag = 1
+            ri.best_gap = ri.current_gap
+            ri.best_sigma = sigma
+        return
+    if it % check_iter == 0:
+        if ri.current_gap < 0:
+            ri.current_gap = 1e-6
+        if ri.current_gap <= 0.2 * ri.last_gap:
+            ri.sufficient += 1
+            ri.restart_flag = 1
+        if ri.current_gap <= 0.6 * ri.last_gap and ri.current_gap > ri.save_gap:
+            ri.necessary += 1
+            ri.restart_flag = 2
+        if ri.inner >= 0.2 * it:
+            ri.long += 1
+            ri.restart_flag = 3
+        if ri.best_gap > ri.current_gap:
+            ri.best_gap = ri.current_gap
+            ri.best_sigma = sigma
+        ri.save_gap = ri.current_gap
+
+
+def update_sigma(ri: RestartInfo, sigma: float, lambda_max: float,
+                 res: Residuals, primal_move: float, dual_move: float
+                 ) -> float:
+    """Reference: src/main_iterate.cu:367-404."""
+    if ri.restart_flag <= 0:
+        return sigma
+    if (primal_move > 1e-16 and dual_move > 1e-16
+            and primal_move < 1e12 and dual_move < 1e12):
+        ratio = (primal_move / dual_move) / math.sqrt(lambda_max)
+        fact = math.exp(-0.05 * (ri.current_gap / ri.best_gap))
+        temp1 = max(min(res.err_Rd, res.err_Rp),
+                    min(res.rel_gap, ri.current_gap))
+        sigma_cand = math.exp(fact * math.log(ratio)
+                              + (1 - fact) * math.log(ri.best_sigma))
+        if temp1 > 9e-10:
+            kappa = 1.0
+        elif temp1 > 5e-10:
+            ratio_infeas = res.err_Rd / res.err_Rp if res.err_Rp > 0 else 1.0
+            kappa = max(min(math.sqrt(ratio_infeas), 100.0), 1e-2)
+        else:
+            ratio_infeas = res.err_Rd / res.err_Rp if res.err_Rp > 0 else 1.0
+            kappa = max(min(ratio_infeas, 100.0), 1e-2)
+        return kappa * sigma_cand
+    return 1.0
+
+
+def resolve_dtype(params: Parameters):
+    if params.precision == "f64":
+        if not jax.config.jax_enable_x64:
+            jax.config.update("jax_enable_x64", True)
+        return jnp.float64
+    if params.precision == "f32":
+        return jnp.float32
+    # auto: f64 on CPU backends when available, f32 on accelerators.
+    backend = jax.default_backend()
+    if backend == "cpu":
+        if not jax.config.jax_enable_x64:
+            jax.config.update("jax_enable_x64", True)
+        return jnp.float64
+    return jnp.float32
+
+
+def solve_problem(problem: LpProblem, params: Parameters | None = None,
+                  _device_data=None) -> Results:
+    """Full solve: upload -> scale -> power method -> HPR loop -> unscale.
+
+    Parity: solve() + HPRLP_main_solve() (reference: src/HPRLP.cu:116-310,
+    :493-524) minus presolve (handled by the caller / presolve package).
+    """
+    params = params or Parameters()
+    params.validate()
+    dtype = resolve_dtype(params)
+    log = print if params.verbose else (lambda *a, **k: None)
+
+    out = Results()
+
+    t_setup = time.perf_counter()
+    if _device_data is None:
+        lp_raw, maps = build_device_problem(problem, dtype=dtype)
+    else:
+        lp_raw, maps = _device_data
+    jax.block_until_ready(lp_raw.c)
+    out.setup_time = time.perf_counter() - t_setup
+    log(f"Setup (layout and upload) time = {out.setup_time:.2f} seconds")
+
+    t_scale = time.perf_counter()
+    lp, scal = scale_problem(lp_raw,
+                             use_cr=params.use_CR_scaling,
+                             use_ruiz=params.use_Ruiz_scaling,
+                             use_pc=params.use_Pock_Chambolle_scaling,
+                             use_bc=params.use_bc_scaling)
+    scal_host = {k: float(getattr(scal, k)) for k in
+                 ("b_scale", "c_scale", "norm_b", "norm_c",
+                  "norm_b_org", "norm_c_org")}
+    out.scaling_time = time.perf_counter() - t_scale
+    log(f"Scaling time = {out.scaling_time:.2f} seconds")
+
+    # --- algorithm clock starts here (reference: src/HPRLP.cu:150) ---
+    t_alg = time.perf_counter()
+    elapsed = lambda: time.perf_counter() - t_alg
+
+    t_pm = time.perf_counter()
+    lambda_max = float(power_method(lp)) * 1.01
+    out.power_time = time.perf_counter() - t_pm
+    log(f"ESTIMATING MAXIMUM EIGENVALUE time = {out.power_time:.2f} seconds")
+
+    if scal_host["norm_b"] > 1e-8 and scal_host["norm_c"] > 1e-8:
+        sigma = scal_host["norm_b"] / scal_host["norm_c"]
+    else:
+        sigma = 1.0
+
+    state = init_state(lp)
+    ri = RestartInfo(best_sigma=sigma)
+    obj_constant = maps.obj_constant
+
+    metrics = {k: float(v) for k, v in
+               jax.device_get(initial_metrics(lp, scal, state)).items()}
+
+    first = {1e-4: True, 1e-6: True, 1e-8: True}
+    it = 0
+    log(" iter     errRp        errRd         p_obj            d_obj"
+        "          gap         sigma       time")
+
+    while True:
+        periodic = (it % params.check_iter == 0)
+        res = _derive_residuals(metrics, scal_host, obj_constant, it == 0)
+
+        if periodic and it > 0:
+            ri.current_gap, lambda_max = _m_norm(
+                sigma, lambda_max, metrics["gap_dot"], metrics["gap_dy2"],
+                metrics["gap_dx2"])
+
+        # Stopping (reference: src/main_iterate.cu:406-420).
+        if res.kkt < params.stop_tol:
+            status = "OPTIMAL"
+        elif it >= params.max_iter:
+            status = "ITER_LIMIT"
+        elif elapsed() > params.time_limit:
+            status = "TIME_LIMIT"
+        else:
+            status = "CONTINUE"
+
+        print_flag = (it % _print_step(it) == 0) or status != "CONTINUE"
+        if print_flag:
+            log(f"{it:5d}    {res.err_Rp:.2e}    {res.err_Rd:.2e}    "
+                f"{res.primal_obj:+.6e}    {res.dual_obj:+.6e}    "
+                f"{res.rel_gap:.2e}    {sigma:.2e}      {elapsed():.2f}")
+
+        for tol, (attr_i, attr_t) in ((1e-4, ("iter4", "time4")),
+                                      (1e-6, ("iter6", "time6")),
+                                      (1e-8, ("iter8", "time8"))):
+            if first[tol] and res.kkt < tol:
+                setattr(out, attr_i, it)
+                setattr(out, attr_t, elapsed())
+                first[tol] = False
+                log(f"Residual < {tol:.0e} at iter = {it}")
+
+        if status != "CONTINUE":
+            out.status = status
+            out.iter = it
+            out.gap = res.rel_gap
+            out.residuals = res.kkt
+            out.primal_obj = res.primal_obj
+            out.dual_obj = res.dual_obj
+            out.time = elapsed()
+            out.restarts = ri.times
+            if out.time4 == 0.0 and first[1e-4]:
+                out.iter4, out.time4 = out.iter, out.time
+            if out.time6 == 0.0 and first[1e-6]:
+                out.iter6, out.time6 = out.iter, out.time
+            if out.time8 == 0.0 and first[1e-8]:
+                out.iter8, out.time8 = out.iter, out.time
+            x_s, y_s, z_s = jax.device_get(unscale_solution(scal, state))
+            out.x = np.asarray(x_s, np.float64)[maps.col_pos]
+            out.y = np.asarray(y_s, np.float64)[maps.row_pos]
+            out.z = np.asarray(z_s, np.float64)[maps.col_pos]
+            log(f"\n=== Solution Summary ===\nStatus: {out.status}\n"
+                f"Iterations: {out.iter}\nTime: {out.time:.2f} seconds\n"
+                f"Primal Objective: {out.primal_obj:.12e}\n"
+                f"Residual: {out.residuals:.2e}\n")
+            return out
+
+        # Restart decision at periodic checkpoints only
+        # (reference: src/HPRLP.cu:201-205).
+        if periodic:
+            check_restart(ri, it, params.check_iter, sigma)
+        else:
+            ri.restart_flag = 0
+
+        sigma = update_sigma(ri, sigma, lambda_max, res,
+                             metrics["move_x"], metrics["move_y"])
+        if ri.restart_flag > 0:
+            ri.inner = 0
+            ri.times += 1
+            ri.save_gap = math.inf
+
+        target = next_checkpoint(it, params.check_iter)
+        if target - it < 2:  # chunk needs >= 2 iterations; skip one checkpoint
+            target = next_checkpoint(target, params.check_iter)
+        n_iters = target - it
+
+        state, metrics_dev = run_chunk(
+            lp, scal, state, sigma, lambda_max,
+            jnp.asarray(ri.restart_flag > 0), jnp.asarray(n_iters, jnp.int32))
+        metrics = {k: float(v) for k, v in jax.device_get(metrics_dev).items()}
+
+        if ri.restart_flag > 0:
+            # last_gap = fixed-point M-norm after the first post-restart step
+            # (reference: src/HPRLP.cu:305-307).
+            ri.last_gap, lambda_max = _m_norm(
+                sigma, lambda_max, metrics["fs_dot"], metrics["fs_dy2"],
+                metrics["fs_dx2"])
+
+        ri.inner += n_iters
+        it = target
