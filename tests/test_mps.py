@@ -1,0 +1,244 @@
+"""MPS reader tests: demo file, sections, RANGES/BOUNDS semantics,
+gzip, and quirk handling (golden semantics from reference
+src/mps_reader.cpp; see hprlp_tpu/io/mps.py docstring)."""
+
+import gzip
+import math
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from hprlp_tpu.io.mps import MpsFormatError, read_mps
+
+DEMO_MPS = "/root/reference/data/model.mps"
+
+
+def _write(tmp_path, text, name="t.mps"):
+    p = os.path.join(tmp_path, name)
+    with open(p, "w") as f:
+        f.write(textwrap.dedent(text))
+    return p
+
+
+def test_demo_file():
+    p = read_mps(DEMO_MPS)
+    assert p.m == 2 and p.n == 2 and p.nnz == 4
+    np.testing.assert_allclose(p.A.toarray(), [[1, 2], [3, 1]])
+    np.testing.assert_allclose(p.AU, [10, 12])
+    assert np.all(np.isinf(p.AL)) and np.all(p.AL < 0)
+    np.testing.assert_allclose(p.c, [-3, -5])
+    np.testing.assert_allclose(p.l, [0, 0])
+    assert np.all(np.isinf(p.u))
+
+
+def test_demo_file_gzip(tmp_path):
+    gz = os.path.join(tmp_path, "model.mps.gz")
+    with open(DEMO_MPS, "rb") as f, gzip.open(gz, "wb") as g:
+        g.write(f.read())
+    p = read_mps(gz)
+    assert p.m == 2 and p.nnz == 4
+
+
+def test_row_types_and_rhs(tmp_path):
+    p = read_mps(_write(tmp_path, """\
+        NAME test
+        ROWS
+         N  obj
+         E  r1
+         G  r2
+         L  r3
+        COLUMNS
+            x  obj  1.0  r1  1.0
+            x  r2   2.0  r3  3.0
+        RHS
+            rhs  r1  5.0  r2  4.0
+            rhs  r3  9.0
+        ENDATA
+        """))
+    np.testing.assert_allclose(p.AL, [5.0, 4.0, -np.inf])
+    np.testing.assert_allclose(p.AU, [5.0, np.inf, 9.0])
+
+
+def test_rhs_on_objective_sets_constant(tmp_path):
+    # reference: mps_reader.cpp:767  c0 = -val
+    p = read_mps(_write(tmp_path, """\
+        ROWS
+         N  obj
+         G  r1
+        COLUMNS
+            x  obj  1.0  r1  1.0
+        RHS
+            rhs  obj  7.0  r1  1.0
+        ENDATA
+        """))
+    assert p.obj_constant == -7.0
+
+
+def test_ranges_semantics(tmp_path):
+    # reference: mps_reader.cpp:813-836
+    p = read_mps(_write(tmp_path, """\
+        ROWS
+         N  obj
+         E  e1
+         E  e2
+         L  l1
+         G  g1
+        COLUMNS
+            x  obj  1.0  e1  1.0
+            x  e2   1.0  l1  1.0
+            x  g1   1.0
+        RHS
+            rhs  e1  1.0  e2  1.0
+            rhs  l1  8.0  g1  3.0
+        RANGES
+            rng  e1  2.0   e2  -2.0
+            rng  l1  4.0   g1  -5.0
+        ENDATA
+        """))
+    np.testing.assert_allclose(p.AL, [1.0, -1.0, 4.0, 3.0])
+    np.testing.assert_allclose(p.AU, [3.0, 1.0, 8.0, 8.0])
+
+
+def test_bounds_cards(tmp_path):
+    p = read_mps(_write(tmp_path, """\
+        ROWS
+         N  obj
+         G  r
+        COLUMNS
+            a  obj  1.0  r  1.0
+            b  obj  1.0  r  1.0
+            c  obj  1.0  r  1.0
+            d  obj  1.0  r  1.0
+            e  obj  1.0  r  1.0
+            f  obj  1.0  r  1.0
+            g  obj  1.0  r  1.0
+        RHS
+            rhs  r  1.0
+        BOUNDS
+         FR bnd  a
+         MI bnd  b
+         UP bnd  c  4.0
+         LO bnd  d  -2.0
+         FX bnd  e  3.0
+         BV bnd  f
+         UP bnd  g  -1.0
+        ENDATA
+        """))
+    l, u = p.l, p.u
+    assert l[0] == -np.inf and u[0] == np.inf          # FR
+    assert l[1] == -np.inf and u[1] == np.inf          # MI -> default u=inf
+    assert l[2] == 0.0 and u[2] == 4.0                 # UP with u>=0 -> l=0
+    assert l[3] == -2.0 and u[3] == np.inf             # LO -> default u=inf
+    assert l[4] == 3.0 and u[4] == 3.0                 # FX
+    assert l[5] == 0.0 and u[5] == 1.0                 # BV
+    assert l[6] == -np.inf and u[6] == -1.0            # UP with u<0 -> l=-inf
+
+
+def test_default_bounds(tmp_path):
+    p = read_mps(_write(tmp_path, """\
+        ROWS
+         N  obj
+         G  r
+        COLUMNS
+            x  obj  1.0  r  1.0
+        RHS
+        ENDATA
+        """))
+    assert p.l[0] == 0.0 and p.u[0] == np.inf
+    # G row with no RHS defaults to [0, inf) (reference: :649-650)
+    assert p.AL[0] == 0.0 and p.AU[0] == np.inf
+
+
+def test_objsense_max_applied(tmp_path):
+    # Deliberate fix of reference quirk: OBJSENSE MAX is applied.
+    p = read_mps(_write(tmp_path, """\
+        OBJSENSE
+            MAX
+        ROWS
+         N  obj
+         L  r
+        COLUMNS
+            x  obj  2.0  r  1.0
+        RHS
+            rhs  r  5.0
+        ENDATA
+        """))
+    assert p.objective_sense == -1
+    np.testing.assert_allclose(p.c, [-2.0])
+
+
+def test_quadobj_rejected(tmp_path):
+    txt = """\
+        ROWS
+         N  obj
+         G  r
+        COLUMNS
+            x  obj  1.0  r  1.0
+        QUADOBJ
+            x  x  2.0
+        ENDATA
+        """
+    with pytest.raises(MpsFormatError):
+        read_mps(_write(tmp_path, txt))
+    p = read_mps(_write(tmp_path, txt), ignore_quadobj=True)
+    assert p.n == 1
+
+
+def test_duplicate_entries_summed(tmp_path):
+    # reference: coo_to_csr sums duplicates (mps_reader.cpp:1266-1361)
+    p = read_mps(_write(tmp_path, """\
+        ROWS
+         N  obj
+         G  r
+        COLUMNS
+            x  r  1.0
+            x  r  2.5
+        RHS
+        ENDATA
+        """))
+    assert p.nnz == 1
+    assert p.A[0, 0] == 3.5
+
+
+def test_markers_and_comments(tmp_path):
+    p = read_mps(_write(tmp_path, """\
+        * a comment
+        ROWS
+         N  obj
+         G  r
+        COLUMNS
+            MARK0  'MARKER'  'INTORG'
+            x  r  1.0
+            MARK1  'MARKER'  'INTEND'
+            y  r  1.0
+        RHS
+            rhs  r  1.0
+        ENDATA
+        """))
+    assert p.n == 2 and p.m == 1
+
+
+def test_rim_objective_ignored(tmp_path):
+    p = read_mps(_write(tmp_path, """\
+        ROWS
+         N  obj
+         N  obj2
+         G  r
+        COLUMNS
+            x  obj  1.0  obj2  99.0
+            x  r  1.0
+        RHS
+        ENDATA
+        """))
+    assert p.m == 1 and p.nnz == 1
+    np.testing.assert_allclose(p.c, [1.0])
+
+
+def test_solve_demo_mps():
+    import hprlp_tpu as h
+    from hprlp_tpu.params import Parameters
+    res = h.solve_mps(DEMO_MPS, Parameters(verbose=False, precision="f64"))
+    assert res.status == "OPTIMAL"
+    assert abs(res.primal_obj - (-26.4)) < 2e-2

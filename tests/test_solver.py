@@ -1,0 +1,138 @@
+"""End-to-end solver tests: ground-truth LPs and KKT property tests.
+
+The reference has no automated tests (SURVEY.md §4); its de-facto acceptance
+test is the 2x2 demo LP with optimum x=(2.8, 3.6), obj=-26.4.  We go
+further: scipy.optimize.linprog cross-checks and KKT-residual property
+tests on random LPs.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+from scipy.optimize import linprog
+
+import hprlp_tpu as h
+from hprlp_tpu.params import Parameters
+
+from conftest import random_lp
+
+
+def quiet_params(**kw):
+    kw.setdefault("verbose", False)
+    kw.setdefault("precision", "f64")
+    return Parameters(**kw)
+
+
+def test_demo_lp(demo_lp):
+    res = h.solve_problem(demo_lp, quiet_params())
+    assert res.status == "OPTIMAL"
+    assert res.primal_obj == pytest.approx(-26.4, abs=2e-2)
+    np.testing.assert_allclose(res.x, [2.8, 3.6], atol=2e-2)
+    # Returned solution satisfies KKT in original space at tolerance.
+    kkt = demo_lp.kkt_error(res.x, res.y, res.z)
+    assert kkt["kkt"] < 5e-4
+
+
+def test_demo_lp_tight_tol(demo_lp):
+    res = h.solve_problem(demo_lp, quiet_params(stop_tol=1e-8))
+    assert res.status == "OPTIMAL"
+    assert res.primal_obj == pytest.approx(-26.4, abs=1e-6)
+    np.testing.assert_allclose(res.x, [2.8, 3.6], atol=1e-6)
+    # Milestones must be monotone and filled.
+    assert res.iter4 <= res.iter6 <= res.iter8 <= res.iter
+    assert res.time4 <= res.time6 <= res.time8 <= res.time
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_random_lp_against_linprog(seed):
+    p = random_lp(seed, m=30, n=45, density=0.4)
+    res = h.solve_problem(p, quiet_params(stop_tol=1e-6))
+    assert res.status == "OPTIMAL"
+
+    # Cross-check with scipy linprog on the split-form problem.
+    A = p.A.toarray()
+    A_ub, b_ub = [], []
+    A_eq, b_eq = [], []
+    for i in range(p.m):
+        if p.AL[i] == p.AU[i]:
+            A_eq.append(A[i])
+            b_eq.append(p.AL[i])
+            continue
+        if np.isfinite(p.AU[i]):
+            A_ub.append(A[i])
+            b_ub.append(p.AU[i])
+        if np.isfinite(p.AL[i]):
+            A_ub.append(-A[i])
+            b_ub.append(-p.AL[i])
+    ref = linprog(p.c, A_ub=np.array(A_ub) if A_ub else None,
+                  b_ub=np.array(b_ub) if b_ub else None,
+                  A_eq=np.array(A_eq) if A_eq else None,
+                  b_eq=np.array(b_eq) if b_eq else None,
+                  bounds=list(zip(
+                      [None if not np.isfinite(v) else v for v in p.l],
+                      [None if not np.isfinite(v) else v for v in p.u])),
+                  method="highs")
+    assert ref.status == 0
+    assert res.primal_obj == pytest.approx(ref.fun, rel=1e-4, abs=1e-4)
+
+
+@pytest.mark.parametrize("seed", [2, 3, 4])
+def test_random_lp_kkt_property(seed):
+    """Property: whatever the problem, a solution reported OPTIMAL at tol
+    must satisfy the original-space KKT conditions at ~tol (the solver's own
+    measure uses the same definition; this recomputes it independently in
+    float64 numpy)."""
+    p = random_lp(seed, m=40, n=60)
+    tol = 1e-5
+    res = h.solve_problem(p, quiet_params(stop_tol=tol))
+    assert res.status == "OPTIMAL"
+    kkt = p.kkt_error(res.x, res.y, res.z)
+    assert kkt["err_Rp"] < 50 * tol
+    assert kkt["err_Rd"] < 50 * tol
+    assert kkt["rel_gap"] < 50 * tol
+
+
+def test_scaling_ablations(demo_lp):
+    """Solver converges with every scaling combination (reference CLI flags
+    --cr/--ruiz/--pock/--bc; src/solve_mps_file.cpp:14-32)."""
+    for flags in [(False, False, False, False), (True, False, False, False),
+                  (False, True, True, True)]:
+        cr, ruiz, pc, bc = flags
+        res = h.solve_problem(demo_lp, quiet_params(
+            use_CR_scaling=cr, use_Ruiz_scaling=ruiz,
+            use_Pock_Chambolle_scaling=pc, use_bc_scaling=bc))
+        assert res.status == "OPTIMAL", flags
+        assert res.primal_obj == pytest.approx(-26.4, abs=5e-2)
+
+
+def test_iter_limit(demo_lp):
+    res = h.solve_problem(demo_lp, quiet_params(max_iter=20, stop_tol=1e-12))
+    assert res.status == "ITER_LIMIT"
+    assert res.iter >= 20
+
+
+def test_equality_constraints():
+    # min x1 + x2  s.t. x1 + x2 = 1, x >= 0  ->  obj 1
+    A = sp.csr_matrix(np.array([[1.0, 1.0]]))
+    res = h.solve(A, [1.0], [1.0], [0.0, 0.0], [np.inf, np.inf], [1.0, 1.0],
+                  parameters=quiet_params(stop_tol=1e-7))
+    assert res.status == "OPTIMAL"
+    assert res.primal_obj == pytest.approx(1.0, abs=1e-5)
+
+
+def test_free_variables():
+    # min x  s.t. x + y >= 2, y <= 1, x free, y free -> x* = 1
+    A = sp.csr_matrix(np.array([[1.0, 1.0], [0.0, 1.0]]))
+    res = h.solve(A, [2.0, -np.inf], [np.inf, 1.0],
+                  [-np.inf, -np.inf], [np.inf, np.inf], [1.0, 0.0],
+                  parameters=quiet_params(stop_tol=1e-7))
+    assert res.status == "OPTIMAL"
+    assert res.primal_obj == pytest.approx(1.0, abs=1e-5)
+
+
+def test_f32_precision_mode(demo_lp):
+    """The TPU fast path (f32) must reach the default 1e-4 tolerance."""
+    res = h.solve_problem(demo_lp, quiet_params(precision="f32",
+                                                stop_tol=1e-4))
+    assert res.status == "OPTIMAL"
+    assert res.primal_obj == pytest.approx(-26.4, abs=0.05)
