@@ -1,0 +1,83 @@
+"""Benchmark: steady-state HPR-LP iterations/second on one chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+The workload is a fixed synthetic LP (seeded, ~20 nnz/row) sized so the
+2-SpMV iteration is HBM-bandwidth bound — the same regime as the reference's
+hot loop (reference: src/HPRLP.cu:178-310, two cuSPARSE SpMVs + two
+elementwise kernels per iteration).  We time full jitted 150-iteration
+chunks including the residual check, i.e. exactly what the solver executes.
+
+vs_baseline is measured against BASELINE_ITERS_PER_SEC, a provisional
+estimate of the reference HPR-LP-C hot loop on an A100 for this problem
+size (BASELINE.json publishes no numbers; SURVEY.md §6).  Replace with a
+measured figure when one exists.
+"""
+
+import json
+import time
+
+import numpy as np
+import scipy.sparse as sp
+
+M, N, NNZ_PER_ROW, SEED = 16384, 32768, 20, 0
+CHUNK_ITERS = 150
+REPEATS = 10
+BASELINE_ITERS_PER_SEC = 10000.0  # provisional A100 estimate for this size
+
+
+def make_problem():
+    from hprlp_tpu.problem import LpProblem
+
+    rng = np.random.default_rng(SEED)
+    rows = np.repeat(np.arange(M), NNZ_PER_ROW)
+    cols = rng.integers(0, N, size=M * NNZ_PER_ROW)
+    vals = rng.normal(size=M * NNZ_PER_ROW)
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(M, N)).tocsr()
+    A.sum_duplicates()
+    x_feas = rng.uniform(-1.0, 1.0, N)
+    Ax = A @ x_feas
+    return LpProblem.from_arrays(
+        A, Ax - 1.0, Ax + 1.0, x_feas - 2.0, x_feas + 2.0,
+        rng.normal(size=N))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hprlp_tpu.ops.device_problem import build_device_problem
+    from hprlp_tpu.solver.chunk import init_state, run_chunk
+    from hprlp_tpu.solver.power_iteration import power_method
+    from hprlp_tpu.solver.scaling import scale_problem
+
+    problem = make_problem()
+    lp_raw, _ = build_device_problem(problem)
+    lp, scal = scale_problem(lp_raw)
+    lam = power_method(lp) * 1.01
+    state = init_state(lp)
+    sigma = jnp.asarray(1.0, lp.c.dtype)
+    n_iters = jnp.asarray(CHUNK_ITERS, jnp.int32)
+    flag = jnp.asarray(False)
+
+    # Warm-up: compile + one chunk.
+    state, metrics = run_chunk(lp, scal, state, sigma, lam, flag, n_iters)
+    jax.block_until_ready(metrics["nrm_Rp"])
+
+    t0 = time.perf_counter()
+    for _ in range(REPEATS):
+        state, metrics = run_chunk(lp, scal, state, sigma, lam, flag, n_iters)
+    jax.block_until_ready(metrics["nrm_Rp"])
+    dt = time.perf_counter() - t0
+
+    its_per_sec = REPEATS * CHUNK_ITERS / dt
+    print(json.dumps({
+        "metric": f"hpr_iterations_per_sec[m={M},n={N},nnz={problem.nnz}]",
+        "value": round(its_per_sec, 1),
+        "unit": "iter/s",
+        "vs_baseline": round(its_per_sec / BASELINE_ITERS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

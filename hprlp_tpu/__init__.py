@@ -14,11 +14,17 @@ from .problem import LpProblem
 from .results import BatchedResults, Results
 from .io.mps import read_mps
 from .model import Model, solve, solve_mps
+from .modeling import (Constraint, LinearExpression, ModelBuilder, Sense,
+                       TwoSidedConstraint, Variable, between, maximize,
+                       minimize)
 from .solver.loop import solve_problem
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Parameters", "LpProblem", "Results", "BatchedResults", "Model",
-    "read_mps", "solve", "solve_mps", "solve_problem", "__version__",
+    "read_mps", "solve", "solve_mps", "solve_problem",
+    "ModelBuilder", "Variable", "LinearExpression", "Constraint",
+    "TwoSidedConstraint", "between", "minimize", "maximize", "Sense",
+    "__version__",
 ]

@@ -199,15 +199,16 @@ def build_ell_from_csr(indptr: np.ndarray, indices: np.ndarray,
         cols = np.zeros((r_total, w), dtype=np.int32)
         valid = np.zeros((r_total, w), dtype=bool)
         if r_real:
-            starts = indptr[rows]
-            counts = indptr[rows + 1] - starts
-            offs = np.arange(w)
-            mask = offs[None, :] < counts[:, None]
-            idx = np.where(mask, starts[:, None] + offs[None, :], 0)
-            vals[:r_real] = np.where(mask, data[idx], 0.0)
-            cols[:r_real] = np.where(mask, col_pos[indices[idx]], 0)
-            valid[:r_real] = mask
             row_pos[rows] = cursor + np.arange(r_real)
+            if data.size:
+                starts = indptr[rows]
+                counts = indptr[rows + 1] - starts
+                offs = np.arange(w)
+                mask = offs[None, :] < counts[:, None]
+                idx = np.where(mask, starts[:, None] + offs[None, :], 0)
+                vals[:r_real] = np.where(mask, data[idx], 0.0)
+                cols[:r_real] = np.where(mask, col_pos[indices[idx]], 0)
+                valid[:r_real] = mask
         buckets.append(EllBucket(vals=jnp.asarray(vals), cols=jnp.asarray(cols),
                                  valid=jnp.asarray(valid), row_start=cursor,
                                  width=int(w)))

@@ -217,7 +217,9 @@ def solve_problem(problem: LpProblem, params: Parameters | None = None,
     elapsed = lambda: time.perf_counter() - t_alg
 
     t_pm = time.perf_counter()
-    lambda_max = float(power_method(lp)) * 1.01
+    # Floor guards the degenerate all-zero-A case (zero-constraint LPs):
+    # lambda_max = 0 would make the y-update divide 0/0.
+    lambda_max = max(float(power_method(lp)) * 1.01, 1e-12)
     out.power_time = time.perf_counter() - t_pm
     log(f"ESTIMATING MAXIMUM EIGENVALUE time = {out.power_time:.2f} seconds")
 

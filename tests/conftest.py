@@ -5,7 +5,9 @@ separately), and enable x64 for exact oracles."""
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when a TPU plugin environment (e.g. axon) pins
+# JAX_PLATFORMS in the env: tests must run on the virtual 8-device mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +17,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+try:  # A plugin's sitecustomize may have pinned jax_platforms already.
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: compiles on this machine are slow (~20s for
 # the solver chunk), so cache them across test runs.
