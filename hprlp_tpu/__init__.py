@@ -18,12 +18,13 @@ from .modeling import (Constraint, LinearExpression, ModelBuilder, Sense,
                        TwoSidedConstraint, Variable, between, maximize,
                        minimize)
 from .solver.loop import solve_problem
+from .solver.batched import solve_batched
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Parameters", "LpProblem", "Results", "BatchedResults", "Model",
-    "read_mps", "solve", "solve_mps", "solve_problem",
+    "read_mps", "solve", "solve_mps", "solve_problem", "solve_batched",
     "ModelBuilder", "Variable", "LinearExpression", "Constraint",
     "TwoSidedConstraint", "between", "minimize", "maximize", "Sense",
     "__version__",

@@ -1,0 +1,494 @@
+"""Batched shared-A solver: B LPs with the same sparse A, different vectors.
+
+TPU-native redesign of the reference batched path (reference:
+src/batched_solver.cu:939-1092 solve_batched): the per-batch dense data
+C/AL/AU/l/u are (n_pad, B)/(m_pad, B) device matrices; SpMV becomes SpMM
+over the batch axis (ops/sparse.spmm — the cuSPARSE SpMM analogue,
+batched_solver.cu:428-477); per-batch sigma / Halpern factors / restart
+state are (B,) vectors (reference per-batch kernels :122-323 and host
+restart state BatchedRestartHost :103-120); converged members are frozen
+with an active mask (reference :1026-1033).
+
+Differences from the single-LP path, matching the reference:
+  * presolve is not applied (reference :953-955);
+  * scaling runs on A only (CR/Ruiz/PC), b/c scaling per batch member
+    (reference :975-992);
+  * one shared lambda_max from the scaled A (reference :994-1001).
+
+The whole iteration stretch between checkpoints is one jitted chunk, as in
+the single-LP path (no host work per iteration; the reference syncs every
+iteration, :1073 — the TPU design is strictly more async).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.device_problem import build_device_problem
+from ..ops.sparse import spmm
+from ..params import Parameters
+from ..problem import LpProblem
+from ..results import BatchedResults
+from .loop import next_checkpoint, resolve_dtype
+from .power_iteration import power_method
+from .scaling import conceptual_b, scale_matrix
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BatchedLpDevice:
+    """Shared scaled A/AT + per-batch dense vectors (parity:
+    HPRLP_batched_workspace, reference: src/batched_solver.cu:479-532)."""
+
+    A: object  # EllMatrix (m_pad rows)
+    AT: object  # EllMatrix (n_pad rows)
+    AL: jax.Array  # (m_pad, B)
+    AU: jax.Array
+    c: jax.Array  # (n_pad, B)
+    l: jax.Array
+    u: jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BatchedState:
+    x: jax.Array  # (n_pad, B)
+    y: jax.Array  # (m_pad, B)
+    last_x: jax.Array
+    last_y: jax.Array
+    x_bar: jax.Array
+    y_bar: jax.Array
+    z_bar: jax.Array
+    y_obj: jax.Array
+    inner: jax.Array  # (B,) int32
+
+
+def _bfactors(inner, dtype):
+    f1 = (1.0 / (inner.astype(dtype) + 2.0)).astype(dtype)
+    return f1, 1.0 - f1
+
+
+def _bx_half(lp, x, y, last_x, sigma, f1, f2):
+    ATy = spmm(lp.AT, y)
+    z_tmp = x + sigma * (ATy - lp.c)
+    x_bar = jnp.clip(z_tmp, lp.l, lp.u)
+    x_hat = 2.0 * x_bar - x
+    return f2 * x_hat + f1 * last_x, x_hat, x_bar, z_tmp
+
+
+def _by_half(lp, y, x_hat, last_y, lam_sigma, f1, f2):
+    Ax = spmm(lp.A, x_hat)
+    v = Ax - lam_sigma * y
+    d = jnp.maximum(lp.AL - v, jnp.minimum(lp.AU - v, 0.0))
+    y_bar = d / lam_sigma
+    y_hat = 2.0 * y_bar - y
+    return f2 * y_hat + f1 * last_y, y_bar, v + d
+
+
+def _bgap_parts(lp, dx, dy):
+    A_dx = spmm(lp.A, dx)
+    return (jnp.sum(A_dx * dy, axis=0), jnp.sum(dy * dy, axis=0),
+            jnp.sum(dx * dx, axis=0))
+
+
+def _bmetrics(lp, row_norm, col_norm, x_bar, y_bar, z_bar, y_obj, dx, dy,
+              last_x, last_y):
+    """Per-batch residual ingredients; every value is a (B,) vector
+    (parity: compute_residuals batched, reference:
+    src/batched_solver.cu:578-623)."""
+    Ax_bar = spmm(lp.A, x_bar)
+    Rp = (jnp.maximum(lp.AL - Ax_bar, jnp.minimum(lp.AU - Ax_bar, 0.0))
+          * row_norm[:, None])
+    ATy_bar = spmm(lp.AT, y_bar)
+    Rd = (lp.c - ATy_bar - z_bar) * col_norm[:, None]
+    gap_dot, gap_dy2, gap_dx2 = _bgap_parts(lp, dx, dy)
+    viol = jnp.where(x_bar < lp.l, lp.l - x_bar,
+                     jnp.where(x_bar > lp.u, x_bar - lp.u, 0.0))
+    nrm = lambda M: jnp.sqrt(jnp.sum(M * M, axis=0))
+    return {
+        "dot_c_xbar": jnp.sum(lp.c * x_bar, axis=0),
+        "dot_yobj_ybar": jnp.sum(y_obj * y_bar, axis=0),
+        "dot_xbar_zbar": jnp.sum(x_bar * z_bar, axis=0),
+        "nrm_Rd": nrm(Rd),
+        "nrm_Rp": nrm(Rp),
+        "gap_dot": gap_dot,
+        "gap_dy2": gap_dy2,
+        "gap_dx2": gap_dx2,
+        "move_x": nrm(x_bar - last_x),
+        "move_y": nrm(y_bar - last_y),
+        "nrm_lu_viol": nrm(viol / col_norm[:, None]),
+    }
+
+
+@jax.jit
+def run_batched_chunk(lp: BatchedLpDevice, row_norm, col_norm,
+                      state: BatchedState, sigma, lambda_max, restart_flag,
+                      active, n_iters):
+    """n_iters HPR iterations over all batch members + residual check.
+
+    sigma: (B,); restart_flag: (B,) bool; active: (B,) bool — frozen
+    members keep their state (reference active-mask kernels,
+    src/batched_solver.cu:122-323).
+    """
+    dtype = lp.c.dtype
+    sigma = sigma.astype(dtype)[None, :]
+    lam_sigma = (lambda_max.astype(dtype) * sigma)
+    act = active[None, :]
+
+    rf = restart_flag[None, :]
+    x = jnp.where(rf, state.x_bar, state.x)
+    y = jnp.where(rf, state.y_bar, state.y)
+    last_x = jnp.where(rf, state.x_bar, state.last_x)
+    last_y = jnp.where(rf, state.y_bar, state.last_y)
+    inner = jnp.where(restart_flag, 0, state.inner)
+
+    def freeze(new, old):
+        return jnp.where(act, new, old)
+
+    # First iteration (check-style, for the post-restart gap).
+    f1, f2 = _bfactors(inner, dtype)
+    x1, x_hat, x_bar1, _ = _bx_half(lp, x, y, last_x, sigma, f1, f2)
+    y1, y_bar1, _ = _by_half(lp, y, x_hat, last_y, lam_sigma, f1, f2)
+    fs_dot, fs_dy2, fs_dx2 = _bgap_parts(lp, x - x_bar1, y - y_bar1)
+    x1, y1 = freeze(x1, x), freeze(y1, y)
+    inner = jnp.where(active, inner + 1, inner)
+
+    def body(_, carry):
+        x, y, inner = carry
+        f1, f2 = _bfactors(inner, dtype)
+        x_new, x_hat, _, _ = _bx_half(lp, x, y, last_x, sigma, f1, f2)
+        y_new, _, _ = _by_half(lp, y, x_hat, last_y, lam_sigma, f1, f2)
+        return (freeze(x_new, x), freeze(y_new, y),
+                jnp.where(active, inner + 1, inner))
+
+    x2, y2, inner = jax.lax.fori_loop(1, n_iters - 1, body, (x1, y1, inner))
+
+    # Final iteration (check-style) + per-batch residuals.
+    f1, f2 = _bfactors(inner, dtype)
+    x_f, x_hat, x_bar, z_tmp = _bx_half(lp, x2, y2, last_x, sigma, f1, f2)
+    z_bar = (x_bar - z_tmp) / sigma
+    y_f, y_bar, y_obj = _by_half(lp, y2, x_hat, last_y, lam_sigma, f1, f2)
+
+    x_f, y_f = freeze(x_f, x2), freeze(y_f, y2)
+    x_bar = freeze(x_bar, state.x_bar)
+    y_bar = freeze(y_bar, state.y_bar)
+    z_bar = freeze(z_bar, state.z_bar)
+    y_obj = freeze(y_obj, state.y_obj)
+    inner = jnp.where(active, inner + 1, inner)
+    dx = x2 - x_bar
+    dy = y2 - y_bar
+
+    metrics = _bmetrics(lp, row_norm, col_norm, x_bar, y_bar, z_bar, y_obj,
+                        dx, dy, last_x, last_y)
+    metrics["fs_dot"] = fs_dot
+    metrics["fs_dy2"] = fs_dy2
+    metrics["fs_dx2"] = fs_dx2
+
+    new_state = BatchedState(x=x_f, y=y_f, last_x=last_x, last_y=last_y,
+                             x_bar=x_bar, y_bar=y_bar, z_bar=z_bar,
+                             y_obj=y_obj, inner=inner)
+    return new_state, metrics
+
+
+@jax.jit
+def _initial_bmetrics(lp: BatchedLpDevice, row_norm, col_norm,
+                      state: BatchedState):
+    zn = jnp.zeros_like(state.x)
+    zm = jnp.zeros_like(state.y)
+    m = _bmetrics(lp, row_norm, col_norm, state.x_bar, state.y_bar,
+                  state.z_bar, state.y_obj, zn, zm, state.last_x,
+                  state.last_y)
+    B = state.inner.shape[0]
+    z = jnp.zeros(B, state.x.dtype)
+    m["fs_dot"] = z
+    m["fs_dy2"] = z
+    m["fs_dx2"] = z
+    return m
+
+
+def _vec_m_norm(sigma, lam, dot, dy2, dx2):
+    """Vectorised M-norm with per-member lambda self-correction
+    (reference: src/batched_solver.cu:625-650)."""
+    dot2 = 2.0 * dot
+    w = sigma * lam * dy2 + dx2 / sigma + dot2
+    neg = w < 0
+    lam_fix = np.where(neg & (sigma * dy2 > 0),
+                       -(dot2 + dx2 / sigma) / np.maximum(sigma * dy2, 1e-300)
+                       * 1.05, lam)
+    norm = np.where(neg, np.sqrt(np.maximum(-(dot2 + dx2 / sigma) * 0.05, 0.0)),
+                    np.sqrt(np.maximum(w, 0.0)))
+    return norm, lam_fix
+
+
+def solve_batched(A, C, AL, AU, l, u, obj_constants=None,
+                  params: Parameters | None = None) -> BatchedResults:
+    """Solve B LPs sharing the sparse matrix A.
+
+    C, l, u: (n, B); AL, AU: (m, B); obj_constants: (B,) or None.
+    Returns BatchedResults with column-major-layout solutions (parity:
+    reference bindings solve_batched, bindings/python/hprlp/solver.py:335,
+    src/batched_solver.cu:939).
+    """
+    params = params or Parameters()
+    params.validate()
+    dtype = resolve_dtype(params)
+    log = print if params.verbose else (lambda *a, **k: None)
+
+    from ..problem import _normalize_inf
+
+    C = np.asarray(C, np.float64)
+    AL = _normalize_inf(np.asarray(AL, np.float64))
+    AU = _normalize_inf(np.asarray(AU, np.float64))
+    l = _normalize_inf(np.asarray(l, np.float64))
+    u = _normalize_inf(np.asarray(u, np.float64))
+    if C.ndim != 2:
+        raise ValueError("C must be (n, batch)")
+    n, B = C.shape
+    m = AL.shape[0]
+    for name, arr, shape in (("AL", AL, (m, B)), ("AU", AU, (m, B)),
+                             ("l", l, (n, B)), ("u", u, (n, B))):
+        if arr.shape != shape:
+            raise ValueError(f"{name} has shape {arr.shape}, expected {shape}")
+    if np.any(AL > AU) or np.any(l > u):
+        raise ValueError("infeasible bounds: AL > AU or l > u in some member")
+    obj_constants = (np.zeros(B) if obj_constants is None
+                    else np.asarray(obj_constants, np.float64))
+
+    out = BatchedResults(m=m, n=n, batch_size=B)
+    t_setup = time.perf_counter()
+
+    # Shared-A layout: reuse the single-LP ELL builder with neutral vectors.
+    base = LpProblem.from_arrays(A, AL[:, 0], AU[:, 0], l[:, 0], u[:, 0],
+                                 C[:, 0])
+    lp0, maps = build_device_problem(base, dtype=dtype)
+    m_pad, n_pad = lp0.m, lp0.n
+
+    # Scale A once (CR/Ruiz/PC only; reference forces bc off for the shared
+    # pass, src/batched_solver.cu:975-981).
+    A_s, AT_s, row_norm_d, col_norm_d = jax.jit(
+        scale_matrix, static_argnames=("use_cr", "use_ruiz", "use_pc"))(
+        lp0.A, lp0.AT, params.use_CR_scaling, params.use_Ruiz_scaling,
+        params.use_Pock_Chambolle_scaling)
+    row_norm = np.asarray(jax.device_get(row_norm_d), np.float64)
+    col_norm = np.asarray(jax.device_get(col_norm_d), np.float64)
+
+    # Per-member vector scaling on host (reference :810-864): row/col norms
+    # then per-member b/c scales.
+    def scatter(arr_2d, pos, size, fill):
+        out_h = np.full((size, B), fill)
+        out_h[pos, :] = arr_2d
+        return out_h
+
+    AL_p = scatter(AL, maps.row_pos, m_pad, -np.inf) / row_norm[:, None]
+    AU_p = scatter(AU, maps.row_pos, m_pad, np.inf) / row_norm[:, None]
+    C_p = scatter(C, maps.col_pos, n_pad, 0.0) / col_norm[:, None]
+    l_p = scatter(l, maps.col_pos, n_pad, 0.0) * col_norm[:, None]
+    u_p = scatter(u, maps.col_pos, n_pad, 0.0) * col_norm[:, None]
+
+    bvec = np.maximum(np.where(np.isinf(AL_p), 0.0, np.abs(AL_p)),
+                      np.where(np.isinf(AU_p), 0.0, np.abs(AU_p)))
+    if params.use_bc_scaling:
+        b_scale = 1.0 + np.linalg.norm(bvec, axis=0)
+        c_scale = 1.0 + np.linalg.norm(C_p, axis=0)
+        AL_p /= b_scale
+        AU_p /= b_scale
+        l_p /= b_scale
+        u_p /= b_scale
+        C_p /= c_scale
+    else:
+        b_scale = np.ones(B)
+        c_scale = np.ones(B)
+    norm_b = np.linalg.norm(
+        np.maximum(np.where(np.isinf(AL_p), 0.0, np.abs(AL_p)),
+                   np.where(np.isinf(AU_p), 0.0, np.abs(AU_p))), axis=0)
+    norm_c = np.linalg.norm(C_p, axis=0)
+    norm_b_org = 1.0 + np.linalg.norm(bvec * b_scale[None, :], axis=0)
+    norm_c_org = 1.0 + np.linalg.norm(C_p * c_scale[None, :], axis=0)
+
+    lp = BatchedLpDevice(
+        A=A_s, AT=AT_s,
+        AL=jnp.asarray(AL_p.astype(np.dtype(dtype))),
+        AU=jnp.asarray(AU_p.astype(np.dtype(dtype))),
+        c=jnp.asarray(C_p.astype(np.dtype(dtype))),
+        l=jnp.asarray(l_p.astype(np.dtype(dtype))),
+        u=jnp.asarray(u_p.astype(np.dtype(dtype))))
+    jax.block_until_ready(lp.c)
+    out.setup_time = time.perf_counter() - t_setup
+    log(f"Batched setup time = {out.setup_time:.2f} seconds (B={B})")
+
+    t_alg = time.perf_counter()
+    elapsed = lambda: time.perf_counter() - t_alg
+
+    t_pm = time.perf_counter()
+    lam_shared = max(float(power_method(
+        dataclasses.replace(lp0, A=A_s, AT=AT_s))) * 1.01, 1e-12)
+    out.power_time = time.perf_counter() - t_pm
+
+    sigma = np.where((norm_b > 1e-8) & (norm_c > 1e-8),
+                     norm_b / np.maximum(norm_c, 1e-300), 1.0)
+    lam = np.full(B, lam_shared)
+
+    zn = jnp.zeros((n_pad, B), dtype)
+    zm = jnp.zeros((m_pad, B), dtype)
+    state = BatchedState(x=zn, y=zm, last_x=zn, last_y=zm, x_bar=zn,
+                         y_bar=zm, z_bar=zn, y_obj=zm,
+                         inner=jnp.zeros(B, jnp.int32))
+
+    # Vectorised restart bookkeeping (reference BatchedRestartHost,
+    # src/batched_solver.cu:103-120).
+    first_restart = np.ones(B, bool)
+    last_gap = np.full(B, np.inf)
+    current_gap = np.full(B, np.inf)
+    save_gap = np.full(B, np.inf)
+    best_gap = np.full(B, np.inf)
+    best_sigma = sigma.copy()
+    inner_host = np.zeros(B)
+    active = np.ones(B, bool)
+    status = np.array(["CONTINUE"] * B, object)
+    iters = np.zeros(B, np.int64)
+    final_kkt = np.full(B, np.inf)
+    final_gap = np.full(B, np.inf)
+    final_pobj = np.zeros(B)
+
+    metrics = {k: np.asarray(jax.device_get(v), np.float64)
+               for k, v in _initial_bmetrics(lp, row_norm_d, col_norm_d,
+                                             state).items()}
+    obj_scale = b_scale * c_scale
+    it = 0
+
+    while True:
+        periodic = (it % params.check_iter == 0)
+
+        pobj = obj_scale * metrics["dot_c_xbar"] + obj_constants
+        dobj = obj_scale * (metrics["dot_yobj_ybar"]
+                            + metrics["dot_xbar_zbar"]) + obj_constants
+        rel_gap = np.abs(pobj - dobj) / (1.0 + np.abs(pobj) + np.abs(dobj))
+        err_Rd = c_scale * metrics["nrm_Rd"] / norm_c_org
+        err_Rp = b_scale * metrics["nrm_Rp"] / norm_b_org
+        if it == 0:
+            err_Rp = np.maximum(err_Rp, b_scale * metrics["nrm_lu_viol"])
+        kkt = np.maximum(np.maximum(err_Rd, err_Rp), rel_gap)
+
+        if periodic and it > 0:
+            current_gap, lam = _vec_m_norm(sigma, lam, metrics["gap_dot"],
+                                           metrics["gap_dy2"],
+                                           metrics["gap_dx2"])
+
+        # Per-member stopping.
+        newly_opt = active & (kkt < params.stop_tol)
+        final_kkt = np.where(active, kkt, final_kkt)
+        final_gap = np.where(active, rel_gap, final_gap)
+        final_pobj = np.where(active, pobj, final_pobj)
+        iters = np.where(active, it, iters)
+        status[newly_opt] = "OPTIMAL"
+        active &= ~newly_opt
+
+        stop_all = not active.any()
+        if it >= params.max_iter:
+            status[active] = "ITER_LIMIT"
+            stop_all = True
+        elif elapsed() > params.time_limit:
+            status[active] = "TIME_LIMIT"
+            stop_all = True
+
+        if periodic or stop_all:
+            log(f"iter {it:6d}  active {int(active.sum()):4d}/{B}  "
+                f"max_kkt {np.nanmax(kkt):.2e}  time {elapsed():.2f}s")
+
+        if stop_all:
+            out.solve_time = elapsed()
+            out.time = out.setup_time + out.solve_time
+            out.iter = iters
+            out.residuals = final_kkt
+            out.gap = final_gap
+            out.primal_obj = final_pobj
+            out.status = list(status)
+            # Un-scale solutions (reference :887-935).
+            x_s = np.asarray(jax.device_get(state.x_bar), np.float64)
+            y_s = np.asarray(jax.device_get(state.y_bar), np.float64)
+            z_s = np.asarray(jax.device_get(state.z_bar), np.float64)
+            x = (b_scale[None, :] * x_s / col_norm[:, None])[maps.col_pos, :]
+            y = (c_scale[None, :] * y_s / row_norm[:, None])[maps.row_pos, :]
+            z = (c_scale[None, :] * z_s * col_norm[:, None])[maps.col_pos, :]
+            out.x = np.asfortranarray(x)
+            out.y = np.asfortranarray(y)
+            out.z = np.asfortranarray(z)
+            return out
+
+        # Restart decisions (vectorised check_restart,
+        # reference :667-762).
+        restart_flag = np.zeros(B, np.int8)
+        if periodic:
+            if it == params.check_iter:
+                fr = first_restart & active
+                restart_flag[fr] = 1
+                best_gap = np.where(fr, current_gap, best_gap)
+                best_sigma = np.where(fr, sigma, best_sigma)
+                first_restart &= ~fr
+            else:
+                est = ~first_restart & active
+                cg = np.where(current_gap < 0, 1e-6, current_gap)
+                current_gap = cg
+                suff = est & (cg <= 0.2 * last_gap)
+                nec = est & (cg <= 0.6 * last_gap) & (cg > save_gap)
+                lng = est & (inner_host >= 0.2 * it)
+                restart_flag[suff] = 1
+                restart_flag[nec] = 2
+                restart_flag[lng] = 3
+                better = est & (best_gap > cg)
+                best_gap = np.where(better, cg, best_gap)
+                best_sigma = np.where(better, sigma, best_sigma)
+                save_gap = np.where(est, cg, save_gap)
+
+        do_restart = restart_flag > 0
+        if do_restart.any():
+            # Vectorised update_sigma (reference :367-404 semantics).
+            pm = metrics["move_x"]
+            dm = metrics["move_y"]
+            ok = ((pm > 1e-16) & (dm > 1e-16) & (pm < 1e12) & (dm < 1e12))
+            ratio = (pm / np.maximum(dm, 1e-300)) / math.sqrt(lam_shared)
+            fact = np.exp(-0.05 * (current_gap
+                                   / np.maximum(best_gap, 1e-300)))
+            sig_cand = np.exp(fact * np.log(np.maximum(ratio, 1e-300))
+                              + (1 - fact) * np.log(np.maximum(best_sigma,
+                                                               1e-300)))
+            temp1 = np.maximum(np.minimum(err_Rd, err_Rp),
+                               np.minimum(rel_gap, current_gap))
+            ratio_inf = np.where(err_Rp > 0, err_Rd / np.maximum(err_Rp,
+                                                                 1e-300), 1.0)
+            kappa = np.where(
+                temp1 > 9e-10, 1.0,
+                np.where(temp1 > 5e-10,
+                         np.clip(np.sqrt(ratio_inf), 1e-2, 100.0),
+                         np.clip(ratio_inf, 1e-2, 100.0)))
+            sigma = np.where(do_restart,
+                             np.where(ok, kappa * sig_cand, 1.0), sigma)
+            inner_host = np.where(do_restart, 0.0, inner_host)
+            save_gap = np.where(do_restart, np.inf, save_gap)
+
+        target = next_checkpoint(it, params.check_iter)
+        if target - it < 2:
+            target = next_checkpoint(target, params.check_iter)
+        n_iters = target - it
+
+        state, metrics_dev = run_batched_chunk(
+            lp, row_norm_d, col_norm_d, state,
+            jnp.asarray(sigma, dtype), jnp.asarray(lam, dtype),
+            jnp.asarray(do_restart), jnp.asarray(active),
+            jnp.asarray(n_iters, jnp.int32))
+        metrics = {k: np.asarray(jax.device_get(v), np.float64)
+                   for k, v in metrics_dev.items()}
+
+        if do_restart.any():
+            lg, lam = _vec_m_norm(sigma, lam, metrics["fs_dot"],
+                                  metrics["fs_dy2"], metrics["fs_dx2"])
+            last_gap = np.where(do_restart, lg, last_gap)
+
+        inner_host = np.where(active, inner_host + n_iters, inner_host)
+        it = target

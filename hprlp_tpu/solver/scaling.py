@@ -60,21 +60,22 @@ def _sqrt_clamped(norms: jax.Array) -> jax.Array:
     return jnp.where(s < 1e-15, 1.0, s)
 
 
-@functools.partial(jax.jit, static_argnames=("use_cr", "use_ruiz", "use_pc",
-                                             "use_bc"))
-def scale_problem(lp: LpDevice, use_cr: bool = True, use_ruiz: bool = True,
-                  use_pc: bool = True, use_bc: bool = True
-                  ) -> tuple[LpDevice, ScalingInfo]:
-    A, AT = lp.A, lp.AT
-    AL, AU, c, l, u = lp.AL, lp.AU, lp.c, lp.l, lp.u
-    dtype = c.dtype
-    m, n = A.nrows, A.ncols
+def scale_matrix(A, AT, use_cr: bool = True, use_ruiz: bool = True,
+                 use_pc: bool = True):
+    """Matrix-only scaling passes (CR -> Ruiz -> PC).
 
+    Returns (A_scaled, AT_scaled, row_norm, col_norm) where the accumulated
+    divisors satisfy A_scaled = diag(1/row_norm) A diag(1/col_norm).  The
+    vector transformations are pure functions of these totals:
+        AL/AU -> /row_norm,  c -> /col_norm,  l/u -> *col_norm
+    (equivalent to the reference's per-pass interleaving, src/scaling.cu).
+    The batched solver scales A once this way and the per-member dense
+    vectors on the host (reference: src/batched_solver.cu:810-864).
+    """
+    dtype = A.dtype
+    m, n = A.nrows, A.ncols
     row_norm = jnp.ones(m, dtype)
     col_norm = jnp.ones(n, dtype)
-
-    norm_b_org = 1.0 + jnp.linalg.norm(conceptual_b(AL, AU))
-    norm_c_org = 1.0 + jnp.linalg.norm(c)
 
     if use_cr:
         # 20 alternating log-least-squares sweeps on the original values.
@@ -98,46 +99,52 @@ def scale_problem(lp: LpDevice, use_cr: bool = True, use_ruiz: bool = True,
         col_norm = col_norm / t2
         A = scale_cols(scale_rows(A, t1), t2)
         AT = scale_cols(scale_rows(AT, t2), t1)
-        AL = AL * t1
-        AU = AU * t1
-        c = c * t2
-        l = l / t2
-        u = u / t2
 
     if use_ruiz:
         def ruiz_step(_, carry):
-            A, AT, AL, AU, c, l, u, row_norm, col_norm = carry
+            A, AT, row_norm, col_norm = carry
             t1 = _sqrt_clamped(row_inf_norms(A))
             row_norm = row_norm * t1
-            AL = AL / t1
-            AU = AU / t1
             # Column norms measured before the row scaling is applied
             # (reference ordering, src/scaling.cu:127-144).
             t2 = _sqrt_clamped(row_inf_norms(AT))
             col_norm = col_norm * t2
             A = scale_cols(scale_rows(A, 1.0 / t1), 1.0 / t2)
             AT = scale_cols(scale_rows(AT, 1.0 / t2), 1.0 / t1)
-            c = c / t2
-            l = l * t2
-            u = u * t2
-            return A, AT, AL, AU, c, l, u, row_norm, col_norm
+            return A, AT, row_norm, col_norm
 
-        A, AT, AL, AU, c, l, u, row_norm, col_norm = jax.lax.fori_loop(
-            0, RUIZ_ITERS, ruiz_step,
-            (A, AT, AL, AU, c, l, u, row_norm, col_norm))
+        A, AT, row_norm, col_norm = jax.lax.fori_loop(
+            0, RUIZ_ITERS, ruiz_step, (A, AT, row_norm, col_norm))
 
     if use_pc:
         t1 = _sqrt_clamped(row_one_norms(A))
         row_norm = row_norm * t1
-        AL = AL / t1
-        AU = AU / t1
         t2 = _sqrt_clamped(row_one_norms(AT))
         col_norm = col_norm * t2
         A = scale_cols(scale_rows(A, 1.0 / t1), 1.0 / t2)
         AT = scale_cols(scale_rows(AT, 1.0 / t2), 1.0 / t1)
-        c = c / t2
-        l = l * t2
-        u = u * t2
+
+    return A, AT, row_norm, col_norm
+
+
+@functools.partial(jax.jit, static_argnames=("use_cr", "use_ruiz", "use_pc",
+                                             "use_bc"))
+def scale_problem(lp: LpDevice, use_cr: bool = True, use_ruiz: bool = True,
+                  use_pc: bool = True, use_bc: bool = True
+                  ) -> tuple[LpDevice, ScalingInfo]:
+    AL, AU, c, l, u = lp.AL, lp.AU, lp.c, lp.l, lp.u
+    dtype = c.dtype
+
+    norm_b_org = 1.0 + jnp.linalg.norm(conceptual_b(AL, AU))
+    norm_c_org = 1.0 + jnp.linalg.norm(c)
+
+    A, AT, row_norm, col_norm = scale_matrix(lp.A, lp.AT, use_cr, use_ruiz,
+                                             use_pc)
+    AL = AL / row_norm
+    AU = AU / row_norm
+    c = c / col_norm
+    l = l * col_norm
+    u = u * col_norm
 
     if use_bc:
         b_scale = 1.0 + jnp.linalg.norm(conceptual_b(AL, AU))
