@@ -1,0 +1,107 @@
+"""Command-line LP solver: ``python -m hprlp_tpu.cli -i model.mps``.
+
+Flag-level parity with the reference CLI (reference:
+src/solve_mps_file.cpp:14-32): same 13 options plus TPU-native extras
+(--precision, --mesh).  ``--cusparse-spmv`` maps to forcing the plain XLA
+SpMV backend (the non-fused analogue); ``--device`` selects the JAX device.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _bool(s: str) -> bool:
+    t = s.strip().lower()
+    if t in ("true", "1", "yes", "on"):
+        return True
+    if t in ("false", "0", "no", "off"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected true/false, got {s!r}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="hprlp-solve",
+        description="Solve an LP from an MPS file with the TPU-native "
+                    "HPR-LP solver.")
+    p.add_argument("-i", "--input", required=True,
+                   help="Path to input .mps or .mps.gz file")
+    p.add_argument("--device", type=int, default=0,
+                   help="Device id (default: 0)")
+    p.add_argument("--max-iter", type=int, default=2**31 - 1,
+                   help="Max iterations (default: INT32_MAX)")
+    p.add_argument("--tol", type=float, default=1e-4,
+                   help="Stopping tolerance (default: 1e-4)")
+    p.add_argument("--time-limit", type=float, default=3600.0,
+                   help="Time limit in seconds (default: 3600)")
+    p.add_argument("--check-iter", type=int, default=150,
+                   help="Check interval (default: 150)")
+    p.add_argument("--cusparse-spmv", type=_bool, default=False,
+                   metavar="true/false",
+                   help="Force the plain (non-fused) SpMV backend")
+    p.add_argument("--autotune-verbose", type=_bool, default=False,
+                   metavar="true/false",
+                   help="Print SpMV backend autotune results")
+    p.add_argument("--cr", type=_bool, default=True, metavar="true/false",
+                   help="Curtis-Reid prescaling (default: true)")
+    p.add_argument("--ruiz", type=_bool, default=True, metavar="true/false",
+                   help="Ruiz scaling (default: true)")
+    p.add_argument("--pock", type=_bool, default=True, metavar="true/false",
+                   help="Pock-Chambolle scaling (default: true)")
+    p.add_argument("--bc", type=_bool, default=True, metavar="true/false",
+                   help="Bounds/cost scaling (default: true)")
+    p.add_argument("--presolve", type=_bool, default=True,
+                   metavar="true/false",
+                   help="Presolve (default: true)")
+    # TPU-native extras.
+    p.add_argument("--precision", choices=("auto", "f32", "f64"),
+                   default="auto", help="Solve precision (default: auto)")
+    p.add_argument("--mesh", type=int, default=None, metavar="N",
+                   help="Shard the solve over N devices")
+    p.add_argument("--quiet", action="store_true", help="Suppress progress")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if not os.path.exists(args.input):
+        print(f"Input file not found: {args.input}", file=sys.stderr)
+        return 1
+
+    from .model import Model
+    from .params import Parameters
+
+    params = Parameters(
+        max_iter=args.max_iter,
+        stop_tol=args.tol,
+        time_limit=args.time_limit,
+        device_number=args.device,
+        check_iter=args.check_iter,
+        spmv_backend="xla" if args.cusparse_spmv else "auto",
+        autotune_verbose=args.autotune_verbose,
+        use_CR_scaling=args.cr,
+        use_Ruiz_scaling=args.ruiz,
+        use_Pock_Chambolle_scaling=args.pock,
+        use_bc_scaling=args.bc,
+        use_presolve=args.presolve,
+        precision=args.precision,
+        mesh_shape=args.mesh,
+        verbose=not args.quiet,
+    )
+    try:
+        model = Model.from_mps(args.input)
+    except Exception as e:  # parse errors -> exit 1 with message
+        print(f"Failed to read {args.input}: {e}", file=sys.stderr)
+        return 1
+    res = model.solve(params)
+    if args.quiet:
+        print(f"status={res.status} iter={res.iter} time={res.time:.3f}s "
+              f"obj={res.primal_obj:.12e} kkt={res.residuals:.3e}")
+    return 0 if res.status == "OPTIMAL" else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
