@@ -53,7 +53,7 @@ class Model:
         return cls(read_mps(path, **kw))
 
     def solve(self, parameters: Optional[Parameters] = None) -> Results:
-        res = solve_problem(self._problem, parameters)
+        res = solve_with_presolve(self._problem, parameters)
         return _apply_sense(res, self._problem.objective_sense)
 
     def __enter__(self):
@@ -61,6 +61,76 @@ class Model:
 
     def __exit__(self, *exc):
         return False
+
+
+def solve_with_presolve(problem: LpProblem,
+                        parameters: Optional[Parameters] = None) -> Results:
+    """Presolve -> core solve -> postsolve -> original-space KKT validation.
+
+    Orchestration parity with the reference's solve() (reference:
+    src/HPRLP.cu:493-524): presolve failures of ANY kind fall back to
+    solving the unreduced model with a warning (pslp_integration.cpp:
+    677-700).
+    """
+    import time as _time
+
+    import numpy as np
+
+    params = parameters or Parameters()
+    log = print if params.verbose else (lambda *a, **k: None)
+
+    if params.use_presolve:
+        from . import presolve as ps
+
+        t0 = _time.perf_counter()
+        try:
+            status, reduced, handle = ps.presolve_problem(problem)
+        except Exception as e:  # error boundary: degrade to full model
+            print(f"[presolve] failed ({e}); solving the original model",
+                  file=__import__("sys").stderr)
+            status, reduced, handle = "UNAVAILABLE", None, None
+        t_pre = _time.perf_counter() - t0
+
+        if status in ("INFEASIBLE", "UNBOUNDED"):
+            res = Results()
+            res.status = status
+            res.time = t_pre
+            log(f"Presolve detected {status} in {t_pre:.2f} seconds")
+            return res
+        if status == "OK":
+            st = handle.stats()
+            log(f"Presolve: {problem.m}x{problem.n} ({problem.nnz} nnz) -> "
+                f"{reduced.m}x{reduced.n} ({reduced.nnz} nnz) in "
+                f"{st['rounds']} rounds, {t_pre:.2f} seconds")
+            if reduced.n == 0:
+                # Fully solved by presolve.
+                x, y, z = handle.postsolve(np.zeros(0), np.zeros(0),
+                                           np.zeros(0))
+                res = Results()
+                metrics = problem.kkt_error(x, y, z)
+                res.status = ("OPTIMAL" if metrics["kkt"] < params.stop_tol
+                              else "ERROR")
+                res.x, res.y, res.z = x, y, z
+                res.primal_obj = metrics["primal_obj"]
+                res.dual_obj = metrics["dual_obj"]
+                res.gap = metrics["rel_gap"]
+                res.residuals = metrics["kkt"]
+                res.time = t_pre
+                return res
+            res = solve_problem(reduced, params)
+            if res.x is not None:
+                x, y, z = handle.postsolve(res.x, res.y, res.z)
+                res.x, res.y, res.z = x, y, z
+                metrics = ps.validate_original_kkt(
+                    problem, x, y, z, params.stop_tol,
+                    verbose=params.verbose)
+                res.primal_obj = metrics["primal_obj"]
+                res.dual_obj = metrics["dual_obj"]
+                res.gap = metrics["rel_gap"]
+                res.residuals = metrics["kkt"]
+            return res
+
+    return solve_problem(problem, params)
 
 
 def solve(A, AL, AU, l, u, c, parameters: Optional[Parameters] = None,

@@ -1,0 +1,702 @@
+/* hpres — native LP presolver.  See include/hpres.h for the contract.
+ *
+ * From-scratch C++ re-derivation of the reference's presolve capability
+ * (reference: third_party/PSLP — explorers + typed postsolve log,
+ * src/pslp_integration.cpp — integration semantics).  The reduction log is
+ * replayed in EXACT reverse order at postsolve; each record's snapshot is
+ * the problem state at reduction time, which makes the recovered dual
+ * field consistent at every replay point (free-singleton substitution
+ * folds its dual contribution into the modified costs, parallel-row merges
+ * carry the merged dual until their own replay splits it).
+ */
+
+#include "../include/hpres.h"
+
+#include <algorithm>
+#include <cmath>
+#include <cstring>
+#include <limits>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr double INF = std::numeric_limits<double>::infinity();
+
+struct Ent {
+    int32_t r, c;
+    double v;
+    bool alive;
+};
+
+enum class RecType : uint8_t {
+    EmptyRow,       // i                      -> y_i = 0
+    RedundantRow,   // i                      -> y_i = 0
+    SingletonRow,   // i, j, a, old bounds    -> y_i from z_j transfer
+    ForcingRow,     // i, side, col list      -> y_i = extremal ratio, fix z
+    ParallelRow,    // i (kept), j (removed row), s, bound provenance
+    FixedCol,       // j, xj, col snapshot, c -> z_j = c_j - a_j^T y
+    FreeSingletonCol, // j, i, a, cj, rstar, row snapshot -> x_j, y_i, z_j
+};
+
+struct Rec {
+    RecType type;
+    int32_t i = -1, j = -1;
+    double a = 0.0, b = 0.0, d0 = 0.0, d1 = 0.0;
+    uint8_t flag = 0;
+    std::vector<int32_t> idx;
+    std::vector<double> val;
+};
+
+struct Problem {
+    int64_t m, n;
+    std::vector<Ent> ents;
+    std::vector<std::vector<int64_t>> rowe, cole;  // entry ids (some dead)
+    std::vector<int64_t> rlen, clen;               // live counts
+    std::vector<char> ralive, calive;
+    std::vector<double> AL, AU, l, u, c;
+    double obj_shift = 0.0;
+
+    void kill_entry(int64_t e) {
+        if (!ents[e].alive) return;
+        ents[e].alive = false;
+        rlen[ents[e].r]--;
+        clen[ents[e].c]--;
+    }
+};
+
+struct Stats {
+    int64_t rows_removed = 0, cols_removed = 0, nnz_removed = 0, rounds = 0;
+};
+
+class Presolver {
+  public:
+    Problem P;
+    std::vector<Rec> log;
+    Stats stats;
+    int status = HPRES_OK;
+    double tol;
+
+    // Reduced problem (built by compact()).
+    std::vector<int64_t> red_Ap;
+    std::vector<int32_t> red_Ai;
+    std::vector<double> red_Ax, red_AL, red_AU, red_l, red_u, red_c;
+    std::vector<int64_t> row_map, col_map;  // reduced pos -> original id
+    int64_t red_m = 0, red_n = 0;
+
+    bool infeas(bool cond) {
+        if (cond) status = HPRES_INFEASIBLE;
+        return cond;
+    }
+
+    // ---- reductions -----------------------------------------------------
+
+    void remove_row_only(int64_t i, RecType t) {
+        Rec r;
+        r.type = t;
+        r.i = (int32_t)i;
+        log.push_back(std::move(r));
+        for (int64_t e : P.rowe[i]) {
+            if (P.ents[e].alive) {
+                P.kill_entry(e);
+                stats.nnz_removed++;
+            }
+        }
+        P.ralive[i] = 0;
+        stats.rows_removed++;
+    }
+
+    // Fix x_j = xj with a typed record carrying the live-column snapshot.
+    void fix_col(int64_t j, double xj, RecType t = RecType::FixedCol) {
+        Rec r;
+        r.type = t;
+        r.j = (int32_t)j;
+        r.a = xj;
+        r.b = P.c[j];
+        for (int64_t e : P.cole[j]) {
+            const Ent &en = P.ents[e];
+            if (!en.alive) continue;
+            r.idx.push_back(en.r);
+            r.val.push_back(en.v);
+            // Shift the row bounds by the fixed contribution.
+            if (std::isfinite(P.AL[en.r])) P.AL[en.r] -= en.v * xj;
+            if (std::isfinite(P.AU[en.r])) P.AU[en.r] -= en.v * xj;
+            P.kill_entry(e);
+            stats.nnz_removed++;
+        }
+        log.push_back(std::move(r));
+        P.obj_shift += P.c[j] * xj;
+        P.calive[j] = 0;
+        stats.cols_removed++;
+    }
+
+    bool pass_empty_and_singleton_rows() {
+        bool changed = false;
+        for (int64_t i = 0; i < P.m; ++i) {
+            if (!P.ralive[i]) continue;
+            if (P.rlen[i] == 0) {
+                if (infeas(P.AL[i] > tol || P.AU[i] < -tol)) return changed;
+                remove_row_only(i, RecType::EmptyRow);
+                changed = true;
+            } else if (P.rlen[i] == 1) {
+                int64_t e = -1;
+                for (int64_t k : P.rowe[i])
+                    if (P.ents[k].alive) { e = k; break; }
+                const double a = P.ents[e].v;
+                const int64_t j = P.ents[e].c;
+                if (std::fabs(a) < 1e-12) {  // numerically empty
+                    if (infeas(P.AL[i] > tol || P.AU[i] < -tol)) return changed;
+                    remove_row_only(i, RecType::EmptyRow);
+                    changed = true;
+                    continue;
+                }
+                double lo = (a > 0 ? P.AL[i] : P.AU[i]) / a;
+                double up = (a > 0 ? P.AU[i] : P.AL[i]) / a;
+                Rec r;
+                r.type = RecType::SingletonRow;
+                r.i = (int32_t)i;
+                r.j = (int32_t)j;
+                r.a = a;
+                r.d0 = P.l[j];
+                r.d1 = P.u[j];
+                uint8_t lo_from_row = 0, up_from_row = 0;
+                if (lo > P.l[j]) { P.l[j] = lo; lo_from_row = 1; }
+                if (up < P.u[j]) { P.u[j] = up; up_from_row = 1; }
+                r.flag = (uint8_t)(lo_from_row | (up_from_row << 1));
+                if (infeas(P.l[j] > P.u[j] + tol)) return changed;
+                log.push_back(std::move(r));
+                P.kill_entry(e);
+                stats.nnz_removed++;
+                P.ralive[i] = 0;
+                stats.rows_removed++;
+                changed = true;
+            }
+        }
+        return changed;
+    }
+
+    bool pass_fixed_and_empty_cols() {
+        bool changed = false;
+        for (int64_t j = 0; j < P.n; ++j) {
+            if (!P.calive[j]) continue;
+            if (P.clen[j] == 0) {
+                double xj;
+                if (P.c[j] > tol) {
+                    if (P.l[j] == -INF) { status = HPRES_UNBOUNDED; return changed; }
+                    xj = P.l[j];
+                } else if (P.c[j] < -tol) {
+                    if (P.u[j] == INF) { status = HPRES_UNBOUNDED; return changed; }
+                    xj = P.u[j];
+                } else {
+                    xj = std::min(std::max(0.0, P.l[j]), P.u[j]);
+                    if (!std::isfinite(xj)) xj = std::isfinite(P.l[j]) ? P.l[j]
+                                               : (std::isfinite(P.u[j]) ? P.u[j] : 0.0);
+                }
+                fix_col(j, xj);
+                changed = true;
+            } else if (P.u[j] - P.l[j] <= tol && std::isfinite(P.l[j])) {
+                fix_col(j, 0.5 * (P.l[j] + P.u[j]));
+                changed = true;
+            }
+        }
+        return changed;
+    }
+
+    // Up/down locks (parity: PSLP Locks semantics, Gurobi-paper dual fixing).
+    bool pass_dual_fix() {
+        std::vector<int32_t> up(P.n, 0), down(P.n, 0);
+        for (const Ent &e : P.ents) {
+            if (!e.alive) continue;
+            const bool has_lo = P.AL[e.r] != -INF;
+            const bool has_up = P.AU[e.r] != INF;
+            if (e.v > 0) {
+                if (has_up) up[e.c]++;
+                if (has_lo) down[e.c]++;
+            } else {
+                if (has_lo) up[e.c]++;
+                if (has_up) down[e.c]++;
+            }
+        }
+        bool changed = false;
+        for (int64_t j = 0; j < P.n; ++j) {
+            if (!P.calive[j] || P.clen[j] == 0) continue;
+            if (P.c[j] >= 0.0 && down[j] == 0) {
+                if (P.l[j] == -INF) {
+                    if (P.c[j] > tol) { status = HPRES_UNBOUNDED; return changed; }
+                    continue;
+                }
+                fix_col(j, P.l[j]);
+                changed = true;
+            } else if (P.c[j] <= 0.0 && up[j] == 0) {
+                if (P.u[j] == INF) {
+                    if (P.c[j] < -tol) { status = HPRES_UNBOUNDED; return changed; }
+                    continue;
+                }
+                fix_col(j, P.u[j]);
+                changed = true;
+            }
+        }
+        return changed;
+    }
+
+    bool pass_free_singleton_cols() {
+        bool changed = false;
+        for (int64_t j = 0; j < P.n; ++j) {
+            if (!P.calive[j] || P.clen[j] != 1) continue;
+            if (P.l[j] != -INF || P.u[j] != INF) continue;
+            int64_t e = -1;
+            for (int64_t k : P.cole[j])
+                if (P.ents[k].alive) { e = k; break; }
+            const int64_t i = P.ents[e].r;
+            const double a = P.ents[e].v;
+            if (std::fabs(a) < 1e-10) continue;
+            const double ca = P.c[j] / a;
+            // Row value r* the optimum drives the row to.
+            double rstar;
+            if (ca > tol) {
+                rstar = P.AL[i];
+                if (rstar == -INF) { status = HPRES_UNBOUNDED; return changed; }
+            } else if (ca < -tol) {
+                rstar = P.AU[i];
+                if (rstar == INF) { status = HPRES_UNBOUNDED; return changed; }
+            } else {
+                rstar = std::isfinite(P.AL[i]) ? P.AL[i]
+                       : (std::isfinite(P.AU[i]) ? P.AU[i] : 0.0);
+            }
+            Rec r;
+            r.type = RecType::FreeSingletonCol;
+            r.j = (int32_t)j;
+            r.i = (int32_t)i;
+            r.a = a;
+            r.b = P.c[j];
+            r.d0 = rstar;
+            // Snapshot the rest of the row; fold c_j/a into their costs so
+            // later reductions (and the reduced problem) already carry the
+            // dual contribution of the removed row.
+            for (int64_t k : P.rowe[i]) {
+                const Ent &en = P.ents[k];
+                if (!en.alive || en.c == j) continue;
+                r.idx.push_back(en.c);
+                r.val.push_back(en.v);
+                P.c[en.c] -= ca * en.v;
+            }
+            P.obj_shift += ca * rstar;
+            log.push_back(std::move(r));
+            for (int64_t k : P.rowe[i]) {
+                if (P.ents[k].alive) {
+                    P.kill_entry(k);
+                    stats.nnz_removed++;
+                }
+            }
+            P.ralive[i] = 0;
+            P.calive[j] = 0;
+            stats.rows_removed++;
+            stats.cols_removed++;
+            changed = true;
+        }
+        return changed;
+    }
+
+    // Row activity bounds -> redundant / forcing / infeasible rows.
+    bool pass_activity_rows() {
+        bool changed = false;
+        for (int64_t i = 0; i < P.m; ++i) {
+            if (!P.ralive[i] || P.rlen[i] == 0) continue;
+            double amin = 0.0, amax = 0.0;
+            int inf_min = 0, inf_max = 0;
+            for (int64_t e : P.rowe[i]) {
+                const Ent &en = P.ents[e];
+                if (!en.alive) continue;
+                const double lo = P.l[en.c], up = P.u[en.c];
+                if (en.v > 0) {
+                    if (lo == -INF) inf_min++; else amin += en.v * lo;
+                    if (up == INF) inf_max++; else amax += en.v * up;
+                } else {
+                    if (up == INF) inf_min++; else amin += en.v * up;
+                    if (lo == -INF) inf_max++; else amax += en.v * lo;
+                }
+            }
+            const double act_min = inf_min ? -INF : amin;
+            const double act_max = inf_max ? INF : amax;
+            if (infeas(act_min > P.AU[i] + tol || act_max < P.AL[i] - tol))
+                return changed;
+            if (act_min >= P.AL[i] - tol && act_max <= P.AU[i] + tol) {
+                remove_row_only(i, RecType::RedundantRow);
+                changed = true;
+                continue;
+            }
+            // Forcing rows: activity bound equals a constraint bound, so
+            // every variable in the row is forced to the bound achieving it.
+            const bool force_up = (inf_min == 0 && amin >= P.AU[i] - tol);
+            const bool force_lo = (inf_max == 0 && amax <= P.AL[i] + tol);
+            if (force_up || force_lo) {
+                Rec r;
+                r.type = RecType::ForcingRow;
+                r.i = (int32_t)i;
+                r.flag = force_up ? 1 : 0;  // 1: row at AU, duals <= 0
+                std::vector<std::pair<int64_t, double>> cols;
+                for (int64_t e : P.rowe[i]) {
+                    const Ent &en = P.ents[e];
+                    if (!en.alive) continue;
+                    r.idx.push_back(en.c);
+                    r.val.push_back(en.v);
+                    cols.push_back({en.c, en.v});
+                }
+                // Record BEFORE the fixes: reverse replay then runs the
+                // fixes first (z with y_i=0) and this record fixes up y_i/z.
+                log.push_back(std::move(r));
+                remove_row_only(i, RecType::RedundantRow);
+                // The RedundantRow record above is replayed BEFORE the
+                // ForcingRow record (it is later in the log): y_i = 0 is
+                // then overwritten by the forcing fix-up.  Fix every col.
+                for (auto &[jc, av] : cols) {
+                    if (!P.calive[jc]) continue;
+                    const bool at_lower = force_up ? (av > 0) : (av < 0);
+                    fix_col(jc, at_lower ? P.l[jc] : P.u[jc]);
+                }
+                changed = true;
+            }
+        }
+        return changed;
+    }
+
+    bool pass_parallel_rows() {
+        // Hash rows by (sorted col pattern, value ratios).
+        struct RowKey {
+            std::vector<int32_t> cols;
+            std::vector<double> ratio;  // v_k / v_0
+            bool operator==(const RowKey &o) const {
+                if (cols != o.cols) return false;
+                for (size_t k = 0; k < ratio.size(); ++k)
+                    if (std::fabs(ratio[k] - o.ratio[k]) >
+                        1e-12 * std::max(1.0, std::fabs(ratio[k])))
+                        return false;
+                return true;
+            }
+        };
+        struct KeyHash {
+            size_t operator()(const RowKey &k) const {
+                size_t h = 1469598103934665603ull;
+                for (int32_t c : k.cols) h = (h ^ (size_t)c) * 1099511628211ull;
+                for (double r : k.ratio) {
+                    // Quantised ratio hash; equality is verified exactly.
+                    int64_t q = (int64_t)std::llround(r * 1e9);
+                    h = (h ^ (size_t)q) * 1099511628211ull;
+                }
+                return h;
+            }
+        };
+        std::unordered_map<RowKey, int64_t, KeyHash> seen;
+        std::vector<std::pair<int32_t, double>> buf;
+        bool changed = false;
+        for (int64_t i = 0; i < P.m; ++i) {
+            if (!P.ralive[i] || P.rlen[i] < 2) continue;
+            buf.clear();
+            for (int64_t e : P.rowe[i]) {
+                const Ent &en = P.ents[e];
+                if (en.alive) buf.push_back({en.c, en.v});
+            }
+            std::sort(buf.begin(), buf.end());
+            RowKey key;
+            key.cols.reserve(buf.size());
+            key.ratio.reserve(buf.size());
+            const double v0 = buf[0].second;
+            if (std::fabs(v0) < 1e-300) continue;
+            for (auto &[cc, vv] : buf) {
+                key.cols.push_back(cc);
+                key.ratio.push_back(vv / v0);
+            }
+            auto it = seen.find(key);
+            if (it == seen.end()) {
+                seen.emplace(std::move(key), i);
+                continue;
+            }
+            // Row i parallel to row i1 = it->second: a_i = s * a_i1.
+            const int64_t i1 = it->second;
+            double v0_1 = 0.0;
+            for (int64_t e : P.rowe[i1]) {
+                const Ent &en = P.ents[e];
+                if (en.alive && en.c == buf[0].first) { v0_1 = en.v; break; }
+            }
+            if (std::fabs(v0_1) < 1e-300) continue;
+            const double s = v0 / v0_1;
+            // Row i's bounds in row-i1 units.
+            double lo2 = (s > 0 ? P.AL[i] : P.AU[i]) / s;
+            double up2 = (s > 0 ? P.AU[i] : P.AL[i]) / s;
+            Rec r;
+            r.type = RecType::ParallelRow;
+            r.i = (int32_t)i1;
+            r.j = (int32_t)i;
+            r.a = s;
+            r.d0 = P.AL[i1];
+            r.d1 = P.AU[i1];
+            uint8_t lo_from_2 = 0, up_from_2 = 0;
+            if (lo2 > P.AL[i1]) { P.AL[i1] = lo2; lo_from_2 = 1; }
+            if (up2 < P.AU[i1]) { P.AU[i1] = up2; up_from_2 = 1; }
+            r.flag = (uint8_t)(lo_from_2 | (up_from_2 << 1));
+            if (infeas(P.AL[i1] > P.AU[i1] + tol)) return changed;
+            log.push_back(std::move(r));
+            remove_row_only(i, RecType::RedundantRow);
+            // Pop the RedundantRow marker: ParallelRow's own replay sets
+            // y_i from the merged dual, so the marker must not zero it
+            // afterwards.  (remove_row_only pushed it last.)
+            log.pop_back();
+            changed = true;
+        }
+        return changed;
+    }
+
+    // ---- driver ---------------------------------------------------------
+
+    void run(int max_rounds) {
+        if (max_rounds <= 0) max_rounds = 16;
+        for (int round = 0; round < max_rounds; ++round) {
+            stats.rounds = round + 1;
+            bool changed = false;
+            changed |= pass_empty_and_singleton_rows();
+            if (status != HPRES_OK) return;
+            changed |= pass_activity_rows();
+            if (status != HPRES_OK) return;
+            changed |= pass_fixed_and_empty_cols();
+            if (status != HPRES_OK) return;
+            changed |= pass_free_singleton_cols();
+            if (status != HPRES_OK) return;
+            changed |= pass_dual_fix();
+            if (status != HPRES_OK) return;
+            changed |= pass_parallel_rows();
+            if (status != HPRES_OK) return;
+            if (!changed) break;
+        }
+        compact();
+    }
+
+    void compact() {
+        std::vector<int64_t> rpos(P.m, -1), cpos(P.n, -1);
+        for (int64_t i = 0; i < P.m; ++i)
+            if (P.ralive[i]) {
+                rpos[i] = red_m++;
+                row_map.push_back(i);
+            }
+        for (int64_t j = 0; j < P.n; ++j)
+            if (P.calive[j]) {
+                cpos[j] = red_n++;
+                col_map.push_back(j);
+            }
+        red_Ap.assign(red_m + 1, 0);
+        std::vector<std::pair<int32_t, double>> buf;
+        for (int64_t i = 0; i < P.m; ++i) {
+            if (!P.ralive[i]) continue;
+            int64_t cnt = 0;
+            for (int64_t e : P.rowe[i]) cnt += P.ents[e].alive;
+            red_Ap[rpos[i] + 1] = cnt;
+        }
+        for (int64_t i = 0; i < red_m; ++i) red_Ap[i + 1] += red_Ap[i];
+        red_Ai.resize(red_Ap[red_m]);
+        red_Ax.resize(red_Ap[red_m]);
+        for (int64_t i = 0; i < P.m; ++i) {
+            if (!P.ralive[i]) continue;
+            buf.clear();
+            for (int64_t e : P.rowe[i]) {
+                const Ent &en = P.ents[e];
+                if (en.alive) buf.push_back({(int32_t)cpos[en.c], en.v});
+            }
+            std::sort(buf.begin(), buf.end());
+            int64_t o = red_Ap[rpos[i]];
+            for (auto &[cc, vv] : buf) {
+                red_Ai[o] = cc;
+                red_Ax[o] = vv;
+                ++o;
+            }
+        }
+        for (int64_t i : row_map) {
+            red_AL.push_back(P.AL[i]);
+            red_AU.push_back(P.AU[i]);
+        }
+        for (int64_t j : col_map) {
+            red_l.push_back(P.l[j]);
+            red_u.push_back(P.u[j]);
+            red_c.push_back(P.c[j]);
+        }
+    }
+
+    // ---- postsolve ------------------------------------------------------
+
+    void postsolve(const double *x_red, const double *y_red,
+                   const double *z_red, double *x, double *y,
+                   double *z) const {
+        std::fill(x, x + P.n, 0.0);
+        std::fill(y, y + P.m, 0.0);
+        std::fill(z, z + P.n, 0.0);
+        for (int64_t k = 0; k < red_n; ++k) {
+            x[col_map[k]] = x_red[k];
+            z[col_map[k]] = z_red[k];
+        }
+        for (int64_t k = 0; k < red_m; ++k) y[row_map[k]] = y_red[k];
+
+        for (auto it = log.rbegin(); it != log.rend(); ++it) {
+            const Rec &r = *it;
+            switch (r.type) {
+                case RecType::EmptyRow:
+                case RecType::RedundantRow:
+                    y[r.i] = 0.0;
+                    break;
+                case RecType::SingletonRow: {
+                    // z_j was computed against the tightened bounds; if the
+                    // active bound came from this row, transfer it to y_i.
+                    const double zj = z[r.j];
+                    const bool lo_from_row = r.flag & 1;
+                    const bool up_from_row = r.flag & 2;
+                    double yi = 0.0;
+                    if (zj > 0 && lo_from_row) {
+                        yi = zj / r.a;
+                        z[r.j] = 0.0;
+                    } else if (zj < 0 && up_from_row) {
+                        yi = zj / r.a;
+                        z[r.j] = 0.0;
+                    }
+                    y[r.i] = yi;
+                    break;
+                }
+                case RecType::ForcingRow: {
+                    // All cols were fixed (replayed already, with y_i = 0).
+                    // Pick the extremal dual keeping every z sign valid,
+                    // then shift the fixed columns' z by a_ik * y_i.
+                    double yi = 0.0;
+                    bool first = true;
+                    for (size_t k = 0; k < r.idx.size(); ++k) {
+                        const double ratio = z[r.idx[k]] / r.val[k];
+                        if (first) { yi = ratio; first = false; }
+                        else if (r.flag) yi = std::min(yi, ratio);
+                        else yi = std::max(yi, ratio);
+                    }
+                    if (r.flag) yi = std::min(yi, 0.0);  // row at AU: y <= 0
+                    else yi = std::max(yi, 0.0);         // row at AL: y >= 0
+                    y[r.i] = yi;
+                    for (size_t k = 0; k < r.idx.size(); ++k)
+                        z[r.idx[k]] -= r.val[k] * yi;
+                    break;
+                }
+                case RecType::ParallelRow: {
+                    // y[r.i] currently holds the merged dual.  Split it to
+                    // the row whose bound is binding.
+                    const double ym = y[r.i];
+                    const bool lo_from_2 = r.flag & 1;
+                    const bool up_from_2 = r.flag & 2;
+                    double y1 = ym, y2 = 0.0;
+                    if (ym > 0 && lo_from_2) { y1 = 0.0; y2 = ym / r.a; }
+                    else if (ym < 0 && up_from_2) { y1 = 0.0; y2 = ym / r.a; }
+                    y[r.i] = y1;
+                    y[r.j] = y2;
+                    break;
+                }
+                case RecType::FixedCol: {
+                    x[r.j] = r.a;
+                    double zj = r.b;  // cost at fix time
+                    for (size_t k = 0; k < r.idx.size(); ++k)
+                        zj -= r.val[k] * y[r.idx[k]];
+                    z[r.j] = zj;
+                    break;
+                }
+                case RecType::FreeSingletonCol: {
+                    // x_j = (r* - sum_k a_ik x_k) / a;  y_i = c_j / a.
+                    double s = r.d0;
+                    for (size_t k = 0; k < r.idx.size(); ++k)
+                        s -= r.val[k] * x[r.idx[k]];
+                    x[r.j] = s / r.a;
+                    y[r.i] = r.b / r.a;
+                    z[r.j] = 0.0;
+                    break;
+                }
+            }
+        }
+    }
+};
+
+}  // namespace
+
+struct hpres_handle {
+    Presolver ps;
+};
+
+extern "C" {
+
+hpres_handle *hpres_presolve(int64_t m, int64_t n, const int64_t *Ap,
+                             const int32_t *Ai, const double *Ax,
+                             const double *AL, const double *AU,
+                             const double *l, const double *u,
+                             const double *c, double feas_tol,
+                             int max_rounds) {
+    auto *h = new hpres_handle();
+    Presolver &ps = h->ps;
+    ps.tol = feas_tol > 0 ? feas_tol : 1e-8;
+    Problem &P = ps.P;
+    P.m = m;
+    P.n = n;
+    P.AL.assign(AL, AL + m);
+    P.AU.assign(AU, AU + m);
+    P.l.assign(l, l + n);
+    P.u.assign(u, u + n);
+    P.c.assign(c, c + n);
+    P.ralive.assign(m, 1);
+    P.calive.assign(n, 1);
+    P.rowe.resize(m);
+    P.cole.resize(n);
+    P.rlen.assign(m, 0);
+    P.clen.assign(n, 0);
+    const int64_t nnz = Ap[m];
+    P.ents.reserve(nnz);
+    for (int64_t i = 0; i < m; ++i) {
+        for (int64_t e = Ap[i]; e < Ap[i + 1]; ++e) {
+            if (Ax[e] == 0.0) continue;  // drop explicit zeros
+            int64_t id = (int64_t)P.ents.size();
+            P.ents.push_back({(int32_t)i, Ai[e], Ax[e], true});
+            P.rowe[i].push_back(id);
+            P.cole[Ai[e]].push_back(id);
+            P.rlen[i]++;
+            P.clen[Ai[e]]++;
+        }
+    }
+    ps.run(max_rounds);
+    return h;
+}
+
+int hpres_status(const hpres_handle *h) { return h->ps.status; }
+int64_t hpres_reduced_m(const hpres_handle *h) { return h->ps.red_m; }
+int64_t hpres_reduced_n(const hpres_handle *h) { return h->ps.red_n; }
+int64_t hpres_reduced_nnz(const hpres_handle *h) {
+    return (int64_t)h->ps.red_Ax.size();
+}
+double hpres_obj_shift(const hpres_handle *h) { return h->ps.P.obj_shift; }
+
+void hpres_get_reduced(const hpres_handle *h, int64_t *Ap, int32_t *Ai,
+                       double *Ax, double *AL, double *AU, double *l,
+                       double *u, double *c) {
+    const Presolver &ps = h->ps;
+    std::memcpy(Ap, ps.red_Ap.data(), sizeof(int64_t) * (ps.red_m + 1));
+    std::memcpy(Ai, ps.red_Ai.data(), sizeof(int32_t) * ps.red_Ai.size());
+    std::memcpy(Ax, ps.red_Ax.data(), sizeof(double) * ps.red_Ax.size());
+    std::memcpy(AL, ps.red_AL.data(), sizeof(double) * ps.red_m);
+    std::memcpy(AU, ps.red_AU.data(), sizeof(double) * ps.red_m);
+    std::memcpy(l, ps.red_l.data(), sizeof(double) * ps.red_n);
+    std::memcpy(u, ps.red_u.data(), sizeof(double) * ps.red_n);
+    std::memcpy(c, ps.red_c.data(), sizeof(double) * ps.red_n);
+}
+
+void hpres_postsolve(const hpres_handle *h, const double *x_red,
+                     const double *y_red, const double *z_red, double *x,
+                     double *y, double *z) {
+    h->ps.postsolve(x_red, y_red, z_red, x, y, z);
+}
+
+void hpres_stats(const hpres_handle *h, int64_t *rows_removed,
+                 int64_t *cols_removed, int64_t *nnz_removed,
+                 int64_t *rounds) {
+    *rows_removed = h->ps.stats.rows_removed;
+    *cols_removed = h->ps.stats.cols_removed;
+    *nnz_removed = h->ps.stats.nnz_removed;
+    *rounds = h->ps.stats.rounds;
+}
+
+void hpres_free(hpres_handle *h) { delete h; }
+
+}  // extern "C"

@@ -1,0 +1,461 @@
+/* hpmps — native MPS reader.  See include/hpmps.h.
+ *
+ * Semantics match the framework's Python reference reader
+ * (hprlp_tpu/io/mps.py) line for line, which in turn documents parity with
+ * the reference C++ reader (reference: src/mps_reader.cpp:360-1361):
+ * row-type defaults, objective RHS -> constant = -value, RANGES rules per
+ * row type, bound cards FR/MI/PL/BV/LO/UP/FX/LI/UI, default-bound
+ * finalisation including the "only UP given and u < 0 => l = -inf" rule,
+ * rim sets skipped with a warning, duplicates summed in COO->CSR.
+ */
+
+#include "../include/hpmps.h"
+
+#include <zlib.h>
+
+#include <algorithm>
+#include <cctype>
+#include <cmath>
+#include <cstdio>
+#include <cstring>
+#include <limits>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr double INF = std::numeric_limits<double>::infinity();
+constexpr double NaN = std::numeric_limits<double>::quiet_NaN();
+
+/* Line source reading transparently from plain or gzip files. */
+class LineReader {
+  public:
+    explicit LineReader(const char *path) {
+        gz_ = gzopen(path, "rb");  // zlib reads uncompressed files too
+    }
+    ~LineReader() {
+        if (gz_) gzclose(gz_);
+    }
+    bool ok() const { return gz_ != nullptr; }
+    bool getline(std::string &out) {
+        out.clear();
+        if (!gz_) return false;
+        char buf[4096];
+        bool got = false;
+        while (gzgets(gz_, buf, sizeof buf)) {
+            got = true;
+            out += buf;
+            if (!out.empty() && out.back() == '\n') break;
+        }
+        while (!out.empty() && (out.back() == '\n' || out.back() == '\r'))
+            out.pop_back();
+        return got;
+    }
+
+  private:
+    gzFile gz_ = nullptr;
+};
+
+void split(const std::string &line, std::vector<std::string> &out) {
+    out.clear();
+    size_t i = 0;
+    const size_t len = line.size();
+    while (i < len) {
+        while (i < len && std::isspace((unsigned char)line[i])) ++i;
+        size_t start = i;
+        while (i < len && !std::isspace((unsigned char)line[i])) ++i;
+        if (i > start) out.emplace_back(line, start, i - start);
+    }
+}
+
+std::string upper(std::string s) {
+    for (char &ch : s) ch = (char)std::toupper((unsigned char)ch);
+    return s;
+}
+
+std::string strip_quotes(const std::string &s) {
+    size_t a = 0, b = s.size();
+    while (a < b && (s[a] == '\'' || s[a] == '"')) ++a;
+    while (b > a && (s[b - 1] == '\'' || s[b - 1] == '"')) --b;
+    return s.substr(a, b - a);
+}
+
+bool parse_num(const std::string &s, double &out) {
+    char *end = nullptr;
+    out = std::strtod(s.c_str(), &end);
+    return end && *end == '\0';
+}
+
+struct Parser {
+    // Row bookkeeping: objective = 0, constraints 1-based, rim obj = -1,
+    // unknown = absent (mirrors hprlp_tpu/io/mps.py).
+    std::unordered_map<std::string, int64_t> con_index;
+    std::vector<char> con_types;
+    std::vector<double> lcon, ucon;
+
+    std::unordered_map<std::string, int64_t> var_index;
+    std::vector<double> lvar, uvar, cvec;
+
+    std::vector<int64_t> rows_i, cols_j;
+    std::vector<double> vals;
+
+    std::string model_name, error;
+    double c0 = 0.0;
+    int objsense = 1;
+    int status = HPMPS_OK;
+    bool saw_quadobj = false;
+
+    std::string rhsname, rngname, bndname;
+    bool have_rhsname = false, have_rngname = false, have_bndname = false;
+    bool have_objname = false;
+
+    int64_t get_var(const std::string &vname) {
+        auto it = var_index.find(vname);
+        if (it != var_index.end()) return it->second;
+        int64_t j = (int64_t)lvar.size();
+        var_index.emplace(vname, j);
+        lvar.push_back(NaN);
+        uvar.push_back(NaN);
+        cvec.push_back(0.0);
+        return j;
+    }
+
+    void apply_rhs(const std::string &rowname, double val) {
+        auto it = con_index.find(rowname);
+        if (it == con_index.end()) return;  // unknown row: warn-and-skip
+        int64_t row = it->second;
+        if (row == 0) {
+            c0 = -val;  // objective constant (reference: :767)
+        } else if (row > 0) {
+            int64_t idx = row - 1;
+            switch (con_types[idx]) {
+                case 'E': lcon[idx] = val; ucon[idx] = val; break;
+                case 'L': ucon[idx] = val; break;
+                case 'G': lcon[idx] = val; break;
+            }
+        }
+    }
+
+    void apply_range(const std::string &rowname, double val) {
+        auto it = con_index.find(rowname);
+        if (it == con_index.end() || it->second <= 0) return;
+        int64_t idx = it->second - 1;
+        switch (con_types[idx]) {
+            case 'E':
+                if (val >= 0.0) ucon[idx] += val;
+                else lcon[idx] += val;
+                break;
+            case 'L': lcon[idx] = ucon[idx] - std::fabs(val); break;
+            case 'G': ucon[idx] = lcon[idx] + std::fabs(val); break;
+        }
+    }
+};
+
+}  // namespace
+
+struct hpmps_handle {
+    Parser p;
+    // Final CSR.
+    std::vector<int64_t> Ap;
+    std::vector<int32_t> Ai;
+    std::vector<double> Ax;
+};
+
+static void finalize(hpmps_handle *h, int ignore_quadobj) {
+    Parser &p = h->p;
+    if (p.saw_quadobj && !ignore_quadobj) {
+        p.status = HPMPS_FORMAT_ERROR;
+        p.error = "QUADOBJ/QMATRIX present - this is an LP solver";
+        return;
+    }
+    const int64_t n = (int64_t)p.lvar.size();
+    if (n == 0) {
+        p.status = HPMPS_FORMAT_ERROR;
+        p.error = "no variables";
+        return;
+    }
+    // Default-bound finalisation (reference: :1156-1181).
+    for (int64_t j = 0; j < n; ++j) {
+        const bool no_lo = std::isnan(p.lvar[j]);
+        const bool no_up = std::isnan(p.uvar[j]);
+        if (no_lo && no_up) {
+            p.lvar[j] = 0.0;
+            p.uvar[j] = INF;
+        } else if (no_lo) {
+            p.lvar[j] = p.uvar[j] < 0 ? -INF : 0.0;
+        } else if (no_up) {
+            p.uvar[j] = INF;
+        }
+    }
+    if (p.objsense == -1) {
+        for (double &v : p.cvec) v = -v;
+        p.c0 = -p.c0;
+    }
+    // COO -> CSR with duplicate summing (reference: :1266-1361).
+    const int64_t m = (int64_t)p.con_types.size();
+    const int64_t coo = (int64_t)p.vals.size();
+    h->Ap.assign(m + 1, 0);
+    for (int64_t k = 0; k < coo; ++k) h->Ap[p.rows_i[k] + 1]++;
+    for (int64_t i = 0; i < m; ++i) h->Ap[i + 1] += h->Ap[i];
+    std::vector<int64_t> cursor(h->Ap.begin(), h->Ap.end() - 1);
+    std::vector<int32_t> ci(coo);
+    std::vector<double> cx(coo);
+    for (int64_t k = 0; k < coo; ++k) {
+        int64_t o = cursor[p.rows_i[k]]++;
+        ci[o] = (int32_t)p.cols_j[k];
+        cx[o] = p.vals[k];
+    }
+    // Sort each row by column and merge duplicates.
+    h->Ai.reserve(coo);
+    h->Ax.reserve(coo);
+    std::vector<std::pair<int32_t, double>> buf;
+    std::vector<int64_t> newAp(m + 1, 0);
+    for (int64_t i = 0; i < m; ++i) {
+        buf.clear();
+        for (int64_t e = h->Ap[i]; e < h->Ap[i + 1]; ++e)
+            buf.push_back({ci[e], cx[e]});
+        std::sort(buf.begin(), buf.end(),
+                  [](auto &a, auto &b) { return a.first < b.first; });
+        for (size_t k = 0; k < buf.size(); ++k) {
+            if (!h->Ai.empty() && (int64_t)h->Ai.size() > newAp[i] &&
+                h->Ai.back() == buf[k].first) {
+                h->Ax.back() += buf[k].second;
+            } else {
+                h->Ai.push_back(buf[k].first);
+                h->Ax.push_back(buf[k].second);
+            }
+        }
+        newAp[i + 1] = (int64_t)h->Ai.size();
+    }
+    h->Ap = std::move(newAp);
+}
+
+extern "C" {
+
+hpmps_handle *hpmps_read(const char *path, int ignore_quadobj) {
+    auto *h = new hpmps_handle();
+    Parser &p = h->p;
+    LineReader rd(path);
+    if (!rd.ok()) {
+        p.status = HPMPS_IO_ERROR;
+        p.error = std::string("cannot open ") + path;
+        return h;
+    }
+
+    enum Sec { NONE, NAME, OBJSENSE, ROWS, COLUMNS, RHS, RANGES, BOUNDS,
+               QUAD } sec = NONE;
+    bool pending_objsense = false;
+    std::string line;
+    std::vector<std::string> f;
+
+    while (rd.getline(line)) {
+        if (line.empty()) continue;
+        size_t first_ns = line.find_first_not_of(" \t");
+        if (first_ns == std::string::npos) continue;
+        if (line[first_ns] == '*') continue;
+
+        const bool is_header = !std::isspace((unsigned char)line[0]);
+        split(line, f);
+        if (f.empty()) continue;
+
+        if (is_header) {
+            const std::string head = upper(f[0]);
+            if (head == "NAME") {
+                p.model_name = f.size() > 1 ? f[1] : "";
+                sec = NAME;
+            } else if (head == "OBJSENSE") {
+                sec = OBJSENSE;
+                if (f.size() > 1) {
+                    p.objsense = upper(f[1]).rfind("MAX", 0) == 0 ? -1 : 1;
+                    pending_objsense = false;
+                } else {
+                    pending_objsense = true;
+                }
+            } else if (head == "ROWS") sec = ROWS;
+            else if (head == "COLUMNS") sec = COLUMNS;
+            else if (head == "RHS") sec = RHS;
+            else if (head == "RANGES") sec = RANGES;
+            else if (head == "BOUNDS") sec = BOUNDS;
+            else if (head == "QUADOBJ" || head == "QMATRIX") sec = QUAD;
+            else if (head == "ENDATA") break;
+            else sec = NONE;
+            continue;
+        }
+
+        if (pending_objsense && sec == OBJSENSE) {
+            p.objsense = upper(f[0]).rfind("MAX", 0) == 0 ? -1 : 1;
+            pending_objsense = false;
+            continue;
+        }
+
+        switch (sec) {
+            case ROWS: {
+                if (f.size() < 2) continue;
+                const std::string rtype = upper(f[0]);
+                const std::string &rowname = f[1];
+                if (rtype == "N") {
+                    if (!p.have_objname) {
+                        p.have_objname = true;
+                        p.con_index.emplace(rowname, 0);
+                    } else {
+                        p.con_index.emplace(rowname, -1);  // rim objective
+                    }
+                    continue;
+                }
+                if (rtype != "E" && rtype != "L" && rtype != "G") continue;
+                p.con_index.emplace(rowname,
+                                    (int64_t)p.con_types.size() + 1);
+                p.con_types.push_back(rtype[0]);
+                if (rtype == "E") {
+                    p.lcon.push_back(0.0);
+                    p.ucon.push_back(0.0);
+                } else if (rtype == "G") {
+                    p.lcon.push_back(0.0);
+                    p.ucon.push_back(INF);
+                } else {
+                    p.lcon.push_back(-INF);
+                    p.ucon.push_back(0.0);
+                }
+                break;
+            }
+            case COLUMNS: {
+                if (f.size() >= 3 && upper(strip_quotes(f[1])) == "MARKER")
+                    continue;  // INTORG/INTEND: integrality dropped for LP
+                if (f.size() < 3) continue;
+                const int64_t j = p.get_var(f[0]);
+                for (size_t k = 1; k + 1 < f.size(); k += 2) {
+                    double val;
+                    if (!parse_num(f[k + 1], val)) continue;
+                    auto it = p.con_index.find(f[k]);
+                    if (it == p.con_index.end()) continue;
+                    const int64_t row = it->second;
+                    if (row == 0) p.cvec[j] += val;
+                    else if (row > 0) {
+                        p.rows_i.push_back(row - 1);
+                        p.cols_j.push_back(j);
+                        p.vals.push_back(val);
+                    }
+                }
+                break;
+            }
+            case RHS:
+            case RANGES: {
+                if (f.size() < 2) continue;
+                size_t start;
+                // Set name may be omitted when the first field is a row.
+                if (f.size() % 2 == 0 && p.con_index.count(f[0])) {
+                    start = 0;
+                } else {
+                    std::string &setname = sec == RHS ? p.rhsname : p.rngname;
+                    bool &have = sec == RHS ? p.have_rhsname : p.have_rngname;
+                    if (!have) {
+                        setname = f[0];
+                        have = true;
+                    } else if (setname != f[0]) {
+                        continue;  // rim set skipped
+                    }
+                    start = 1;
+                }
+                for (size_t k = start; k + 1 < f.size(); k += 2) {
+                    double val;
+                    if (!parse_num(f[k + 1], val)) continue;
+                    if (sec == RHS) p.apply_rhs(f[k], val);
+                    else p.apply_range(f[k], val);
+                }
+                break;
+            }
+            case BOUNDS: {
+                if (f.size() < 2) continue;
+                const std::string btype = upper(f[0]);
+                const bool valueless = btype == "FR" || btype == "MI" ||
+                                       btype == "PL" || btype == "BV";
+                std::string setn, vname;
+                double val = 0.0;
+                bool have_set = false;
+                if (valueless) {
+                    if (f.size() >= 3) {
+                        setn = f[1];
+                        vname = f[2];
+                        have_set = true;
+                    } else if (p.var_index.count(f[1])) {
+                        vname = f[1];
+                    } else {
+                        continue;
+                    }
+                } else {
+                    if (f.size() >= 4) {
+                        if (!parse_num(f[3], val)) continue;
+                        setn = f[1];
+                        vname = f[2];
+                        have_set = true;
+                    } else if (f.size() == 3 && p.var_index.count(f[1])) {
+                        if (!parse_num(f[2], val)) continue;
+                        vname = f[1];
+                    } else {
+                        continue;
+                    }
+                }
+                if (have_set) {
+                    if (!p.have_bndname) {
+                        p.bndname = setn;
+                        p.have_bndname = true;
+                    } else if (p.bndname != setn) {
+                        continue;  // rim bound set skipped
+                    }
+                }
+                auto it = p.var_index.find(vname);
+                if (it == p.var_index.end()) continue;
+                const int64_t j = it->second;
+                if (btype == "FR") { p.lvar[j] = -INF; p.uvar[j] = INF; }
+                else if (btype == "MI") p.lvar[j] = -INF;
+                else if (btype == "PL") p.uvar[j] = INF;
+                else if (btype == "BV") { p.lvar[j] = 0.0; p.uvar[j] = 1.0; }
+                else if (btype == "LO" || btype == "LI") p.lvar[j] = val;
+                else if (btype == "UP" || btype == "UI") p.uvar[j] = val;
+                else if (btype == "FX") { p.lvar[j] = val; p.uvar[j] = val; }
+                break;
+            }
+            case QUAD:
+                p.saw_quadobj = true;
+                break;
+            default:
+                break;
+        }
+    }
+
+    finalize(h, ignore_quadobj);
+    return h;
+}
+
+int hpmps_status(const hpmps_handle *h) { return h->p.status; }
+const char *hpmps_error(const hpmps_handle *h) { return h->p.error.c_str(); }
+int64_t hpmps_m(const hpmps_handle *h) {
+    return (int64_t)h->p.con_types.size();
+}
+int64_t hpmps_n(const hpmps_handle *h) { return (int64_t)h->p.lvar.size(); }
+int64_t hpmps_nnz(const hpmps_handle *h) { return (int64_t)h->Ax.size(); }
+double hpmps_obj_constant(const hpmps_handle *h) { return h->p.c0; }
+int hpmps_objsense(const hpmps_handle *h) { return h->p.objsense; }
+const char *hpmps_name(const hpmps_handle *h) {
+    return h->p.model_name.c_str();
+}
+
+void hpmps_get(const hpmps_handle *h, int64_t *Ap, int32_t *Ai, double *Ax,
+               double *AL, double *AU, double *l, double *u, double *c) {
+    const Parser &p = h->p;
+    const int64_t m = (int64_t)p.con_types.size();
+    const int64_t n = (int64_t)p.lvar.size();
+    std::memcpy(Ap, h->Ap.data(), sizeof(int64_t) * (m + 1));
+    std::memcpy(Ai, h->Ai.data(), sizeof(int32_t) * h->Ai.size());
+    std::memcpy(Ax, h->Ax.data(), sizeof(double) * h->Ax.size());
+    std::memcpy(AL, p.lcon.data(), sizeof(double) * m);
+    std::memcpy(AU, p.ucon.data(), sizeof(double) * m);
+    std::memcpy(l, p.lvar.data(), sizeof(double) * n);
+    std::memcpy(u, p.uvar.data(), sizeof(double) * n);
+    std::memcpy(c, p.cvec.data(), sizeof(double) * n);
+}
+
+void hpmps_free(hpmps_handle *h) { delete h; }
+
+}  // extern "C"

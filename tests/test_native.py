@@ -1,0 +1,325 @@
+"""Native library tests: C++ MPS reader vs Python golden reader, and the
+C++ presolver (reductions, postsolve exactness, KKT of recovered duals)."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from hprlp_tpu.io.mps import read_mps
+from hprlp_tpu.io.native_mps import is_available as mps_native_available
+from hprlp_tpu.io.native_mps import read_mps_native
+from hprlp_tpu.presolve import (is_available as presolve_available,
+                                presolve_problem)
+from hprlp_tpu.problem import LpProblem
+
+pytestmark = pytest.mark.skipif(
+    not (mps_native_available() and presolve_available()),
+    reason="native library not built")
+
+
+# ---------------------------------------------------------------------------
+# MPS reader: native vs Python golden
+# ---------------------------------------------------------------------------
+
+SAMPLES = {
+    "basic": """\
+NAME          T1
+ROWS
+ N  OBJ
+ L  C1
+ G  C2
+ E  C3
+COLUMNS
+    X1        OBJ       1.5        C1        1.0
+    X1        C2        2.0        C3        1.0
+    X2        OBJ       -2.0       C1        3.0
+    X2        C3        -1.0
+RHS
+    R         C1        10.0       C2        2.0
+    R         C3        4.0
+BOUNDS
+ UP B         X1        8.0
+ MI B         X2
+ENDATA
+""",
+    "ranges": """\
+NAME
+ROWS
+ N  OBJ
+ L  CL
+ G  CG
+ E  CE1
+ E  CE2
+COLUMNS
+    X         OBJ       1.0        CL        1.0
+    X         CG        1.0        CE1       1.0
+    X         CE2       1.0
+RHS
+    R         CL        5.0        CG        1.0
+    R         CE1       3.0        CE2       3.0
+RANGES
+    RNG       CL        4.0        CG        2.0
+    RNG       CE1       1.5        CE2       -1.5
+ENDATA
+""",
+    "objsense_max": """\
+NAME
+OBJSENSE
+    MAX
+ROWS
+ N  OBJ
+ L  C1
+COLUMNS
+    X1        OBJ       3.0        C1        1.0
+RHS
+    R         C1        7.0
+ENDATA
+""",
+    "dups_and_markers": """\
+* comment line
+NAME          DUP
+ROWS
+ N  OBJ
+ L  C1
+COLUMNS
+    MARKER1   'MARKER'  'INTORG'
+    X1        C1        1.0        C1        2.0
+    X1        OBJ       1.0
+    MARKER2   'MARKER'  'INTEND'
+    X2        C1        4.0        OBJ       0.5
+RHS
+    R         C1        9.0
+BOUNDS
+ UP B         X2        -3.0
+ENDATA
+""",
+    "obj_rhs_constant": """\
+NAME
+ROWS
+ N  OBJ
+ G  C1
+COLUMNS
+    X1        OBJ       2.0        C1        1.0
+RHS
+    R         OBJ       5.0        C1        1.0
+ENDATA
+""",
+}
+
+
+def _write(tmp_path, text, name="t.mps"):
+    p = os.path.join(str(tmp_path), name)
+    with open(p, "w") as f:
+        f.write(text)
+    return p
+
+
+def assert_problems_equal(a: LpProblem, b: LpProblem):
+    assert a.m == b.m and a.n == b.n and a.nnz == b.nnz
+    np.testing.assert_array_equal(a.A.indptr, b.A.indptr)
+    np.testing.assert_array_equal(a.A.indices, b.A.indices)
+    np.testing.assert_allclose(a.A.data, b.A.data, rtol=0, atol=0)
+    for f in ("AL", "AU", "l", "u", "c"):
+        np.testing.assert_allclose(getattr(a, f), getattr(b, f))
+    assert a.obj_constant == b.obj_constant
+    assert a.objective_sense == b.objective_sense
+
+
+@pytest.mark.parametrize("key", sorted(SAMPLES))
+def test_native_matches_python(tmp_path, key):
+    p = _write(tmp_path, SAMPLES[key])
+    assert_problems_equal(read_mps_native(p), read_mps(p))
+
+
+def test_native_gzip(tmp_path):
+    p = os.path.join(str(tmp_path), "t.mps.gz")
+    with gzip.open(p, "wt") as f:
+        f.write(SAMPLES["basic"])
+    plain = _write(tmp_path, SAMPLES["basic"])
+    assert_problems_equal(read_mps_native(p), read_mps(plain))
+
+
+def test_native_demo_file():
+    prob = read_mps_native("data/model.mps")
+    gold = read_mps("data/model.mps")
+    assert_problems_equal(prob, gold)
+
+
+def test_native_missing_file():
+    with pytest.raises(ValueError):
+        read_mps_native("/nonexistent/x.mps")
+
+
+def test_native_quadobj(tmp_path):
+    txt = SAMPLES["basic"].replace("ENDATA", "QUADOBJ\n    X1 X1 2.0\nENDATA")
+    p = _write(tmp_path, txt)
+    with pytest.raises(ValueError):
+        read_mps_native(p)
+    prob = read_mps_native(p, ignore_quadobj=True)
+    assert prob.n == 2
+
+
+# ---------------------------------------------------------------------------
+# Presolver
+# ---------------------------------------------------------------------------
+
+def _pp(A, AL, AU, l, u, c):
+    return LpProblem.from_arrays(sp.csr_matrix(np.asarray(A, float)),
+                                 AL, AU, l, u, c)
+
+
+def _check_postsolve(problem, reduced, handle, tol=1e-7):
+    """Solve the reduced problem exactly with linprog, postsolve, check the
+    original-space KKT of (x, y, z)."""
+    from tests.test_batched import reference_solve
+
+    if reduced.n > 0:
+        ref = reference_solve(reduced.A, reduced.AL, reduced.AU, reduced.l,
+                              reduced.u, reduced.c)
+        assert ref.status == 0
+        x_red = ref.x
+        # linprog marginals: eqlin/ineqlin give duals; easier to recover
+        # via our solver — instead use the HPR solver on the reduced LP.
+        from hprlp_tpu.params import Parameters
+        from hprlp_tpu.solver.loop import solve_problem
+
+        res = solve_problem(reduced, Parameters(verbose=False,
+                                                stop_tol=1e-9,
+                                                use_presolve=False))
+        x_red, y_red, z_red = res.x, res.y, res.z
+    else:
+        x_red = np.zeros(0)
+        y_red = np.zeros(0)
+        z_red = np.zeros(0)
+    x, y, z = handle.postsolve(x_red, y_red, z_red)
+    m = problem.kkt_error(x, y, z)
+    assert m["kkt"] < tol, m
+    return x, y, z, m
+
+
+class TestPresolveReductions:
+    def test_singleton_row_becomes_bound(self):
+        # Row 1:  x0 <= 4  is a singleton -> becomes a variable bound.
+        # The optimal face is {x0 + x1 = 10, 0 <= x0 <= 4}; only the
+        # objective is unique.  Postsolve KKT must hold including the
+        # removed row's recovered dual.
+        prob = _pp([[1.0, 1.0], [1.0, 0.0]],
+                   [-np.inf, -np.inf], [10.0, 4.0],
+                   [0.0, 0.0], [np.inf, np.inf], [-1.0, -1.0])
+        status, red, h = presolve_problem(prob)
+        assert status == "OK"
+        assert red.m <= 1  # singleton row removed
+        x, y, z, m = _check_postsolve(prob, red, h, tol=1e-5)
+        assert prob.c @ x == pytest.approx(-10.0, abs=1e-4)
+        assert x[0] <= 4.0 + 1e-6
+
+    def test_fixed_col_substitution(self):
+        prob = _pp([[2.0, 1.0]], [-np.inf], [8.0],
+                   [3.0, 0.0], [3.0, np.inf], [1.0, -1.0])
+        status, red, h = presolve_problem(prob)
+        assert status == "OK"
+        # x0 fixed at 3 shifts the row to x1 <= 2; the then-singleton row
+        # becomes a bound and the empty column resolves at its upper bound:
+        # the whole problem presolves away.
+        assert red.n == 0
+        x, y, z, m = _check_postsolve(prob, red, h, tol=1e-6)
+        np.testing.assert_allclose(x, [3.0, 2.0])
+
+    def test_free_singleton_col(self):
+        # x1 free, appears only in row 0 (equality-ish through cost push).
+        prob = _pp([[1.0, 1.0], [1.0, 0.0]],
+                   [2.0, -np.inf], [2.0, 5.0],
+                   [0.0, -np.inf], [np.inf, np.inf], [1.0, 2.0])
+        status, red, h = presolve_problem(prob)
+        assert status == "OK"
+        # x1 substituted out, row 0 removed.
+        assert red.n <= 1 and red.m <= 1
+        x, y, z, m = _check_postsolve(prob, red, h, tol=1e-5)
+        assert x[0] + x[1] == pytest.approx(2.0, abs=1e-5)
+
+    def test_empty_col_cost_sign(self):
+        prob = _pp([[1.0, 0.0]], [-np.inf], [5.0],
+                   [0.0, -1.0], [np.inf, 7.0], [1.0, -2.0])
+        status, red, h = presolve_problem(prob)
+        assert status == "OK"
+        x, y, z, m = _check_postsolve(prob, red, h, tol=1e-5)
+        assert x[1] == pytest.approx(7.0)  # c < 0 -> upper bound
+        assert z[1] == pytest.approx(-2.0)
+
+    def test_parallel_rows_merged(self):
+        prob = _pp([[1.0, 2.0], [2.0, 4.0], [1.0, 0.0]],
+                   [-np.inf, -np.inf, 0.0], [10.0, 12.0, 4.0],
+                   [0.0, 0.0], [np.inf, np.inf], [-1.0, -1.0])
+        status, red, h = presolve_problem(prob)
+        assert status == "OK"
+        st = h.stats()
+        assert st["rows_removed"] >= 1  # one of the parallel pair
+        _check_postsolve(prob, red, h, tol=1e-5)
+
+    def test_forcing_row(self):
+        # Row 0: x0 + x1 >= 2 with u = (1, 1): maxact == AL -> both forced up.
+        prob = _pp([[1.0, 1.0]], [2.0], [np.inf],
+                   [0.0, 0.0], [1.0, 1.0], [3.0, 5.0])
+        status, red, h = presolve_problem(prob)
+        assert status == "OK"
+        assert red.n == 0 and red.m == 0
+        x, y, z, m = _check_postsolve(prob, red, h, tol=1e-6)
+        np.testing.assert_allclose(x, [1.0, 1.0])
+        # Dual: y >= max(c_k / a_k) keeps z signs valid at upper bounds.
+        assert y[0] >= 5.0 - 1e-9
+
+    def test_infeasible_detection(self):
+        prob = _pp([[1.0]], [5.0], [np.inf], [0.0], [2.0], [1.0])
+        status, red, h = presolve_problem(prob)
+        assert status == "INFEASIBLE"
+
+    def test_unbounded_detection(self):
+        # Empty col with negative cost and infinite upper bound.
+        prob = _pp([[1.0, 0.0]], [-np.inf], [5.0],
+                   [0.0, 0.0], [np.inf, np.inf], [1.0, -1.0])
+        status, red, h = presolve_problem(prob)
+        assert status == "UNBOUNDED"
+
+
+class TestPresolveEquivalence:
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_random_lp_same_optimum(self, seed):
+        from tests.conftest import random_lp
+        from tests.test_batched import reference_solve
+
+        prob = random_lp(seed, m=25, n=35, density=0.25)
+        status, red, h = presolve_problem(prob)
+        assert status == "OK"
+        ref = reference_solve(prob.A, prob.AL, prob.AU, prob.l, prob.u,
+                              prob.c)
+        assert ref.status == 0
+        x, y, z, m = _check_postsolve(prob, red, h, tol=2e-5)
+        assert prob.c @ x == pytest.approx(ref.fun, rel=1e-4, abs=1e-4)
+
+    def test_end_to_end_model_solve_with_presolve(self):
+        """Full pipeline through Model.solve (presolve on by default)."""
+        from hprlp_tpu import Model, Parameters
+
+        A = sp.csr_matrix(np.array([[1.0, 2.0], [3.0, 1.0], [1.0, 0.0]]))
+        prob = LpProblem.from_arrays(
+            A, [-np.inf, -np.inf, 0.0], [10.0, 12.0, 100.0],
+            [0.0, 0.0], [np.inf, np.inf], [-3.0, -5.0])
+        res = Model(prob).solve(Parameters(verbose=False))
+        assert res.status == "OPTIMAL"
+        assert res.primal_obj == pytest.approx(-26.4, abs=1e-2)
+        np.testing.assert_allclose(res.x, [2.8, 3.6], atol=0.02)
+
+    def test_presolve_off_matches_on(self):
+        from hprlp_tpu import Model, Parameters
+        from tests.conftest import random_lp
+
+        prob = random_lp(11, m=20, n=30, density=0.3)
+        r_on = Model(prob).solve(Parameters(verbose=False, stop_tol=1e-6))
+        r_off = Model(prob).solve(Parameters(verbose=False, stop_tol=1e-6,
+                                             use_presolve=False))
+        assert r_on.status == r_off.status == "OPTIMAL"
+        assert r_on.primal_obj == pytest.approx(r_off.primal_obj, rel=1e-3,
+                                                abs=1e-3)
