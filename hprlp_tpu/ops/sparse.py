@@ -46,11 +46,24 @@ class EllBucket:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class EllMatrix:
-    """Bucketed-ELL sparse matrix over padded row/col index spaces."""
+    """Bucketed-ELL sparse matrix over padded row/col index spaces.
+
+    `backend` selects the SpMV/SpMM lowering (autotuned per matrix at solve
+    start, parity: the reference's fused-kernel autotuner,
+    src/main_iterate.cu:517-595):
+      - "gather": per-bucket gather + row-reduce (the default);
+      - "dense":  one MXU matmul against the densified matrix (`dense` must
+        be attached).  Wins for small/medium problems where the dense
+        matrix fits comfortably and the MXU beats gather overheads.
+    Changing the backend retraces dependent jits (it is static metadata).
+    """
 
     buckets: Tuple[EllBucket, ...]
     nrows: int = dataclasses.field(metadata=dict(static=True))
     ncols: int = dataclasses.field(metadata=dict(static=True))
+    backend: str = dataclasses.field(default="gather",
+                                     metadata=dict(static=True))
+    dense: jax.Array | None = None  # (nrows, ncols) when backend == "dense"
 
     @property
     def dtype(self):
@@ -61,12 +74,37 @@ class EllMatrix:
         return sum(int(b.vals.size) for b in self.buckets)
 
 
+def densify(A: EllMatrix) -> jax.Array:
+    """(nrows, ncols) dense matrix from the buckets (device-side)."""
+    D = jnp.zeros((A.nrows, A.ncols), A.dtype)
+    for b in A.buckets:
+        R, W = b.vals.shape
+        rows = b.row_start + jax.lax.broadcasted_iota(jnp.int32, (R, W), 0)
+        vals = jnp.where(b.valid, b.vals, 0.0)
+        D = D.at[rows, b.cols].add(vals)
+    return D
+
+
+def with_backend(A: EllMatrix, backend: str) -> EllMatrix:
+    """Return A configured for the given SpMV backend."""
+    if backend == A.backend:
+        return A
+    if backend == "dense":
+        return dataclasses.replace(A, backend="dense", dense=densify(A))
+    return dataclasses.replace(A, backend=backend, dense=None)
+
+
 def spmv(A: EllMatrix, x: jax.Array) -> jax.Array:
     """y = A @ x.  x: (ncols,) -> y: (nrows,).
 
-    Each bucket is a dense gather+reduce; buckets cover contiguous row
-    ranges in order, so concatenation reassembles y.
+    gather backend: each bucket is a dense gather+reduce; buckets cover
+    contiguous row ranges in order, so concatenation reassembles y.
     """
+    if A.backend == "dense":
+        # HIGHEST: full-f32 MXU passes — bf16 default would degrade the
+        # iterates and fail the autotuner's merit check anyway.
+        return jnp.dot(A.dense, x, preferred_element_type=x.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
     parts = [jnp.sum(b.vals * x[b.cols], axis=1) for b in A.buckets]
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
@@ -77,6 +115,9 @@ def spmm(A: EllMatrix, X: jax.Array) -> jax.Array:
     TPU-native replacement for the reference's cuSPARSE SpMM batched path
     (reference: src/batched_solver.cu:428-477).
     """
+    if A.backend == "dense":
+        return jnp.dot(A.dense, X, preferred_element_type=X.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
     parts = [
         jnp.einsum("rw,rwb->rb", b.vals, X[b.cols],
                    preferred_element_type=X.dtype)
@@ -102,19 +143,23 @@ def row_counts(A: EllMatrix) -> jax.Array:
 
 
 def scale_rows(A: EllMatrix, s: jax.Array) -> EllMatrix:
-    """Return A with row i multiplied by s[i].  s: (nrows,)."""
+    """Return A with row i multiplied by s[i].  s: (nrows,).
+    Any attached dense copy is dropped (it would go stale)."""
     buckets = tuple(
         dataclasses.replace(
             b, vals=b.vals * s[b.row_start:b.row_start + b.nrows, None])
         for b in A.buckets)
-    return dataclasses.replace(A, buckets=buckets)
+    return dataclasses.replace(A, buckets=buckets, backend="gather",
+                               dense=None)
 
 
 def scale_cols(A: EllMatrix, s: jax.Array) -> EllMatrix:
-    """Return A with column j multiplied by s[j].  s: (ncols,)."""
+    """Return A with column j multiplied by s[j].  s: (ncols,).
+    Any attached dense copy is dropped (it would go stale)."""
     buckets = tuple(
         dataclasses.replace(b, vals=b.vals * s[b.cols]) for b in A.buckets)
-    return dataclasses.replace(A, buckets=buckets)
+    return dataclasses.replace(A, buckets=buckets, backend="gather",
+                               dense=None)
 
 
 def row_masked_mean(A: EllMatrix, per_entry_fn) -> jax.Array:

@@ -23,10 +23,13 @@ class Parameters:
       precision: "auto" | "f32" | "f64".  "auto" picks f64 on CPU backends
         (when x64 is available) and f32 on TPU.  TPUs have no native f64;
         the f32 path relies on the scaling pipeline for conditioning.
-      spmv_backend: "auto" | "xla" | "pallas".  Analogue of the reference's
-        fused-kernel autotuner (src/main_iterate.cu:517-595): "auto"
-        benchmarks the available SpMV backends on the actual matrix and
-        keeps the fastest one.
+      spmv_backend: "auto" | "gather" | "dense" ("xla" = alias of
+        "gather").  Analogue of the reference's fused-kernel autotuner
+        (src/main_iterate.cu:517-595): "auto" benchmarks the backends on
+        the actual matrix at solve start (timed full chunks, >= 5% speedup
+        + merit-within-1% eligibility) and keeps the fastest; "gather" is
+        the bucketed-ELL gather+reduce; "dense" runs SpMV as one MXU
+        matmul against the densified matrix (small/medium problems).
       mesh_shape: optional number of devices for a 1-D sharded solve; None
         runs single-device.
     """
@@ -55,7 +58,9 @@ class Parameters:
     def validate(self) -> None:
         if self.precision not in ("auto", "f32", "f64"):
             raise ValueError(f"invalid precision: {self.precision!r}")
-        if self.spmv_backend not in ("auto", "xla", "pallas"):
+        if self.spmv_backend == "xla":
+            self.spmv_backend = "gather"
+        if self.spmv_backend not in ("auto", "gather", "dense"):
             raise ValueError(f"invalid spmv_backend: {self.spmv_backend!r}")
         if self.check_iter <= 1:
             raise ValueError("check_iter must be > 1")

@@ -193,7 +193,18 @@ def solve_problem(problem: LpProblem, params: Parameters | None = None,
 
     t_setup = time.perf_counter()
     if _device_data is None:
-        lp_raw, maps = build_device_problem(problem, dtype=dtype)
+        if params.mesh_shape:
+            # Multi-chip: row-block-shard A/A^T over a 1-D mesh (GSPMD);
+            # the same jitted chunks then run SPMD with XLA collectives.
+            from ..parallel.sharded import make_mesh, shard_problem
+
+            n_dev = params.mesh_shape
+            lp_raw, maps = build_device_problem(
+                problem, dtype=dtype, row_multiple=8 * n_dev,
+                vec_multiple=256 * n_dev)
+            lp_raw = shard_problem(lp_raw, make_mesh(n_dev))
+        else:
+            lp_raw, maps = build_device_problem(problem, dtype=dtype)
     else:
         lp_raw, maps = _device_data
     jax.block_until_ready(lp_raw.c)
@@ -229,6 +240,23 @@ def solve_problem(problem: LpProblem, params: Parameters | None = None,
         sigma = 1.0
 
     state = init_state(lp)
+
+    # SpMV backend selection (reference autotuner analogue,
+    # src/main_iterate.cu:517-595).
+    if params.spmv_backend == "auto":
+        from .autotune import autotune_backends
+
+        probe_args = (scal, state, jnp.asarray(sigma, dtype),
+                      jnp.asarray(lambda_max, dtype), jnp.asarray(False),
+                      jnp.asarray(params.check_iter, jnp.int32))
+        lp = autotune_backends(run_chunk, lp, probe_args,
+                               verbose=params.autotune_verbose)
+    elif params.spmv_backend == "dense":
+        from ..ops.sparse import with_backend
+
+        lp = dataclasses.replace(lp, A=with_backend(lp.A, "dense"),
+                                 AT=with_backend(lp.AT, "dense"))
+
     ri = RestartInfo(best_sigma=sigma)
     obj_constant = maps.obj_constant
 
