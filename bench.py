@@ -60,14 +60,16 @@ def main():
     n_iters = jnp.asarray(CHUNK_ITERS, jnp.int32)
     flag = jnp.asarray(False)
 
-    # Warm-up: compile + one chunk.
+    # Warm-up: compile + one chunk.  Timing forces a host fetch of a result
+    # scalar every repeat: block_until_ready alone can return early on
+    # experimental PJRT platforms (observed on the axon TPU tunnel).
     state, metrics = run_chunk(lp, scal, state, sigma, lam, flag, n_iters)
-    jax.block_until_ready(metrics["nrm_Rp"])
+    float(metrics["nrm_Rp"])
 
     t0 = time.perf_counter()
     for _ in range(REPEATS):
         state, metrics = run_chunk(lp, scal, state, sigma, lam, flag, n_iters)
-    jax.block_until_ready(metrics["nrm_Rp"])
+        float(metrics["nrm_Rp"])
     dt = time.perf_counter() - t0
 
     its_per_sec = REPEATS * CHUNK_ITERS / dt

@@ -318,6 +318,27 @@ def solve_batched(A, C, AL, AU, l, u, obj_constants=None,
         c=jnp.asarray(C_p.astype(np.dtype(dtype))),
         l=jnp.asarray(l_p.astype(np.dtype(dtype))),
         u=jnp.asarray(u_p.astype(np.dtype(dtype))))
+    if params.mesh_shape:
+        # Data-parallel scenario batching: shard the batch axis over the
+        # mesh, replicate the shared A/A^T (SURVEY §2.9 row 1 TPU-native
+        # equivalent).  Per-member host state stays host-side; the chunk
+        # runs SPMD with no cross-member communication.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.sharded import make_mesh
+
+        if B % params.mesh_shape:
+            raise ValueError(
+                f"batch size {B} not divisible by mesh size "
+                f"{params.mesh_shape}")
+        mesh = make_mesh(params.mesh_shape)
+        bsh = NamedSharding(mesh, P(None, "d"))
+        rep = NamedSharding(mesh, P())
+        lp = BatchedLpDevice(
+            A=jax.device_put(lp.A, rep), AT=jax.device_put(lp.AT, rep),
+            AL=jax.device_put(lp.AL, bsh), AU=jax.device_put(lp.AU, bsh),
+            c=jax.device_put(lp.c, bsh), l=jax.device_put(lp.l, bsh),
+            u=jax.device_put(lp.u, bsh))
     jax.block_until_ready(lp.c)
     out.setup_time = time.perf_counter() - t_setup
     log(f"Batched setup time = {out.setup_time:.2f} seconds (B={B})")
