@@ -24,8 +24,11 @@ from ..ops.device_problem import LpDevice
 from ..ops.sparse import with_backend
 
 # A dense candidate is considered only when the dense matrix is at most
-# this many bytes (both A and A^T are materialised while probing).
-DENSE_BYTES_LIMIT = 256 * 1024 * 1024
+# this many bytes (both A and A^T are materialised while probing).  Large on
+# purpose: XLA's TPU gather lowering runs at ~35M elements/s (measured,
+# v5e), so a dense HBM-bandwidth matvec wins for any density above ~2e-4 —
+# even multi-GB dense matrices beat the gather path.
+DENSE_BYTES_LIMIT = 2 * 1024 * 1024 * 1024
 SPEEDUP_MIN = 1.05  # reference: >= 5% faster to switch
 MERIT_RTOL = 0.01   # reference: within 1% of baseline merit
 # Below this nnz the probe compiles cost more than any possible win.

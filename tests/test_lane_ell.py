@@ -1,0 +1,112 @@
+"""Windowed LaneELL scheduling + Pallas kernel (interpret mode) tests."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import jax.numpy as jnp
+
+from hprlp_tpu.ops.lane_ell import (LANES, WINDOW, lane_spmv_reference,
+                                    schedule_lane_ell)
+from hprlp_tpu.ops.pallas_spmv import lane_spmv, pack_tiles
+
+
+def _random_coo(seed, m, n, density):
+    rng = np.random.default_rng(seed)
+    A = sp.random(m, n, density=density, random_state=rng,
+                  data_rvs=lambda s: rng.normal(size=s)).tocoo()
+    return A, rng
+
+
+def _check(A, m_pad, n_pad, interpret=True):
+    tiles = schedule_lane_ell(A.row.astype(np.int64), A.col.astype(np.int64),
+                              A.data, m_pad, n_pad)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=n_pad).astype(np.float32)
+    y_ref = np.zeros(m_pad, np.float32)
+    y_ref[:A.shape[0]] = (A.tocsr() @ x[:A.shape[1]]).astype(np.float32)
+    scale = max(1.0, float(np.abs(y_ref).max()))
+
+    # NumPy oracle of the kernel.
+    y_np = lane_spmv_reference(tiles, x)
+    np.testing.assert_allclose(y_np, y_ref, atol=1e-5 * scale)
+
+    # Pallas kernel in interpreter mode.
+    packed = pack_tiles(tiles, n_pad, np.float32)
+    y = np.asarray(lane_spmv(jnp.asarray(x), packed["idx1t"], packed["idx2"],
+                             packed["vals"], packed["gid"], packed["wid"],
+                             packed["G"], interpret=interpret))
+    np.testing.assert_allclose(y, y_ref, atol=1e-5 * scale)
+    return tiles
+
+
+class TestScheduler:
+    def test_per_sublane_invariants(self):
+        A, _ = _random_coo(3, 700, 900, 0.02)
+        tiles = schedule_lane_ell(A.row.astype(np.int64),
+                                  A.col.astype(np.int64), A.data, 768, 1024)
+        C = tiles["idx2"].shape[0]
+        for c in range(C):
+            cols = tiles["cols"][c]
+            idx2 = tiles["idx2"][c]
+            for s in range(LANES):
+                live = cols[s] >= 0
+                if not live.any():
+                    continue
+                cs = cols[s][live]
+                # All live entries in a sublane come from this chunk's window.
+                assert np.all(cs // WINDOW == tiles["wid"][c])
+                # One distinct column per residue class per sublane.
+                res = cs % LANES
+                by_res = {}
+                for r, cc in zip(res, cs):
+                    assert by_res.setdefault(r, cc) == cc
+                # Phase-2 index points at the column's residue lane.
+                assert np.array_equal(idx2[s][live].astype(np.int64), res)
+
+    def test_gid_sorted_within_chunk(self):
+        A, _ = _random_coo(4, 1000, 3000, 0.01)
+        tiles = schedule_lane_ell(A.row.astype(np.int64),
+                                  A.col.astype(np.int64), A.data, 1024, 3072)
+        for c in range(tiles["idx2"].shape[0]):
+            gid = tiles["gid"][c]
+            live = (tiles["cols"][c] >= 0).any(axis=1)
+            g_live = gid[live]
+            assert np.all(np.diff(g_live) >= 0)
+
+    def test_slot_overhead_reasonable(self):
+        A, _ = _random_coo(5, 2000, 4000, 0.005)
+        tiles = schedule_lane_ell(A.row.astype(np.int64),
+                                  A.col.astype(np.int64), A.data, 2048, 4096)
+        slots = tiles["idx2"].shape[0] * 16384
+        assert slots <= 6 * A.nnz + 5 * 16384
+
+
+class TestKernel:
+    def test_random_single_window(self):
+        A, _ = _random_coo(1, 900, 1100, 0.01)
+        _check(A, 1024, 1280)
+
+    def test_random_multi_window(self):
+        A, _ = _random_coo(2, 900, 40000, 0.001)
+        _check(A, 1024, 40960)
+
+    def test_dense_column_fanout(self):
+        A, _ = _random_coo(2, 600, 800, 0.01)
+        A = A.tocsr().tolil()
+        A[:, 5] = 1.5
+        _check(A.tocoo(), 640, 896)
+
+    def test_unbalanced_rows(self):
+        rng = np.random.default_rng(7)
+        rows = rng.integers(0, 100, 5000)
+        cols = rng.integers(0, 2000, 5000)
+        vals = rng.normal(size=5000)
+        A = sp.coo_matrix((vals, (rows, cols)), shape=(1000, 2000))
+        A.sum_duplicates()
+        _check(A, 1024, 2048)
+
+    def test_tiny(self):
+        A = sp.coo_matrix(
+            (np.array([1.0, 2.0, 3.0]),
+             (np.array([0, 0, 1]), np.array([0, 1, 0]))), shape=(130, 130))
+        _check(A, 256, 256)
