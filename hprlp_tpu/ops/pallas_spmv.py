@@ -8,12 +8,14 @@ windows a chunk needs are DMA'd):
     g0T = lane-gather(WT, idx1T[c])        row-in-window per residue
     g1  = lane-gather(transpose(g0T), idx2[c])   route to output row lane
     p   = g1 * vals[c]
-    serial segment-flush of p's sublane rows into the VMEM-resident
-    accumulator y2 (sublanes arrive sorted by output group, so one
-    read-modify-write per group run).
+    local = R @ p                          MXU segment-sum: R[d, s] = 1 iff
+                                           sublane s is in the chunk's d-th
+                                           group run (rank precomputed)
+    short flush loop (ndist[c] iterations, typically ~4-20) adds the local
+    rows into the VMEM-resident accumulator y2 at their group rows.
 
-Every data-movement op is a full-width vector op; the only serial part is
-the per-sublane flush loop (128 iterations/chunk).
+Every data-movement op is a full-width vector op; the serial part is one
+read-modify-write per DISTINCT group per chunk.
 
 Role parity: the reference's fused warp-bucketed SpMV kernels (reference:
 src/cuda_kernels/HPR_cuda_kernels.cu:297-427) — redesigned around the TPU
@@ -26,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -33,49 +36,47 @@ LANES = 128
 WINDOW = LANES * LANES
 
 
-def _lane_kernel(wid_ref, gid_ref, x3_ref, i1t_ref, i2_ref, v_ref, y2_ref):
+def _lane_kernel(wid_ref, dgid_ref, ndist_ref, x3_ref, i1t_ref, i2_ref,
+                 v_ref, rank_ref, y2_ref, local_ref):
     c = pl.program_id(0)
 
     @pl.when(c == 0)
     def _():
         y2_ref[:] = jnp.zeros_like(y2_ref)
 
-    wt = x3_ref[0].T                                   # (128 l0, 128 r)
-    g0t = jnp.take_along_axis(wt, i1t_ref[0], axis=1)  # (l0, s)
+    wt = x3_ref[0].T                                    # (128 l0, 128 r)
+    g0t = jnp.take_along_axis(wt, i1t_ref[0], axis=1)   # (l0, s)
     g1 = jnp.take_along_axis(g0t.T, i2_ref[0], axis=1)  # (s, l)
     p = g1 * v_ref[0]
 
-    # Serial segment flush: sublanes are sorted by group id.  gid is a
-    # scalar-prefetch array (C*128,), flat index c*128 + s.
+    # Segment sums on the MXU: R[d, s] = (rank[s] == d).
+    rank = rank_ref[0, 0:1, :]                          # (1, 128) int32
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    R = (d_iota == rank).astype(p.dtype)
+    local_ref[:] = jnp.dot(R, p, preferred_element_type=p.dtype,
+                           precision=jax.lax.Precision.HIGHEST)
+
     base = c * LANES
 
-    def body(s, carry):
-        acc, cur = carry
-        g = gid_ref[base + s]
-        row = jax.lax.dynamic_slice_in_dim(p, s, 1, axis=0)
-        same = g == cur
+    def body(d, _):
+        t = dgid_ref[base + d]
+        y2_ref[pl.ds(t, 1), :] += local_ref[pl.ds(d, 1), :]
+        return 0
 
-        @pl.when(jnp.logical_not(same))
-        def _():
-            y2_ref[pl.ds(cur, 1), :] += acc
-
-        acc = jnp.where(same, acc + row, row)
-        return acc, g
-
-    first = jax.lax.dynamic_slice_in_dim(p, 0, 1, axis=0)
-    acc, cur = jax.lax.fori_loop(
-        1, LANES, body, (first, gid_ref[base]))
-    y2_ref[pl.ds(cur, 1), :] += acc
+    jax.lax.fori_loop(0, ndist_ref[c], body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("g_real", "interpret"))
 def lane_spmv(x_pad: jax.Array, idx1t: jax.Array, idx2: jax.Array,
-              vals: jax.Array, gid: jax.Array, wid: jax.Array,
-              g_real: int, interpret: bool = False) -> jax.Array:
+              vals: jax.Array, rank: jax.Array, dgid: jax.Array,
+              ndist: jax.Array, wid: jax.Array, g_real: int,
+              interpret: bool = False) -> jax.Array:
     """y = A @ x using windowed LaneELL tiles.
 
-    x_pad: (n_pad,); idx1t/idx2/vals: (C, 128, 128); gid: (C, 128);
-    wid: (C,) int32.  g_real: m_pad // 128.  Returns y: (m_pad,).
+    x_pad: (n_pad,); idx1t/idx2/vals: (C, 128, 128); rank: (C, 8, 128)
+    int32 (row 0 = group-run rank per sublane); dgid: (C*128,) int32 run
+    target rows; ndist: (C,) int32 runs per chunk; wid: (C,) int32.
+    Returns y: (g_real * 128,).
     """
     C = idx2.shape[0]
     n_pad = x_pad.shape[0]
@@ -85,40 +86,62 @@ def lane_spmv(x_pad: jax.Array, idx1t: jax.Array, idx2: jax.Array,
     x3 = x_pad.reshape(n_win, LANES, LANES)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(C,),
         in_specs=[
             pl.BlockSpec((1, LANES, LANES),
-                         lambda c, wid, gid: (wid[c], 0, 0),
+                         lambda c, wid, dgid, nd: (wid[c], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES, LANES), lambda c, wid, gid: (c, 0, 0),
+            pl.BlockSpec((1, LANES, LANES),
+                         lambda c, wid, dgid, nd: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES, LANES), lambda c, wid, gid: (c, 0, 0),
+            pl.BlockSpec((1, LANES, LANES),
+                         lambda c, wid, dgid, nd: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES, LANES), lambda c, wid, gid: (c, 0, 0),
+            pl.BlockSpec((1, LANES, LANES),
+                         lambda c, wid, dgid, nd: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, LANES),
+                         lambda c, wid, dgid, nd: (c, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((g_real, LANES), lambda c, wid, gid: (0, 0),
+        out_specs=pl.BlockSpec((g_real, LANES),
+                               lambda c, wid, dgid, nd: (0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((LANES, LANES), x_pad.dtype)],
     )
     y2 = pl.pallas_call(
         _lane_kernel,
         grid_spec=grid_spec,
         interpret=interpret,
         out_shape=jax.ShapeDtypeStruct((g_real, LANES), x_pad.dtype),
-    )(wid, gid.reshape(-1), x3, idx1t, idx2, vals)
+    )(wid, dgid, ndist, x3, idx1t, idx2, vals, rank)
     return y2.reshape(-1)
 
 
 def pack_tiles(tiles: dict, n_pad: int, dtype) -> dict:
-    """Upload scheduler output as device tiles for lane_spmv."""
-    import numpy as np
+    """Upload scheduler output as device tiles for lane_spmv, deriving the
+    per-chunk group-run structure (rank / dgid / ndist)."""
+    gid = tiles["gid"]  # (C, 128)
+    C = gid.shape[0]
+    boundary = np.ones((C, LANES), bool)
+    boundary[:, 1:] = gid[:, 1:] != gid[:, :-1]
+    rank = np.cumsum(boundary, axis=1).astype(np.int32) - 1  # (C, 128)
+    ndist = rank[:, -1] + 1                                  # (C,)
+    dgid = np.zeros((C, LANES), np.int32)
+    ci, si = np.nonzero(boundary)
+    dgid[ci, rank[ci, si]] = gid[ci, si]
+
+    rank_tile = np.zeros((C, 8, LANES), np.int32)
+    rank_tile[:, 0, :] = rank
 
     return {
         "idx1t": jnp.asarray(tiles["idx1t"]),
         "idx2": jnp.asarray(tiles["idx2"]),
         "vals": jnp.asarray(tiles["vals"].astype(np.dtype(dtype))),
-        "gid": jnp.asarray(tiles["gid"]),
+        "rank": jnp.asarray(rank_tile),
+        "dgid": jnp.asarray(dgid.reshape(-1)),
+        "ndist": jnp.asarray(ndist.astype(np.int32)),
         "wid": jnp.asarray(tiles["wid"]),
         "G": tiles["G"],
     }

@@ -51,10 +51,14 @@ class EllMatrix:
     `backend` selects the SpMV/SpMM lowering (autotuned per matrix at solve
     start, parity: the reference's fused-kernel autotuner,
     src/main_iterate.cu:517-595):
-      - "gather": per-bucket gather + row-reduce (the default);
+      - "gather": per-bucket gather + row-reduce (the default; XLA's TPU
+        gather lowering is slow — ~35M elem/s on v5e — so this is only
+        right for small problems or CPU);
       - "dense":  one MXU matmul against the densified matrix (`dense` must
-        be attached).  Wins for small/medium problems where the dense
-        matrix fits comfortably and the MXU beats gather overheads.
+        be attached).  Wins whenever density is above ~2e-4 and the dense
+        matrix fits in HBM;
+      - "lane":   the windowed LaneELL Pallas kernel (ops/lane_ell.py,
+        ops/pallas_spmv.py) — the TPU-native sparse hot path.
     Changing the backend retraces dependent jits (it is static metadata).
     """
 
@@ -64,6 +68,14 @@ class EllMatrix:
     backend: str = dataclasses.field(default="gather",
                                      metadata=dict(static=True))
     dense: jax.Array | None = None  # (nrows, ncols) when backend == "dense"
+    # LaneELL tiles (backend == "lane"); see ops/lane_ell.py.
+    lane_idx1t: jax.Array | None = None  # (C, 128, 128) int32
+    lane_idx2: jax.Array | None = None   # (C, 128, 128) int32
+    lane_vals: jax.Array | None = None   # (C, 128, 128) dtype
+    lane_rank: jax.Array | None = None   # (C, 8, 128) int32
+    lane_dgid: jax.Array | None = None   # (C*128,) int32
+    lane_ndist: jax.Array | None = None  # (C,) int32
+    lane_wid: jax.Array | None = None    # (C,) int32
 
     @property
     def dtype(self):
@@ -85,13 +97,52 @@ def densify(A: EllMatrix) -> jax.Array:
     return D
 
 
+def to_coo(A: EllMatrix):
+    """Host-side (padded-position) COO of the live entries."""
+    rows, cols, vals = [], [], []
+    for b in A.buckets:
+        v = np.asarray(b.vals)
+        c = np.asarray(b.cols)
+        m = np.asarray(b.valid)
+        r, k = np.nonzero(m)
+        rows.append(b.row_start + r)
+        cols.append(c[r, k])
+        vals.append(v[r, k])
+    if not rows:
+        return (np.zeros(0, np.int64),) * 2 + (np.zeros(0),)
+    return (np.concatenate(rows).astype(np.int64),
+            np.concatenate(cols).astype(np.int64),
+            np.concatenate(vals).astype(np.float64))
+
+
+def attach_lane(A: EllMatrix) -> EllMatrix:
+    """Build and attach LaneELL tiles (host scheduling round-trip)."""
+    from .lane_ell import schedule_lane_ell
+    from .pallas_spmv import pack_tiles
+
+    rows_p, cols_p, vals = to_coo(A)
+    tiles = schedule_lane_ell(rows_p, cols_p, vals, A.nrows, A.ncols)
+    packed = pack_tiles(tiles, A.ncols, A.dtype)
+    return dataclasses.replace(
+        A, backend="lane", dense=None, lane_idx1t=packed["idx1t"],
+        lane_idx2=packed["idx2"], lane_vals=packed["vals"],
+        lane_rank=packed["rank"], lane_dgid=packed["dgid"],
+        lane_ndist=packed["ndist"], lane_wid=packed["wid"])
+
+
 def with_backend(A: EllMatrix, backend: str) -> EllMatrix:
     """Return A configured for the given SpMV backend."""
     if backend == A.backend:
         return A
     if backend == "dense":
         return dataclasses.replace(A, backend="dense", dense=densify(A))
-    return dataclasses.replace(A, backend=backend, dense=None)
+    if backend == "lane":
+        return attach_lane(A)
+    return dataclasses.replace(A, backend=backend, dense=None,
+                               lane_idx1t=None, lane_idx2=None,
+                               lane_vals=None, lane_rank=None,
+                               lane_dgid=None, lane_ndist=None,
+                               lane_wid=None)
 
 
 def spmv(A: EllMatrix, x: jax.Array) -> jax.Array:
@@ -105,6 +156,14 @@ def spmv(A: EllMatrix, x: jax.Array) -> jax.Array:
         # iterates and fail the autotuner's merit check anyway.
         return jnp.dot(A.dense, x, preferred_element_type=x.dtype,
                        precision=jax.lax.Precision.HIGHEST)
+    if A.backend == "lane":
+        from .pallas_spmv import lane_spmv
+
+        # Interpreter mode on CPU backends (tests / virtual meshes).
+        interp = jax.default_backend() == "cpu"
+        return lane_spmv(x, A.lane_idx1t, A.lane_idx2, A.lane_vals,
+                         A.lane_rank, A.lane_dgid, A.lane_ndist,
+                         A.lane_wid, A.nrows // 128, interpret=interp)
     parts = [jnp.sum(b.vals * x[b.cols], axis=1) for b in A.buckets]
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
@@ -150,7 +209,10 @@ def scale_rows(A: EllMatrix, s: jax.Array) -> EllMatrix:
             b, vals=b.vals * s[b.row_start:b.row_start + b.nrows, None])
         for b in A.buckets)
     return dataclasses.replace(A, buckets=buckets, backend="gather",
-                               dense=None)
+                               dense=None, lane_idx1t=None, lane_idx2=None,
+                               lane_vals=None, lane_rank=None,
+                               lane_dgid=None, lane_ndist=None,
+                               lane_wid=None)
 
 
 def scale_cols(A: EllMatrix, s: jax.Array) -> EllMatrix:
@@ -159,7 +221,10 @@ def scale_cols(A: EllMatrix, s: jax.Array) -> EllMatrix:
     buckets = tuple(
         dataclasses.replace(b, vals=b.vals * s[b.cols]) for b in A.buckets)
     return dataclasses.replace(A, buckets=buckets, backend="gather",
-                               dense=None)
+                               dense=None, lane_idx1t=None, lane_idx2=None,
+                               lane_vals=None, lane_rank=None,
+                               lane_dgid=None, lane_ndist=None,
+                               lane_wid=None)
 
 
 def row_masked_mean(A: EllMatrix, per_entry_fn) -> jax.Array:

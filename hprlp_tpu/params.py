@@ -60,7 +60,7 @@ class Parameters:
             raise ValueError(f"invalid precision: {self.precision!r}")
         if self.spmv_backend == "xla":
             self.spmv_backend = "gather"
-        if self.spmv_backend not in ("auto", "gather", "dense"):
+        if self.spmv_backend not in ("auto", "gather", "dense", "lane"):
             raise ValueError(f"invalid spmv_backend: {self.spmv_backend!r}")
         if self.check_iter <= 1:
             raise ValueError("check_iter must be > 1")

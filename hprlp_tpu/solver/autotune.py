@@ -67,10 +67,14 @@ def autotune_backends(run: Callable, lp: LpDevice, probe_args,
         return lp
     dense_ok = (lp.A.nrows * lp.A.ncols * jnp.dtype(lp.c.dtype).itemsize
                 <= DENSE_BYTES_LIMIT)
+    lane_ok = jax.default_backend() != "cpu"  # interpret mode is too slow
     candidates = [("gather", "gather")]
+    if lane_ok:
+        candidates.append(("lane", "lane"))
     if dense_ok:
-        candidates += [("dense", "gather"), ("gather", "dense"),
-                       ("dense", "dense")]
+        candidates += [("dense", "dense")]
+        if not lane_ok:
+            candidates += [("dense", "gather"), ("gather", "dense")]
     if len(candidates) == 1:
         return lp
 

@@ -251,11 +251,12 @@ def solve_problem(problem: LpProblem, params: Parameters | None = None,
                       jnp.asarray(params.check_iter, jnp.int32))
         lp = autotune_backends(run_chunk, lp, probe_args,
                                verbose=params.autotune_verbose)
-    elif params.spmv_backend == "dense":
+    elif params.spmv_backend in ("dense", "lane"):
         from ..ops.sparse import with_backend
 
-        lp = dataclasses.replace(lp, A=with_backend(lp.A, "dense"),
-                                 AT=with_backend(lp.AT, "dense"))
+        b = params.spmv_backend
+        lp = dataclasses.replace(lp, A=with_backend(lp.A, b),
+                                 AT=with_backend(lp.AT, b))
 
     ri = RestartInfo(best_sigma=sigma)
     obj_constant = maps.obj_constant
