@@ -66,6 +66,10 @@ def _configure(lib):
     lib.hpres_free.restype = None
     lib.hpres_free.argtypes = [h]
 
+    lib.hpres_lane_schedule.restype = ct.c_int64
+    lib.hpres_lane_schedule.argtypes = [
+        ct.c_int64, _i64p, _i64p, _i64p, _i32p, _i32p, ct.c_int64]
+
     lib.hpmps_read.restype = h
     lib.hpmps_read.argtypes = [ct.c_char_p, ct.c_int]
     lib.hpmps_status.restype = ct.c_int

@@ -47,6 +47,66 @@ LANES = 128
 WINDOW = LANES * LANES  # x values per window (one (128,128) VMEM tile)
 
 
+def _greedy_schedule(rows_s: np.ndarray, cols_s: np.ndarray,
+                     sub_out: np.ndarray):
+    """Assign each entry (pre-sorted by (window, group)) a sublane.
+
+    Uses the native C++ scheduler when available (identical constraints;
+    native/src/lane_schedule.cpp), else a pure-Python fallback.
+    Returns (gid_per_sublane, wid_per_sublane) as int64 arrays.
+    """
+    nnz = len(rows_s)
+    try:
+        from ..native import get_lib
+
+        lib = get_lib()
+    except Exception:
+        lib = None
+    if lib is not None and nnz:
+        cap = nnz + 1
+        gid = np.zeros(cap, np.int32)
+        wid = np.zeros(cap, np.int32)
+        n_sub = lib.hpres_lane_schedule(
+            nnz, np.ascontiguousarray(rows_s), np.ascontiguousarray(cols_s),
+            sub_out, gid, wid, cap)
+        if n_sub >= 0:
+            return gid[:n_sub].astype(np.int64), wid[:n_sub].astype(np.int64)
+
+    # Python fallback.
+    sublanes_gid: list[int] = []
+    sublanes_wid: list[int] = []
+    res_used: list[dict] = []
+    lane_used: list[np.ndarray] = []
+    base = 0
+    cur = (-1, -1)
+    for e in range(nnz):
+        g = rows_s[e] // LANES
+        l = rows_s[e] % LANES
+        c = cols_s[e]
+        w = c // WINDOW
+        rho = c % LANES
+        if (w, g) != cur:
+            base = len(sublanes_gid)
+            cur = (w, g)
+            res_used = []
+            lane_used = []
+        d = 0
+        while True:
+            if d == len(res_used):
+                res_used.append({})
+                lane_used.append(np.zeros(LANES, bool))
+                sublanes_gid.append(int(g))
+                sublanes_wid.append(int(w))
+            if not lane_used[d][l] and res_used[d].get(rho, c) == c:
+                res_used[d][rho] = c
+                lane_used[d][l] = True
+                sub_out[e] = base + d
+                break
+            d += 1
+    return (np.asarray(sublanes_gid, np.int64),
+            np.asarray(sublanes_wid, np.int64))
+
+
 def schedule_lane_ell(rows_p: np.ndarray, cols_p: np.ndarray,
                       vals: np.ndarray, m_pad: int, n_pad: int):
     """Schedule entries into windowed LaneELL chunk tiles.
@@ -76,41 +136,12 @@ def schedule_lane_ell(rows_p: np.ndarray, cols_p: np.ndarray,
     # Sort entries by (window, group) — the global sublane order.
     order = np.lexsort((l_all, g_all, w_all))
 
-    # Per (window, group) greedy depth assignment.
+    sub_sorted = np.zeros(len(order), np.int64)
+    gid_arr, wid_arr = _greedy_schedule(rows_p[order], cols_p[order],
+                                        sub_sorted)
     sub_of = np.zeros(len(order), np.int64)  # global sublane per entry
-    sublanes_gid: list[int] = []
-    sublanes_wid: list[int] = []
-    res_used: list[dict] = []
-    lane_used: list[np.ndarray] = []
-    base = 0  # first sublane index of the current (w, g) block
-    cur = (-1, -1)
-    for e in order:
-        key = (w_all[e], g_all[e])
-        if key != cur:
-            base = len(sublanes_gid)
-            cur = key
-            res_used = []
-            lane_used = []
-        l = l_all[e]
-        c = cols_p[e]
-        rho = rho_all[e]
-        d = 0
-        while True:
-            if d == len(res_used):
-                res_used.append({})
-                lane_used.append(np.zeros(LANES, bool))
-                sublanes_gid.append(int(g_all[e]))
-                sublanes_wid.append(int(w_all[e]))
-            if not lane_used[d][l] and res_used[d].get(rho, c) == c:
-                res_used[d][rho] = c
-                lane_used[d][l] = True
-                sub_of[e] = base + d
-                break
-            d += 1
-
-    T = len(sublanes_gid)
-    gid_arr = np.asarray(sublanes_gid, np.int64)
-    wid_arr = np.asarray(sublanes_wid, np.int64)
+    sub_of[order] = sub_sorted
+    T = len(gid_arr)
 
     # Chunk sublanes: 128 per chunk, one window per chunk.  Pad each
     # window's sublane run to a 128 multiple (window-major order holds by
