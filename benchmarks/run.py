@@ -1,0 +1,164 @@
+"""Benchmark suite runner.
+
+Runs the BASELINE.json-style configurations that are reproducible without
+external datasets (zero-egress environment) and writes one JSON report
+with the reference's milestone metric schema (status, iter, time,
+iter4/6/8, time4/6/8 — reference: include/structs.h:44-65).
+
+Usage:
+    python benchmarks/run.py [--quick] [--out report.json]
+
+Configs:
+  demo            data/model.mps, default settings
+  assignment      n x n assignment LP relaxation (structured, sparse)
+  box_qp_like     random box-constrained LP with interior (dense-ish)
+  sparse_large    random sparse LP in the HBM-resident regime
+  batched_256     256 scenario LPs sharing one A (per-member restart/sigma)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import scipy.sparse as sp
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
+from hprlp_tpu import Model, Parameters, solve_batched  # noqa: E402
+from hprlp_tpu.problem import LpProblem  # noqa: E402
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def demo_problem():
+    return Model.from_mps(os.path.join(HERE, os.pardir, "data",
+                                       "model.mps")).problem
+
+
+def assignment_problem(n=64, seed=0):
+    """LP relaxation of an n x n assignment problem: doubly stochastic
+    polytope; optimum = min-cost matching value."""
+    rng = np.random.default_rng(seed)
+    cost = rng.uniform(0.0, 1.0, (n, n))
+    rows, cols, vals = [], [], []
+    for i in range(n):          # row-sum constraints
+        for j in range(n):
+            rows.append(i)
+            cols.append(i * n + j)
+            vals.append(1.0)
+    for j in range(n):          # col-sum constraints
+        for i in range(n):
+            rows.append(n + j)
+            cols.append(i * n + j)
+            vals.append(1.0)
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(2 * n, n * n)).tocsr()
+    ones = np.ones(2 * n)
+    return LpProblem.from_arrays(A, ones, ones, np.zeros(n * n),
+                                 np.ones(n * n), cost.ravel(),
+                                 name=f"assignment{n}")
+
+
+def random_lp(m, n, nnz_per_row, seed=0, name=""):
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(m), nnz_per_row)
+    cols = rng.integers(0, n, size=m * nnz_per_row)
+    vals = rng.normal(size=m * nnz_per_row)
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
+    A.sum_duplicates()
+    x_feas = rng.uniform(-1.0, 1.0, n)
+    Ax = A @ x_feas
+    return LpProblem.from_arrays(A, Ax - 1.0, Ax + 1.0, x_feas - 2.0,
+                                 x_feas + 2.0, rng.normal(size=n),
+                                 name=name or f"random{m}x{n}")
+
+
+def run_single(problem, tol, time_limit, max_iter=500_000):
+    p = Parameters(verbose=False, stop_tol=tol, time_limit=time_limit,
+                   max_iter=max_iter)
+    t0 = time.perf_counter()
+    res = Model(problem).solve(p)
+    wall = time.perf_counter() - t0
+    return {
+        "m": problem.m, "n": problem.n, "nnz": problem.nnz,
+        "status": res.status, "iter": res.iter, "solve_time": res.time,
+        "wall_time": wall, "primal_obj": res.primal_obj,
+        "kkt": res.residuals,
+        "iter4": res.iter4, "time4": res.time4,
+        "iter6": res.iter6, "time6": res.time6,
+        "iter8": res.iter8, "time8": res.time8,
+    }
+
+
+def run_batched(m, n, B, seed, tol, time_limit):
+    rng = np.random.default_rng(seed)
+    A = sp.random(m, n, density=min(0.3, 20.0 / n), random_state=rng,
+                  data_rvs=lambda k: rng.normal(size=k)).tocsr()
+    x0 = rng.uniform(-1, 1, size=(n, B))
+    Ax = A @ x0
+    t0 = time.perf_counter()
+    out = solve_batched(A, rng.normal(size=(n, B)), Ax - 1.0, Ax + 1.0,
+                        x0 - 2.0, x0 + 2.0,
+                        params=Parameters(verbose=False, stop_tol=tol,
+                                          time_limit=time_limit))
+    wall = time.perf_counter() - t0
+    st = list(out.status)
+    return {
+        "m": m, "n": n, "batch": B,
+        "optimal": sum(s == "OPTIMAL" for s in st),
+        "statuses": sorted(set(st)),
+        "max_iter": int(np.max(out.iter)),
+        "solve_time": out.solve_time, "wall_time": wall,
+        "max_kkt": float(np.max(out.residuals)),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="small sizes, 1e-4 only")
+    ap.add_argument("--out", default=os.path.join(HERE, "report.json"))
+    ap.add_argument("--time-limit", type=float, default=600.0)
+    args = ap.parse_args()
+
+    tl = args.time_limit
+    report = {"timestamp": time.time(), "configs": {}}
+
+    def record(name, fn):
+        t0 = time.perf_counter()
+        try:
+            out = fn()
+        except Exception as e:  # keep the suite running
+            out = {"error": f"{type(e).__name__}: {e}"}
+        out["config_wall"] = time.perf_counter() - t0
+        report["configs"][name] = out
+        print(f"[{name}] {json.dumps(out, default=float)[:200]}")
+
+    record("demo_1e-4", lambda: run_single(demo_problem(), 1e-4, tl))
+    record("assignment64_1e-4",
+           lambda: run_single(assignment_problem(64), 1e-4, tl))
+    if not args.quick:
+        record("assignment64_1e-8",
+               lambda: run_single(assignment_problem(64), 1e-8, tl))
+        record("random_mid_1e-4",
+               lambda: run_single(random_lp(8192, 16384, 20, 1), 1e-4, tl))
+        record("sparse_large_1e-4",
+               lambda: run_single(random_lp(65536, 131072, 20, 2), 1e-4, tl))
+        record("batched_256",
+               lambda: run_batched(128, 256, 256, 3, 1e-4, tl))
+    else:
+        record("batched_64",
+               lambda: run_batched(64, 96, 64, 3, 1e-4, tl))
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2, default=float)
+    print(f"report written to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
