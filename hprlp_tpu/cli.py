@@ -62,7 +62,32 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=int, default=None, metavar="N",
                    help="Shard the solve over N devices")
     p.add_argument("--quiet", action="store_true", help="Suppress progress")
+    p.add_argument("--solution-out", metavar="FILE", default=None,
+                   help="Write status/objective/x/y/z to FILE in a plain "
+                        "text format (consumed by the Julia/MATLAB "
+                        "wrappers)")
     return p
+
+
+def write_solution(path: str, res) -> None:
+    """Plain-text solution file: `key value` lines, then one `<name> <len>`
+    header per vector followed by its values, one per line."""
+    with open(path, "w") as f:
+        f.write(f"status {res.status}\n")
+        f.write(f"iter {res.iter}\n")
+        f.write(f"time {res.time!r}\n")
+        f.write(f"primal_obj {res.primal_obj!r}\n")
+        f.write(f"dual_obj {res.dual_obj!r}\n")
+        f.write(f"gap {res.gap!r}\n")
+        f.write(f"residuals {res.residuals!r}\n")
+        for name in ("x", "y", "z"):
+            v = getattr(res, name)
+            if v is None:
+                f.write(f"{name} 0\n")
+                continue
+            f.write(f"{name} {len(v)}\n")
+            for val in v:
+                f.write(f"{float(val)!r}\n")
 
 
 def main(argv=None) -> int:
@@ -100,6 +125,8 @@ def main(argv=None) -> int:
     if args.quiet:
         print(f"status={res.status} iter={res.iter} time={res.time:.3f}s "
               f"obj={res.primal_obj:.12e} kkt={res.residuals:.3e}")
+    if args.solution_out:
+        write_solution(args.solution_out, res)
     return 0 if res.status == "OPTIMAL" else 2
 
 

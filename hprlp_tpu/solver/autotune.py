@@ -37,12 +37,12 @@ AUTOTUNE_MIN_NNZ = 10_000
 
 def _time_chunk(run, lp, args, n_rep: int = 2) -> tuple[float, dict]:
     state, metrics = run(lp, *args)  # compile + warm
-    jax.block_until_ready(metrics["nrm_Rp"])
-    best = float("inf")
+    float(metrics["nrm_Rp"])  # host fetch: block_until_ready can return
+    best = float("inf")       # early on experimental PJRT platforms
     for _ in range(n_rep):
         t0 = time.perf_counter()
         state, metrics = run(lp, *args)
-        jax.block_until_ready(metrics["nrm_Rp"])
+        float(metrics["nrm_Rp"])
         best = min(best, time.perf_counter() - t0)
     return best, {k: float(v) for k, v in jax.device_get(metrics).items()}
 
@@ -67,7 +67,10 @@ def autotune_backends(run: Callable, lp: LpDevice, probe_args,
         return lp
     dense_ok = (lp.A.nrows * lp.A.ncols * jnp.dtype(lp.c.dtype).itemsize
                 <= DENSE_BYTES_LIMIT)
-    lane_ok = jax.default_backend() != "cpu"  # interpret mode is too slow
+    # Lane kernel: TPU-only (interpret mode is too slow on CPU) and
+    # f32-only (Mosaic has no f64).
+    lane_ok = (jax.default_backend() != "cpu"
+               and lp.c.dtype == jnp.float32)
     candidates = [("gather", "gather")]
     if lane_ok:
         candidates.append(("lane", "lane"))
