@@ -493,9 +493,10 @@ def solve_batched(A, C, AL, AU, l, u, obj_constants=None,
             inner_host = np.where(do_restart, 0.0, inner_host)
             save_gap = np.where(do_restart, np.inf, save_gap)
 
-        target = next_checkpoint(it, params.check_iter)
+        target = next_checkpoint(it, params.check_iter, params.verbose)
         if target - it < 2:
-            target = next_checkpoint(target, params.check_iter)
+            target = next_checkpoint(target, params.check_iter,
+                                     params.verbose)
         n_iters = target - it
 
         state, metrics_dev = run_batched_chunk(

@@ -65,11 +65,14 @@ def _print_step(it: int) -> int:
     return max(10, 10 ** int(math.floor(math.log10(it))) // 10)
 
 
-def next_checkpoint(it: int, check_iter: int) -> int:
-    """Smallest iteration > it that is a periodic check or a print step."""
+def next_checkpoint(it: int, check_iter: int, with_prints: bool = True) -> int:
+    """Smallest iteration > it that is a periodic check or (when
+    with_prints) a log-spaced print step.  Quiet solves skip print-step
+    boundaries — every boundary costs a device round-trip plus the
+    check-variant residual work."""
     j = it + 1
     while True:
-        if j % check_iter == 0 or j % _print_step(j) == 0:
+        if j % check_iter == 0 or (with_prints and j % _print_step(j) == 0):
             return j
         j += 1
 
@@ -342,9 +345,10 @@ def solve_problem(problem: LpProblem, params: Parameters | None = None,
             ri.times += 1
             ri.save_gap = math.inf
 
-        target = next_checkpoint(it, params.check_iter)
+        target = next_checkpoint(it, params.check_iter, params.verbose)
         if target - it < 2:  # chunk needs >= 2 iterations; skip one checkpoint
-            target = next_checkpoint(target, params.check_iter)
+            target = next_checkpoint(target, params.check_iter,
+                                     params.verbose)
         n_iters = target - it
 
         state, metrics_dev = run_chunk(
