@@ -37,6 +37,8 @@ enum class RecType : uint8_t {
     ParallelRow,    // i (kept), j (removed row), s, bound provenance
     FixedCol,       // j, xj, col snapshot, c -> z_j = c_j - a_j^T y
     FreeSingletonCol, // j, i, a, cj, rstar, row snapshot -> x_j, y_i, z_j
+    DoubletonEq,    // i, j (subbed out), k (kept): x_j from the equation,
+                    // z split by bound provenance, y_i from stationarity
 };
 
 struct Rec {
@@ -360,6 +362,120 @@ class Presolver {
         return changed;
     }
 
+    // Doubleton equality  a_j x_j + a_k x_k = b  ->  substitute x_j out.
+    // x_j's bounds translate onto x_k; every other row containing x_j gets
+    // fill-in at column k.  Dual recovery splits z between (z_j, z_k) by
+    // bound provenance and derives y_i from x_j's stationarity (the
+    // identity z_k_reduced = z_k - (a_k/a_j) z_j; see postsolve).
+    bool pass_doubleton_eq(int max_fill_rows = 8) {
+        bool changed = false;
+        for (int64_t i = 0; i < P.m; ++i) {
+            if (!P.ralive[i] || P.rlen[i] != 2) continue;
+            if (P.AL[i] != P.AU[i]) continue;
+            const double b = P.AL[i];
+            if (!std::isfinite(b)) continue;
+            int64_t e1 = -1, e2 = -1;
+            for (int64_t e : P.rowe[i]) {
+                if (!P.ents[e].alive) continue;
+                (e1 < 0 ? e1 : e2) = e;
+            }
+            // Substitute out the variable whose column is sparser (bounds
+            // the fill-in), preferring a well-scaled pivot.
+            int64_t ej = e1, ek = e2;
+            if (P.clen[P.ents[e2].c] < P.clen[P.ents[e1].c])
+                std::swap(ej, ek);
+            const int64_t j = P.ents[ej].c, k = P.ents[ek].c;
+            const double aj = P.ents[ej].v, ak = P.ents[ek].v;
+            if (std::fabs(aj) < 1e-8 * std::max(1.0, std::fabs(ak)))
+                continue;
+            if (P.clen[j] - 1 > max_fill_rows) continue;
+
+            Rec r;
+            r.type = RecType::DoubletonEq;
+            r.i = (int32_t)i;
+            r.j = (int32_t)j;
+            r.a = aj;
+            r.b = ak;
+            r.d0 = b;
+            r.d1 = P.c[j];
+            // val[0..3] = l_j, u_j, old l_k, old u_k; idx[0] = k;
+            // then the j-column snapshot (rows != i).
+            r.idx.push_back((int32_t)k);
+            r.val.push_back(P.l[j]);
+            r.val.push_back(P.u[j]);
+            r.val.push_back(P.l[k]);
+            r.val.push_back(P.u[k]);
+
+            // Translated bounds on x_k from x_j in [l_j, u_j]:
+            // x_k = (b - aj x_j) / ak.
+            const double t1 = std::isfinite(P.u[j])
+                              ? (b - aj * P.u[j]) / ak : (aj / ak > 0 ? -INF : INF);
+            const double t2 = std::isfinite(P.l[j])
+                              ? (b - aj * P.l[j]) / ak : (aj / ak > 0 ? INF : -INF);
+            const double lo_t = std::min(t1, t2), up_t = std::max(t1, t2);
+            if (lo_t > P.l[k]) P.l[k] = lo_t;
+            if (up_t < P.u[k]) P.u[k] = up_t;
+            if (infeas(P.l[k] > P.u[k] + tol)) return changed;
+
+            // Substitute into the other rows of column j (fill-in at k).
+            const double s = ak / aj;   // x_j = b/aj - s/ak * ... (see below)
+            for (int64_t e : P.cole[j]) {
+                const Ent &en = P.ents[e];
+                if (!en.alive || en.r == i) continue;
+                const int64_t rr = en.r;
+                const double arj = en.v;
+                r.idx.push_back((int32_t)rr);
+                r.val.push_back(arj);
+                // Row rr: arj * x_j = arj*b/aj - (arj*ak/aj) x_k.
+                const double shift = arj * b / aj;
+                if (std::isfinite(P.AL[rr])) P.AL[rr] -= shift;
+                if (std::isfinite(P.AU[rr])) P.AU[rr] -= shift;
+                const double delta = -arj * ak / aj;
+                // Find existing (rr, k) entry.
+                int64_t hit = -1;
+                for (int64_t e2i : P.rowe[rr]) {
+                    const Ent &em = P.ents[e2i];
+                    if (em.alive && em.c == k) { hit = e2i; break; }
+                }
+                if (hit >= 0) {
+                    P.ents[hit].v += delta;
+                    if (std::fabs(P.ents[hit].v) < 1e-14) {
+                        P.kill_entry(hit);
+                        stats.nnz_removed++;
+                    }
+                } else if (delta != 0.0) {
+                    int64_t id = (int64_t)P.ents.size();
+                    P.ents.push_back({(int32_t)rr, (int32_t)k, delta, true});
+                    P.rowe[rr].push_back(id);
+                    P.cole[k].push_back(id);
+                    P.rlen[rr]++;
+                    P.clen[k]++;
+                }
+                P.kill_entry(e);
+                stats.nnz_removed++;
+            }
+            (void)s;
+            // Objective: c_j x_j = c_j b/aj - (c_j ak/aj) x_k.
+            P.c[k] -= P.c[j] * ak / aj;
+            P.obj_shift += P.c[j] * b / aj;
+
+            log.push_back(std::move(r));
+            // Remove row i and column j.
+            for (int64_t e : P.rowe[i]) {
+                if (P.ents[e].alive) {
+                    P.kill_entry(e);
+                    stats.nnz_removed++;
+                }
+            }
+            P.ralive[i] = 0;
+            P.calive[j] = 0;
+            stats.rows_removed++;
+            stats.cols_removed++;
+            changed = true;
+        }
+        return changed;
+    }
+
     bool pass_parallel_rows() {
         // Hash rows by (sorted col pattern, value ratios).
         struct RowKey {
@@ -460,6 +576,8 @@ class Presolver {
             changed |= pass_fixed_and_empty_cols();
             if (status != HPRES_OK) return;
             changed |= pass_free_singleton_cols();
+            if (status != HPRES_OK) return;
+            changed |= pass_doubleton_eq();
             if (status != HPRES_OK) return;
             changed |= pass_dual_fix();
             if (status != HPRES_OK) return;
@@ -595,6 +713,59 @@ class Presolver {
                     for (size_t k = 0; k < r.idx.size(); ++k)
                         zj -= r.val[k] * y[r.idx[k]];
                     z[r.j] = zj;
+                    break;
+                }
+                case RecType::DoubletonEq: {
+                    // a x_j + b x_k = d0; idx[0] = k; val[0..3] = l_j,
+                    // u_j, old l_k, old u_k; then (row, a_rj) snapshot.
+                    const int64_t k = r.idx[0];
+                    const double aj = r.a, ak = r.b, rhs = r.d0;
+                    const double lj = r.val[0], uj = r.val[1];
+                    const double lk = r.val[2], uk = r.val[3];
+                    const double xk = x[k];
+                    const double xj = (rhs - ak * xk) / aj;
+                    x[r.j] = xj;
+                    // Split the reduced z_k into (z_j, z_k) using
+                    // z_k_reduced = z_k - (ak/aj) z_j and complementarity.
+                    const double ztol = 1e-10;
+                    const double sc = std::max({1.0, std::fabs(xj),
+                                                std::fabs(xk)});
+                    const bool j_at_lo = std::isfinite(lj) &&
+                                         xj <= lj + 1e-7 * sc;
+                    const bool j_at_up = std::isfinite(uj) &&
+                                         xj >= uj - 1e-7 * sc;
+                    const bool k_at_own = (std::isfinite(lk) &&
+                                           xk <= lk + 1e-7 * sc) ||
+                                          (std::isfinite(uk) &&
+                                           xk >= uk - 1e-7 * sc);
+                    double zj = 0.0;
+                    if ((j_at_lo || j_at_up) && std::fabs(z[k]) > ztol) {
+                        const double zj_cand = -(aj / ak) * z[k];
+                        const bool sign_ok = (j_at_lo && zj_cand >= -ztol) ||
+                                             (j_at_up && zj_cand <= ztol);
+                        if (sign_ok && !k_at_own) {
+                            zj = zj_cand;
+                            z[k] = 0.0;
+                        } else if (sign_ok && k_at_own) {
+                            // Degenerate: keep z on whichever bound gives a
+                            // valid sign for z_k; if z_k already valid,
+                            // leave it there.
+                            const bool k_lo = std::isfinite(lk) &&
+                                              xk <= lk + 1e-7 * sc;
+                            const bool zk_ok = (k_lo && z[k] >= -ztol) ||
+                                               (!k_lo && z[k] <= ztol);
+                            if (!zk_ok) {
+                                zj = zj_cand;
+                                z[k] = 0.0;
+                            }
+                        }
+                    }
+                    z[r.j] = zj;
+                    // y_i from x_j's stationarity (c_j at reduction time).
+                    double acc = r.d1 - zj;
+                    for (size_t t = 4; t < r.val.size(); ++t)
+                        acc -= r.val[t] * y[r.idx[t - 3]];
+                    y[r.i] = acc / aj;
                     break;
                 }
                 case RecType::FreeSingletonCol: {

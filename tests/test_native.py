@@ -323,3 +323,48 @@ class TestPresolveEquivalence:
         assert r_on.status == r_off.status == "OPTIMAL"
         assert r_on.primal_obj == pytest.approx(r_off.primal_obj, rel=1e-3,
                                                 abs=1e-3)
+
+
+class TestDoubletonEq:
+    def test_substitution_and_duals(self):
+        # Row 0: x0 + x1 = 4 (doubleton eq); row 1: x0 + x2 <= 5.
+        prob = _pp([[1.0, 1.0, 0.0], [1.0, 0.0, 1.0]],
+                   [4.0, -np.inf], [4.0, 5.0],
+                   [0.0, 0.0, 0.0], [np.inf, np.inf, np.inf],
+                   [1.0, 2.0, -1.0])
+        status, red, h = presolve_problem(prob)
+        assert status == "OK"
+        st = h.stats()
+        assert st["rows_removed"] >= 1 and st["cols_removed"] >= 1
+        x, y, z, m = _check_postsolve(prob, red, h, tol=1e-5)
+        assert x[0] + x[1] == pytest.approx(4.0, abs=1e-6)
+
+    def test_bound_translation(self):
+        # x1 in [1, 3] translates through 2 x0 + x1 = 10 to x0 in [3.5, 4.5].
+        prob = _pp([[2.0, 1.0], [1.0, 0.0]],
+                   [10.0, -np.inf], [10.0, 100.0],
+                   [-np.inf, 1.0], [np.inf, 3.0], [1.0, 0.5])
+        status, red, h = presolve_problem(prob)
+        assert status == "OK"
+        x, y, z, m = _check_postsolve(prob, red, h, tol=1e-5)
+        assert 1.0 - 1e-6 <= x[1] <= 3.0 + 1e-6
+        assert 2 * x[0] + x[1] == pytest.approx(10.0, abs=1e-6)
+
+    @pytest.mark.parametrize("seed", [10, 11, 12])
+    def test_random_with_equalities(self, seed):
+        from tests.conftest import random_lp
+        from tests.test_batched import reference_solve
+
+        prob = random_lp(seed, m=30, n=40, density=0.15)
+        # random_lp already mixes equality rows (kind==3).
+        ref = reference_solve(prob.A, prob.AL, prob.AU, prob.l, prob.u,
+                              prob.c)
+        status, red, h = presolve_problem(prob)
+        if ref.status == 3:
+            # Genuinely unbounded instance: the presolver may detect it.
+            assert status in ("OK", "UNBOUNDED")
+            return
+        assert ref.status == 0
+        assert status == "OK"
+        x, y, z, m = _check_postsolve(prob, red, h, tol=2e-5)
+        assert prob.c @ x == pytest.approx(ref.fun, rel=1e-4, abs=1e-4)
