@@ -45,6 +45,8 @@ import numpy as np
 
 LANES = 128
 WINDOW = LANES * LANES  # x values per window (one (128,128) VMEM tile)
+SUBBLOCKS = 4           # 128-sublane sub-blocks per kernel chunk
+CHUNK_SUB = SUBBLOCKS * LANES  # slot sublanes per kernel grid step
 
 
 def _greedy_schedule(rows_s: np.ndarray, cols_s: np.ndarray,
@@ -143,9 +145,9 @@ def schedule_lane_ell(rows_p: np.ndarray, cols_p: np.ndarray,
     sub_of[order] = sub_sorted
     T = len(gid_arr)
 
-    # Chunk sublanes: 128 per chunk, one window per chunk.  Pad each
-    # window's sublane run to a 128 multiple (window-major order holds by
-    # construction).
+    # Chunk sublanes: CHUNK_SUB per chunk, one window per chunk.  Pad each
+    # window's sublane run to a CHUNK_SUB multiple (window-major order
+    # holds by construction).
     win_change = np.nonzero(np.diff(wid_arr))[0] + 1
     seg_starts = np.concatenate([[0], win_change, [T]])
     new_pos = np.zeros(T, np.int64)
@@ -156,22 +158,22 @@ def schedule_lane_ell(rows_p: np.ndarray, cols_p: np.ndarray,
         if a == b:
             continue
         n = b - a
-        n_padded = -(-n // LANES) * LANES
+        n_padded = -(-n // CHUNK_SUB) * CHUNK_SUB
         new_pos[a:b] = cursor + np.arange(n)
         w = wid_arr[a]
         pad_gid = np.concatenate(
             [gid_arr[a:b], np.zeros(n_padded - n, np.int64)])
         chunks_gid.append(pad_gid)
-        chunks_wid.extend([int(w)] * (n_padded // LANES))
+        chunks_wid.extend([int(w)] * (n_padded // CHUNK_SUB))
         cursor += n_padded
     T_pad = cursor
-    C = max(1, T_pad // LANES)
+    C = max(1, T_pad // CHUNK_SUB)
     if T_pad == 0:  # empty matrix
-        chunks_gid = [np.zeros(LANES, np.int64)]
+        chunks_gid = [np.zeros(CHUNK_SUB, np.int64)]
         chunks_wid = [0]
-        T_pad, C = LANES, 1
+        T_pad, C = CHUNK_SUB, 1
 
-    gid_tile = np.concatenate(chunks_gid).reshape(C, LANES)
+    gid_tile = np.concatenate(chunks_gid).reshape(C, CHUNK_SUB)
     wid_tile = np.asarray(chunks_wid, np.int32)
 
     idx1 = np.zeros((T_pad, LANES), np.int32)
@@ -189,10 +191,10 @@ def schedule_lane_ell(rows_p: np.ndarray, cols_p: np.ndarray,
 
     return {
         "idx1t": np.ascontiguousarray(
-            idx1.reshape(C, LANES, LANES).transpose(0, 2, 1)),
-        "idx2": idx2.reshape(C, LANES, LANES),
-        "vals": vtile.reshape(C, LANES, LANES),
-        "cols": ctile.reshape(C, LANES, LANES),
+            idx1.reshape(C, CHUNK_SUB, LANES).transpose(0, 2, 1)),
+        "idx2": idx2.reshape(C, CHUNK_SUB, LANES),
+        "vals": vtile.reshape(C, CHUNK_SUB, LANES),
+        "cols": ctile.reshape(C, CHUNK_SUB, LANES),
         "gid": gid_tile.astype(np.int32),
         "wid": wid_tile,
         "G": G,
@@ -213,7 +215,7 @@ def lane_spmv_reference(tiles: dict, x_pad: np.ndarray) -> np.ndarray:
     for c in range(C):
         W = x3[tiles["wid"][c]]
         idx1 = tiles["idx1t"][c].T            # (s, l0): row-in-window
-        g0 = np.take_along_axis(W, idx1, axis=0)   # value at (s, l0)
+        g0 = W[idx1, np.arange(LANES)[None, :]]    # (CHUNK_SUB, 128)
         g1 = np.take_along_axis(g0, tiles["idx2"][c], axis=1)
         p = g1 * tiles["vals"][c]
         np.add.at(y2, tiles["gid"][c], p)

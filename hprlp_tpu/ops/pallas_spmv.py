@@ -1,21 +1,20 @@
 """Pallas TPU kernel for windowed LaneELL SpMV (format + scheduling in
 ops/lane_ell.py).
 
-Per 128-sublane chunk (one x-window each, scalar-prefetched so only the
-windows a chunk needs are DMA'd):
+Per grid step ("super-chunk" of CHUNK_SUB = 512 slot sublanes, one
+x-window each, scalar-prefetched so only the windows a chunk needs are
+DMA'd):
 
-    WT  = transpose(x3[wid[c]])            (128, 128) residue-major window
-    g0T = lane-gather(WT, idx1T[c])        row-in-window per residue
+    WT4 = tile(transpose(x3[wid[c]]), 4)   (128, 512) residue-major window
+    g0T = lane-gather(WT4, idx1T[c])       row-in-window per residue
     g1  = lane-gather(transpose(g0T), idx2[c])   route to output row lane
     p   = g1 * vals[c]
-    local = R @ p                          MXU segment-sum: R[d, s] = 1 iff
-                                           sublane s is in the chunk's d-th
-                                           group run (rank precomputed)
-    short flush loop (ndist[c] iterations, typically ~4-20) adds the local
-    rows into the VMEM-resident accumulator y2 at their group rows.
+    per 128-sublane sub-block: MXU segment-sum local = R @ p_j
+    (R[d, s] = rank match, rank precomputed per sub-block) and a short
+    flush loop (ndist iterations) into the VMEM-resident accumulator y2.
 
 Every data-movement op is a full-width vector op; the serial part is one
-read-modify-write per DISTINCT group per chunk.
+read-modify-write per DISTINCT group run per sub-block.
 
 Role parity: the reference's fused warp-bucketed SpMV kernels (reference:
 src/cuda_kernels/HPR_cuda_kernels.cu:297-427) — redesigned around the TPU
@@ -32,38 +31,44 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 128
-WINDOW = LANES * LANES
+from .lane_ell import CHUNK_SUB, LANES, SUBBLOCKS, WINDOW
 
 
 def _lane_kernel(wid_ref, dgid_ref, ndist_ref, x3_ref, i1t_ref, i2_ref,
-                 v_ref, rank_ref, y2_ref, local_ref):
+                 v_ref, rank_ref, y2_ref, p_ref, local_ref):
     c = pl.program_id(0)
 
     @pl.when(c == 0)
     def _():
         y2_ref[:] = jnp.zeros_like(y2_ref)
 
-    wt = x3_ref[0].T                                    # (128 l0, 128 r)
-    g0t = jnp.take_along_axis(wt, i1t_ref[0], axis=1)   # (l0, s)
-    g1 = jnp.take_along_axis(g0t.T, i2_ref[0], axis=1)  # (s, l)
-    p = g1 * v_ref[0]
+    # The lane crossbar is 128 wide, so gathers run per 128-sublane
+    # sub-block; the super-chunk still amortises grid-step and DMA
+    # overheads 4x.
+    wt = x3_ref[0].T                                       # (128, 128)
+    for j in range(SUBBLOCKS):
+        sl = slice(j * LANES, (j + 1) * LANES)
+        g0t = jnp.take_along_axis(wt, i1t_ref[0][:, sl], axis=1)
+        g1 = jnp.take_along_axis(g0t.T, i2_ref[0][sl, :], axis=1)
+        p_ref[sl, :] = g1 * v_ref[0][sl, :]
 
-    # Segment sums on the MXU: R[d, s] = (rank[s] == d).
-    rank = rank_ref[0, 0:1, :]                          # (1, 128) int32
     d_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
-    R = (d_iota == rank).astype(p.dtype)
-    local_ref[:] = jnp.dot(R, p, preferred_element_type=p.dtype,
-                           precision=jax.lax.Precision.HIGHEST)
+    for j in range(SUBBLOCKS):
+        # Segment sums on the MXU: R[d, s] = (rank[s] == d), ranks reset
+        # per sub-block.
+        rank = rank_ref[0, 0:1, j * LANES:(j + 1) * LANES]  # (1, 128)
+        R = (d_iota == rank).astype(p_ref.dtype)
+        local_ref[:] = jnp.dot(R, p_ref[j * LANES:(j + 1) * LANES, :],
+                               preferred_element_type=p_ref.dtype,
+                               precision=jax.lax.Precision.HIGHEST)
+        base = (c * SUBBLOCKS + j) * LANES
 
-    base = c * LANES
+        def body(d, _):
+            t = dgid_ref[base + d]
+            y2_ref[pl.ds(t, 1), :] += local_ref[pl.ds(d, 1), :]
+            return 0
 
-    def body(d, _):
-        t = dgid_ref[base + d]
-        y2_ref[pl.ds(t, 1), :] += local_ref[pl.ds(d, 1), :]
-        return 0
-
-    jax.lax.fori_loop(0, ndist_ref[c], body, 0)
+        jax.lax.fori_loop(0, ndist_ref[c * SUBBLOCKS + j], body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("g_real", "interpret"))
@@ -73,10 +78,11 @@ def lane_spmv(x_pad: jax.Array, idx1t: jax.Array, idx2: jax.Array,
               interpret: bool = False) -> jax.Array:
     """y = A @ x using windowed LaneELL tiles.
 
-    x_pad: (n_pad,); idx1t/idx2/vals: (C, 128, 128); rank: (C, 8, 128)
-    int32 (row 0 = group-run rank per sublane); dgid: (C*128,) int32 run
-    target rows; ndist: (C,) int32 runs per chunk; wid: (C,) int32.
-    Returns y: (g_real * 128,).
+    x_pad: (n_pad,); idx1t: (C, 128, CHUNK_SUB); idx2/vals:
+    (C, CHUNK_SUB, 128); rank: (C, 8, CHUNK_SUB) int32 (row 0 = group-run
+    rank per sublane, per sub-block); dgid: (C*CHUNK_SUB,) int32 run
+    target rows; ndist: (C*SUBBLOCKS,) int32 runs per sub-block;
+    wid: (C,) int32.  g_real: m_pad // 128.  Returns y: (g_real * 128,).
     """
     C = idx2.shape[0]
     n_pad = x_pad.shape[0]
@@ -92,23 +98,24 @@ def lane_spmv(x_pad: jax.Array, idx1t: jax.Array, idx2: jax.Array,
             pl.BlockSpec((1, LANES, LANES),
                          lambda c, wid, dgid, nd: (wid[c], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES, LANES),
+            pl.BlockSpec((1, LANES, CHUNK_SUB),
                          lambda c, wid, dgid, nd: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES, LANES),
+            pl.BlockSpec((1, CHUNK_SUB, LANES),
                          lambda c, wid, dgid, nd: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES, LANES),
+            pl.BlockSpec((1, CHUNK_SUB, LANES),
                          lambda c, wid, dgid, nd: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, LANES),
+            pl.BlockSpec((1, 8, CHUNK_SUB),
                          lambda c, wid, dgid, nd: (c, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((g_real, LANES),
                                lambda c, wid, dgid, nd: (0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((LANES, LANES), x_pad.dtype)],
+        scratch_shapes=[pltpu.VMEM((CHUNK_SUB, LANES), x_pad.dtype),
+                        pltpu.VMEM((LANES, LANES), x_pad.dtype)],
     )
     y2 = pl.pallas_call(
         _lane_kernel,
@@ -121,19 +128,19 @@ def lane_spmv(x_pad: jax.Array, idx1t: jax.Array, idx2: jax.Array,
 
 def pack_tiles(tiles: dict, n_pad: int, dtype) -> dict:
     """Upload scheduler output as device tiles for lane_spmv, deriving the
-    per-chunk group-run structure (rank / dgid / ndist)."""
-    gid = tiles["gid"]  # (C, 128)
+    per-sub-block group-run structure (rank / dgid / ndist)."""
+    gid = tiles["gid"].reshape(-1, SUBBLOCKS, LANES)  # (C, j, s)
     C = gid.shape[0]
-    boundary = np.ones((C, LANES), bool)
-    boundary[:, 1:] = gid[:, 1:] != gid[:, :-1]
-    rank = np.cumsum(boundary, axis=1).astype(np.int32) - 1  # (C, 128)
-    ndist = rank[:, -1] + 1                                  # (C,)
-    dgid = np.zeros((C, LANES), np.int32)
-    ci, si = np.nonzero(boundary)
-    dgid[ci, rank[ci, si]] = gid[ci, si]
+    boundary = np.ones_like(gid, dtype=bool)
+    boundary[:, :, 1:] = gid[:, :, 1:] != gid[:, :, :-1]
+    rank = np.cumsum(boundary, axis=2).astype(np.int32) - 1
+    ndist = rank[:, :, -1] + 1                        # (C, j)
+    dgid = np.zeros((C, SUBBLOCKS, LANES), np.int32)
+    ci, ji, si = np.nonzero(boundary)
+    dgid[ci, ji, rank[ci, ji, si]] = gid[ci, ji, si]
 
-    rank_tile = np.zeros((C, 8, LANES), np.int32)
-    rank_tile[:, 0, :] = rank
+    rank_tile = np.zeros((C, 8, CHUNK_SUB), np.int32)
+    rank_tile[:, 0, :] = rank.reshape(C, CHUNK_SUB)
 
     return {
         "idx1t": jnp.asarray(tiles["idx1t"]),
@@ -141,7 +148,7 @@ def pack_tiles(tiles: dict, n_pad: int, dtype) -> dict:
         "vals": jnp.asarray(tiles["vals"].astype(np.dtype(dtype))),
         "rank": jnp.asarray(rank_tile),
         "dgid": jnp.asarray(dgid.reshape(-1)),
-        "ndist": jnp.asarray(ndist.astype(np.int32)),
+        "ndist": jnp.asarray(ndist.reshape(-1).astype(np.int32)),
         "wid": jnp.asarray(tiles["wid"]),
         "G": tiles["G"],
     }

@@ -247,26 +247,44 @@ def _next_pow2(x: int) -> int:
 
 
 def plan_buckets(nnz_per_row: np.ndarray, min_width: int,
-                 min_bucket_rows: int) -> list[tuple[int, np.ndarray]]:
+                 min_bucket_rows: int,
+                 locality_key: np.ndarray | None = None
+                 ) -> list[tuple[int, np.ndarray]]:
     """Assign each row a power-of-two ELL width and group rows by width.
 
     Groups smaller than min_bucket_rows are merged into the next wider
     group (analogous in spirit to the reference's short/medium row split,
     src/preprocess.cu:17-39, generalised to geometric widths).
-    Returns [(width, row_indices)] with widths ascending; row order within a
-    bucket preserves original order.
+    Returns [(width, row_indices)] with widths ascending; row order within
+    a bucket preserves original order, or follows locality_key when given
+    (rows with nearby keys land in the same 128-row LaneELL group, so
+    structured matrices touch fewer x-windows per group).
     """
     nnz_per_row = np.asarray(nnz_per_row)
     widths = np.maximum(min_width,
                         np.exp2(np.ceil(np.log2(np.maximum(nnz_per_row, 1)))).astype(np.int64))
     uniq = np.unique(widths)
-    groups = [(int(w), np.nonzero(widths == w)[0]) for w in uniq]
+    if locality_key is None:
+        groups = [(int(w), np.nonzero(widths == w)[0]) for w in uniq]
+    else:
+        locality_key = np.asarray(locality_key)
+        groups = []
+        for w in uniq:
+            rows = np.nonzero(widths == w)[0]
+            groups.append((int(w),
+                           rows[np.argsort(locality_key[rows],
+                                           kind="stable")]))
     # Merge small groups upward.
+    def resort(rows):
+        if locality_key is None:
+            return np.sort(rows)
+        return rows[np.argsort(locality_key[rows], kind="stable")]
+
     merged: list[tuple[int, np.ndarray]] = []
     carry = None
     for i, (w, rows) in enumerate(groups):
         if carry is not None:
-            rows = np.sort(np.concatenate([carry, rows]))
+            rows = resort(np.concatenate([carry, rows]))
             carry = None
         if len(rows) < min_bucket_rows and i + 1 < len(groups):
             carry = rows
@@ -276,7 +294,7 @@ def plan_buckets(nnz_per_row: np.ndarray, min_width: int,
         # Everything was small: single bucket at the largest width seen.
         if merged:
             w, rows = merged[-1]
-            merged[-1] = (w, np.sort(np.concatenate([rows, carry])))
+            merged[-1] = (w, resort(np.concatenate([rows, carry])))
         else:
             merged = [(int(uniq[-1]), carry)]
     return merged
