@@ -39,6 +39,8 @@ enum class RecType : uint8_t {
     FreeSingletonCol, // j, i, a, cj, rstar, row snapshot -> x_j, y_i, z_j
     DoubletonEq,    // i, j (subbed out), k (kept): x_j from the equation,
                     // z split by bound provenance, y_i from stationarity
+    ParallelCol,    // j (kept), k (merged away), s: columns k = s * j with
+                    // costs in the same ratio; w = x_j + s x_k
 };
 
 struct Rec {
@@ -562,6 +564,96 @@ class Presolver {
         return changed;
     }
 
+    // Parallel columns: A_:,k = s * A_:,j with c_k = s * c_j.  Merge into
+    // one variable w = x_j + s x_k with summed (sign-aware) bounds; the
+    // postsolve splits w back and sets z_j = z_w, z_k = s z_w (always
+    // stationarity- and sign-consistent since the columns are parallel).
+    bool pass_parallel_cols() {
+        struct ColKey {
+            std::vector<int32_t> rows;
+            std::vector<double> ratio;
+            bool operator==(const ColKey &o) const {
+                if (rows != o.rows) return false;
+                for (size_t t = 0; t < ratio.size(); ++t)
+                    if (std::fabs(ratio[t] - o.ratio[t]) >
+                        1e-12 * std::max(1.0, std::fabs(ratio[t])))
+                        return false;
+                return true;
+            }
+        };
+        struct KeyHash {
+            size_t operator()(const ColKey &k) const {
+                size_t h = 1469598103934665603ull;
+                for (int32_t r : k.rows) h = (h ^ (size_t)r) * 1099511628211ull;
+                for (double q : k.ratio) {
+                    int64_t v = (int64_t)std::llround(q * 1e9);
+                    h = (h ^ (size_t)v) * 1099511628211ull;
+                }
+                return h;
+            }
+        };
+        std::unordered_map<ColKey, int64_t, KeyHash> seen;
+        std::vector<std::pair<int32_t, double>> buf;
+        bool changed = false;
+        for (int64_t k = 0; k < P.n; ++k) {
+            if (!P.calive[k] || P.clen[k] < 1) continue;
+            buf.clear();
+            for (int64_t e : P.cole[k]) {
+                const Ent &en = P.ents[e];
+                if (en.alive) buf.push_back({en.r, en.v});
+            }
+            std::sort(buf.begin(), buf.end());
+            const double v0 = buf[0].second;
+            if (std::fabs(v0) < 1e-300) continue;
+            ColKey key;
+            for (auto &[rr, vv] : buf) {
+                key.rows.push_back(rr);
+                key.ratio.push_back(vv / v0);
+            }
+            auto it = seen.find(key);
+            if (it == seen.end()) {
+                seen.emplace(std::move(key), k);
+                continue;
+            }
+            const int64_t j = it->second;
+            // Ratio s with A_k = s * A_j.
+            double v0_j = 0.0;
+            for (int64_t e : P.cole[j]) {
+                const Ent &en = P.ents[e];
+                if (en.alive && en.r == buf[0].first) { v0_j = en.v; break; }
+            }
+            if (std::fabs(v0_j) < 1e-300) continue;
+            const double s = v0 / v0_j;
+            // Costs must be in the same ratio.
+            if (std::fabs(P.c[k] - s * P.c[j]) >
+                1e-10 * std::max(1.0, std::fabs(P.c[k])))
+                continue;
+            Rec r;
+            r.type = RecType::ParallelCol;
+            r.j = (int32_t)j;
+            r.i = (int32_t)k;  // merged-away column
+            r.a = s;
+            r.val = {P.l[j], P.u[j], P.l[k], P.u[k]};
+            // w = x_j + s x_k bounds (sign-aware, inf-propagating).
+            auto lo_of = [&](double lj, double bk) { return lj + bk; };
+            const double lo_k = s > 0 ? s * P.l[k] : s * P.u[k];
+            const double up_k = s > 0 ? s * P.u[k] : s * P.l[k];
+            P.l[j] = lo_of(P.l[j], lo_k);
+            P.u[j] = P.u[j] + up_k;
+            log.push_back(std::move(r));
+            for (int64_t e : P.cole[k]) {
+                if (P.ents[e].alive) {
+                    P.kill_entry(e);
+                    stats.nnz_removed++;
+                }
+            }
+            P.calive[k] = 0;
+            stats.cols_removed++;
+            changed = true;
+        }
+        return changed;
+    }
+
     // ---- driver ---------------------------------------------------------
 
     void run(int max_rounds) {
@@ -582,6 +674,8 @@ class Presolver {
             changed |= pass_dual_fix();
             if (status != HPRES_OK) return;
             changed |= pass_parallel_rows();
+            if (status != HPRES_OK) return;
+            changed |= pass_parallel_cols();
             if (status != HPRES_OK) return;
             if (!changed) break;
         }
@@ -766,6 +860,26 @@ class Presolver {
                     for (size_t t = 4; t < r.val.size(); ++t)
                         acc -= r.val[t] * y[r.idx[t - 3]];
                     y[r.i] = acc / aj;
+                    break;
+                }
+                case RecType::ParallelCol: {
+                    // w = x_j + s x_k; val = [l_j, u_j, l_k, u_k].
+                    const int64_t k = r.i;
+                    const double s = r.a;
+                    const double lj = r.val[0], uj = r.val[1];
+                    const double lk = r.val[2], uk = r.val[3];
+                    const double w = x[r.j];
+                    // Feasible split interval for x_j given x_k's box.
+                    const double lo_x = std::max(
+                        lj, s > 0 ? w - s * uk : w - s * lk);
+                    const double hi_x = std::min(
+                        uj, s > 0 ? w - s * lk : w - s * uk);
+                    // Any point works (the interval collapses whenever a
+                    // w-bound is active); anchor at 0 clipped in.
+                    const double xj = std::min(std::max(0.0, lo_x), hi_x);
+                    x[r.j] = xj;
+                    x[k] = (w - xj) / s;
+                    z[k] = s * z[r.j];
                     break;
                 }
                 case RecType::FreeSingletonCol: {

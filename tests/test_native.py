@@ -368,3 +368,35 @@ class TestDoubletonEq:
         assert status == "OK"
         x, y, z, m = _check_postsolve(prob, red, h, tol=2e-5)
         assert prob.c @ x == pytest.approx(ref.fun, rel=1e-4, abs=1e-4)
+
+
+class TestParallelCols:
+    def test_merge_and_split(self):
+        # x1's column = 2 * x0's column, costs in the same ratio.
+        prob = _pp([[1.0, 2.0, 1.0], [2.0, 4.0, 0.0]],
+                   [-np.inf, -np.inf], [10.0, 12.0],
+                   [0.0, 0.0, 0.0], [4.0, 3.0, np.inf],
+                   [-1.0, -2.0, -5.0])
+        status, red, h = presolve_problem(prob)
+        assert status == "OK"
+        assert h.stats()["cols_removed"] >= 1
+        x, y, z, m = _check_postsolve(prob, red, h, tol=1e-5)
+        assert 0.0 - 1e-8 <= x[0] <= 4.0 + 1e-8
+        assert 0.0 - 1e-8 <= x[1] <= 3.0 + 1e-8
+
+    def test_negative_ratio(self):
+        prob = _pp([[1.0, -1.0], [1.0, -1.0]],
+                   [-np.inf, -np.inf], [5.0, 5.0],
+                   [0.0, -2.0], [3.0, 2.0], [1.0, -1.0])
+        status, red, h = presolve_problem(prob)
+        assert status == "OK"
+        x, y, z, m = _check_postsolve(prob, red, h, tol=1e-5)
+
+    def test_cost_mismatch_not_merged(self):
+        # Same sparsity ratio but costs break the ratio -> no merge.
+        A = [[1.0, 2.0], [3.0, 6.0]]
+        prob = _pp(A, [-np.inf, -np.inf], [4.0, 13.0],
+                   [0.0, 0.0], [10.0, 10.0], [-1.0, -5.0])
+        status, red, h = presolve_problem(prob)
+        assert status == "OK"
+        x, y, z, m = _check_postsolve(prob, red, h, tol=1e-5)
