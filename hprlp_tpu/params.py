@@ -21,8 +21,10 @@ class Parameters:
 
     TPU-native additions:
       precision: "auto" | "f32" | "f64".  "auto" picks f64 on CPU backends
-        (when x64 is available) and f32 on TPU.  TPUs have no native f64;
-        the f32 path relies on the scaling pipeline for conditioning.
+        and f32 on TPU.  TPUs have no native f64 but XLA emulates it:
+        "f64" is the high-accuracy mode (validated to 1e-8 KKT on TPU,
+        where f32 typically stalls around 1e-4..1e-6); "f32" is the fast
+        mode (LaneELL/dense MXU backends) for 1e-4-grade solves.
       spmv_backend: "auto" | "gather" | "dense" ("xla" = alias of
         "gather").  Analogue of the reference's fused-kernel autotuner
         (src/main_iterate.cu:517-595): "auto" benchmarks the backends on
