@@ -275,6 +275,20 @@ def solve_batched(A, C, AL, AU, l, u, obj_constants=None,
         scale_matrix, static_argnames=("use_cr", "use_ruiz", "use_pc"))(
         lp0.A, lp0.AT, params.use_CR_scaling, params.use_Ruiz_scaling,
         params.use_Pock_Chambolle_scaling)
+
+    # Batched SpMM backend: a dense MXU matmul amortises the matrix read
+    # over the batch columns, so prefer it whenever the dense matrix fits
+    # (the gather path pays XLA's slow TPU gather per member).
+    from ..ops.sparse import with_backend
+    from .autotune import DENSE_BYTES_LIMIT
+
+    want = params.spmv_backend
+    dense_ok = (m_pad * n_pad * jnp.dtype(dtype).itemsize
+                <= DENSE_BYTES_LIMIT)
+    if want == "dense" or (want in ("auto", "lane") and dense_ok
+                           and jax.default_backend() != "cpu"):
+        A_s = with_backend(A_s, "dense")
+        AT_s = with_backend(AT_s, "dense")
     row_norm = np.asarray(jax.device_get(row_norm_d), np.float64)
     col_norm = np.asarray(jax.device_get(col_norm_d), np.float64)
 
