@@ -564,6 +564,72 @@ class Presolver {
         return changed;
     }
 
+    // Primal propagation (parity: PSLP Primal_propagation.c, one round per
+    // row per pass).  Implied bounds are used DETECTION-ONLY — to declare
+    // infeasibility or to fix a variable at one of its EXISTING bounds —
+    // and are never installed as new bounds, which keeps dual postsolve
+    // exact (the reference installs bounds and pays for it with
+    // BOUND_CHANGE postsolve records).
+    bool pass_primal_propagation() {
+        bool changed = false;
+        for (int64_t i = 0; i < P.m; ++i) {
+            if (!P.ralive[i] || P.rlen[i] < 2) continue;
+            double amin = 0.0, amax = 0.0;
+            int inf_min = 0, inf_max = 0;
+            for (int64_t e : P.rowe[i]) {
+                const Ent &en = P.ents[e];
+                if (!en.alive) continue;
+                const double lo = P.l[en.c], up = P.u[en.c];
+                if (en.v > 0) {
+                    if (lo == -INF) inf_min++; else amin += en.v * lo;
+                    if (up == INF) inf_max++; else amax += en.v * up;
+                } else {
+                    if (up == INF) inf_min++; else amin += en.v * up;
+                    if (lo == -INF) inf_max++; else amax += en.v * lo;
+                }
+            }
+            for (int64_t e : P.rowe[i]) {
+                const Ent &en = P.ents[e];
+                if (!en.alive) continue;
+                const int64_t k = en.c;
+                const double a = en.v;
+                const double lo = P.l[k], up = P.u[k];
+                // Residual min-activity excluding k's own contribution.
+                double rest_min;
+                const bool k_inf_min = (a > 0 ? lo == -INF : up == INF);
+                if (inf_min - (k_inf_min ? 1 : 0) > 0) continue;
+                rest_min = amin - (k_inf_min ? 0.0
+                           : (a > 0 ? a * lo : a * up));
+                // Implied bound from AU_i: a*x_k <= AU_i - rest_min.
+                if (std::isfinite(P.AU[i])) {
+                    const double slack = P.AU[i] - rest_min;
+                    if (a > 0) {
+                        const double iu = slack / a;
+                        if (infeas(std::isfinite(lo) && iu < lo - tol))
+                            return changed;
+                        if (std::isfinite(lo) && iu <= lo + tol &&
+                            up > lo) {
+                            fix_col(k, lo);
+                            changed = true;
+                            break;  // activities stale; next row
+                        }
+                    } else {
+                        const double il = slack / a;
+                        if (infeas(std::isfinite(up) && il > up + tol))
+                            return changed;
+                        if (std::isfinite(up) && il >= up - tol &&
+                            lo < up) {
+                            fix_col(k, up);
+                            changed = true;
+                            break;
+                        }
+                    }
+                }
+            }
+        }
+        return changed;
+    }
+
     // Parallel columns: A_:,k = s * A_:,j with c_k = s * c_j.  Merge into
     // one variable w = x_j + s x_k with summed (sign-aware) bounds; the
     // postsolve splits w back and sets z_j = z_w, z_k = s z_w (always
@@ -676,6 +742,8 @@ class Presolver {
             changed |= pass_parallel_rows();
             if (status != HPRES_OK) return;
             changed |= pass_parallel_cols();
+            if (status != HPRES_OK) return;
+            changed |= pass_primal_propagation();
             if (status != HPRES_OK) return;
             if (!changed) break;
         }

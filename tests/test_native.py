@@ -400,3 +400,23 @@ class TestParallelCols:
         status, red, h = presolve_problem(prob)
         assert status == "OK"
         x, y, z, m = _check_postsolve(prob, red, h, tol=1e-5)
+
+
+class TestPrimalPropagation:
+    def test_implied_fixing(self):
+        # Row: x0 + x1 <= 2 with l = (1, 1): slack forces both to their
+        # lower bounds.
+        prob = _pp([[1.0, 1.0]], [-np.inf], [2.0],
+                   [1.0, 1.0], [5.0, 5.0], [-1.0, -2.0])
+        status, red, h = presolve_problem(prob)
+        assert status == "OK"
+        assert red.n == 0  # everything fixed
+        x, y, z, m = _check_postsolve(prob, red, h, tol=1e-6)
+        np.testing.assert_allclose(x, [1.0, 1.0])
+
+    def test_propagation_infeasible(self):
+        # x0 + x1 <= 1 with l = (1, 1): rest_min forces iu < l.
+        prob = _pp([[1.0, 1.0]], [-np.inf], [1.0],
+                   [1.0, 1.0], [5.0, 5.0], [1.0, 1.0])
+        status, red, h = presolve_problem(prob)
+        assert status == "INFEASIBLE"
