@@ -79,8 +79,11 @@ def random_lp(m, n, nnz_per_row, seed=0, name=""):
 
 
 def run_single(problem, tol, time_limit, max_iter=500_000):
+    # Tolerances beyond f32 reach use the emulated-f64 mode on TPU
+    # (precision="auto" resolves to f32 there; see Parameters.precision).
     p = Parameters(verbose=False, stop_tol=tol, time_limit=time_limit,
-                   max_iter=max_iter)
+                   max_iter=max_iter,
+                   precision="f64" if tol < 1e-6 else "auto")
     t0 = time.perf_counter()
     res = Model(problem).solve(p)
     wall = time.perf_counter() - t0
