@@ -115,15 +115,16 @@ def schedule_lane_ell(rows_p: np.ndarray, cols_p: np.ndarray,
 
     rows_p/cols_p: PADDED row/col positions per nonzero; vals: values.
 
-    Returns dict with per-chunk tiles (C = number of 128-sublane chunks):
-      idx1t: (C, 128, 128) int32 — phase-1 row-in-window, TRANSPOSED
+    Returns dict with per-chunk tiles (C = number of CHUNK_SUB-sublane
+    super-chunks):
+      idx1t: (C, 128, CHUNK_SUB) int32 — phase-1 row-in-window, TRANSPOSED
              (lane-major) for the gather on the transposed window;
-      idx2:  (C, 128, 128) int32 — phase-2 source residue per row-lane;
-      vals:  (C, 128, 128) f32;
-      gid:   (C, 128) int32 — output group per sublane (sorted runs);
+      idx2:  (C, CHUNK_SUB, 128) int32 — phase-2 source residue per lane;
+      vals:  (C, CHUNK_SUB, 128) in the input values' dtype;
+      gid:   (C, CHUNK_SUB) int32 — output group per sublane (sorted runs);
       wid:   (C,) int32 — window per chunk;
-      cols:  (C, 128, 128) int64 — padded col per slot, -1 empty (tests /
-             re-scaling);
+      cols:  (C, CHUNK_SUB, 128) int64 — padded col per slot, -1 empty
+             (tests / re-scaling);
       G: m_pad // 128;  n_windows: padded window count.
     """
     G = m_pad // LANES
@@ -178,7 +179,9 @@ def schedule_lane_ell(rows_p: np.ndarray, cols_p: np.ndarray,
 
     idx1 = np.zeros((T_pad, LANES), np.int32)
     idx2 = np.zeros((T_pad, LANES), np.int32)
-    vtile = np.zeros((T_pad, LANES), np.float32)
+    # Values keep their own dtype; pack_tiles casts to the solve dtype
+    # (storing f32 here would silently truncate f64 solves).
+    vtile = np.zeros((T_pad, LANES), np.asarray(vals).dtype)
     ctile = np.full((T_pad, LANES), -1, np.int64)
 
     # Map each entry's scheduled sublane through the chunk padding.
@@ -186,7 +189,7 @@ def schedule_lane_ell(rows_p: np.ndarray, cols_p: np.ndarray,
     s_ent = new_pos[sub_of]
     idx1[s_ent, rho_all] = r_all.astype(np.int32)
     idx2[s_ent, l_all] = rho_all.astype(np.int32)
-    vtile[s_ent, l_all] = vals.astype(np.float32)
+    vtile[s_ent, l_all] = vals
     ctile[s_ent, l_all] = cols_p
 
     return {

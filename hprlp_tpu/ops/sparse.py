@@ -69,12 +69,12 @@ class EllMatrix:
                                      metadata=dict(static=True))
     dense: jax.Array | None = None  # (nrows, ncols) when backend == "dense"
     # LaneELL tiles (backend == "lane"); see ops/lane_ell.py.
-    lane_idx1t: jax.Array | None = None  # (C, 128, 128) int32
-    lane_idx2: jax.Array | None = None   # (C, 128, 128) int32
-    lane_vals: jax.Array | None = None   # (C, 128, 128) dtype
-    lane_rank: jax.Array | None = None   # (C, 8, 128) int32
-    lane_dgid: jax.Array | None = None   # (C*128,) int32
-    lane_ndist: jax.Array | None = None  # (C,) int32
+    lane_idx1t: jax.Array | None = None  # (C, 128, CHUNK_SUB) int32
+    lane_idx2: jax.Array | None = None   # (C, CHUNK_SUB, 128) int32
+    lane_vals: jax.Array | None = None   # (C, CHUNK_SUB, 128) dtype
+    lane_rank: jax.Array | None = None   # (C, 8, CHUNK_SUB) int32
+    lane_dgid: jax.Array | None = None   # (C*CHUNK_SUB,) int32
+    lane_ndist: jax.Array | None = None  # (C*SUBBLOCKS,) int32
     lane_wid: jax.Array | None = None    # (C,) int32
 
     @property

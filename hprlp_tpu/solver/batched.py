@@ -289,6 +289,12 @@ def solve_batched(A, C, AL, AU, l, u, obj_constants=None,
                            and jax.default_backend() != "cpu"):
         A_s = with_backend(A_s, "dense")
         AT_s = with_backend(AT_s, "dense")
+    elif want == "lane":
+        import sys as _sys
+
+        print("[solve_batched] no lane SpMM lowering yet and the dense "
+              "matrix exceeds the size limit; falling back to the gather "
+              "SpMM (slow on TPU)", file=_sys.stderr)
     row_norm = np.asarray(jax.device_get(row_norm_d), np.float64)
     col_norm = np.asarray(jax.device_get(col_norm_d), np.float64)
 
@@ -299,16 +305,31 @@ def solve_batched(A, C, AL, AU, l, u, obj_constants=None,
         out_h[pos, :] = arr_2d
         return out_h
 
-    AL_p = scatter(AL, maps.row_pos, m_pad, -np.inf) / row_norm[:, None]
-    AU_p = scatter(AU, maps.row_pos, m_pad, np.inf) / row_norm[:, None]
-    C_p = scatter(C, maps.col_pos, n_pad, 0.0) / col_norm[:, None]
-    l_p = scatter(l, maps.col_pos, n_pad, 0.0) * col_norm[:, None]
-    u_p = scatter(u, maps.col_pos, n_pad, 0.0) * col_norm[:, None]
+    AL_p = scatter(AL, maps.row_pos, m_pad, -np.inf)
+    AU_p = scatter(AU, maps.row_pos, m_pad, np.inf)
+    C_p = scatter(C, maps.col_pos, n_pad, 0.0)
+    l_p = scatter(l, maps.col_pos, n_pad, 0.0)
+    u_p = scatter(u, maps.col_pos, n_pad, 0.0)
 
-    bvec = np.maximum(np.where(np.isinf(AL_p), 0.0, np.abs(AL_p)),
-                      np.where(np.isinf(AU_p), 0.0, np.abs(AU_p)))
+    def bnorm(ALm, AUm):
+        return np.linalg.norm(
+            np.maximum(np.where(np.isinf(ALm), 0.0, np.abs(ALm)),
+                       np.where(np.isinf(AUm), 0.0, np.abs(AUm))), axis=0)
+
+    # Original-space residual denominators come from the PRE-scaling
+    # vectors (parity: single-LP scale_problem and the reference's batched
+    # path, src/batched_solver.cu:817-819).
+    norm_b_org = 1.0 + bnorm(AL_p, AU_p)
+    norm_c_org = 1.0 + np.linalg.norm(C_p, axis=0)
+
+    AL_p /= row_norm[:, None]
+    AU_p /= row_norm[:, None]
+    C_p /= col_norm[:, None]
+    l_p *= col_norm[:, None]
+    u_p *= col_norm[:, None]
+
     if params.use_bc_scaling:
-        b_scale = 1.0 + np.linalg.norm(bvec, axis=0)
+        b_scale = 1.0 + bnorm(AL_p, AU_p)
         c_scale = 1.0 + np.linalg.norm(C_p, axis=0)
         AL_p /= b_scale
         AU_p /= b_scale
@@ -318,12 +339,8 @@ def solve_batched(A, C, AL, AU, l, u, obj_constants=None,
     else:
         b_scale = np.ones(B)
         c_scale = np.ones(B)
-    norm_b = np.linalg.norm(
-        np.maximum(np.where(np.isinf(AL_p), 0.0, np.abs(AL_p)),
-                   np.where(np.isinf(AU_p), 0.0, np.abs(AU_p))), axis=0)
+    norm_b = bnorm(AL_p, AU_p)
     norm_c = np.linalg.norm(C_p, axis=0)
-    norm_b_org = 1.0 + np.linalg.norm(bvec * b_scale[None, :], axis=0)
-    norm_c_org = 1.0 + np.linalg.norm(C_p * c_scale[None, :], axis=0)
 
     lp = BatchedLpDevice(
         A=A_s, AT=AT_s,
@@ -460,12 +477,16 @@ def solve_batched(A, C, AL, AU, l, u, obj_constants=None,
         # reference :667-762).
         restart_flag = np.zeros(B, np.int8)
         if periodic:
-            if it == params.check_iter:
+            # ">=": the exact boundary may be skipped by the chunk
+            # scheduler's no-2-iteration-chunks rule.
+            if it >= params.check_iter and first_restart.any():
                 fr = first_restart & active
                 restart_flag[fr] = 1
                 best_gap = np.where(fr, current_gap, best_gap)
                 best_sigma = np.where(fr, sigma, best_sigma)
-                first_restart &= ~fr
+                # All members pass the first-restart point together
+                # (converged ones are frozen anyway).
+                first_restart[:] = False
             else:
                 est = ~first_restart & active
                 cg = np.where(current_gap < 0, 1e-6, current_gap)
@@ -487,7 +508,8 @@ def solve_batched(A, C, AL, AU, l, u, obj_constants=None,
             pm = metrics["move_x"]
             dm = metrics["move_y"]
             ok = ((pm > 1e-16) & (dm > 1e-16) & (pm < 1e12) & (dm < 1e12))
-            ratio = (pm / np.maximum(dm, 1e-300)) / math.sqrt(lam_shared)
+            # Per-member lambda (it may have been self-corrected upward).
+            ratio = (pm / np.maximum(dm, 1e-300)) / np.sqrt(lam)
             fact = np.exp(-0.05 * (current_gap
                                    / np.maximum(best_gap, 1e-300)))
             sig_cand = np.exp(fact * np.log(np.maximum(ratio, 1e-300))

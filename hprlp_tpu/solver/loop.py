@@ -114,7 +114,9 @@ def check_restart(ri: RestartInfo, it: int, check_iter: int, sigma: float
     """Reference: src/main_iterate.cu:324-364 (flags overwrite in order)."""
     ri.restart_flag = 0
     if ri.first_restart:
-        if it == check_iter:
+        # ">=": the exact check_iter boundary may be skipped by the
+        # chunk scheduler's no-2-iteration-chunks rule.
+        if it >= check_iter:
             ri.first_restart = False
             ri.restart_flag = 1
             ri.best_gap = ri.current_gap
@@ -258,8 +260,13 @@ def solve_problem(problem: LpProblem, params: Parameters | None = None,
         from ..ops.sparse import with_backend
 
         b = params.spmv_backend
-        lp = dataclasses.replace(lp, A=with_backend(lp.A, b),
-                                 AT=with_backend(lp.AT, b))
+        if b == "lane" and dtype == jnp.float64:
+            # Mosaic has no f64; fall back rather than fail at compile.
+            print("[solver] spmv_backend='lane' is f32-only; using "
+                  "'gather' for the f64 solve", file=__import__("sys").stderr)
+        else:
+            lp = dataclasses.replace(lp, A=with_backend(lp.A, b),
+                                     AT=with_backend(lp.AT, b))
 
     ri = RestartInfo(best_sigma=sigma)
     obj_constant = maps.obj_constant

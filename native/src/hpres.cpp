@@ -148,7 +148,10 @@ class Presolver {
                     if (P.ents[k].alive) { e = k; break; }
                 const double a = P.ents[e].v;
                 const int64_t j = P.ents[e].c;
-                if (std::fabs(a) < 1e-12) {  // numerically empty
+                if (std::fabs(a) < 1e-300) {  // true numerical zero only:
+                    // a small-but-nonzero coefficient still constrains x_j
+                    // (the implied bounds below are just large), so it must
+                    // NOT be dropped — 1e-13*x <= 1 really means x <= 1e13.
                     if (infeas(P.AL[i] > tol || P.AU[i] < -tol)) return changed;
                     remove_row_only(i, RecType::EmptyRow);
                     changed = true;
@@ -419,8 +422,8 @@ class Presolver {
             if (up_t < P.u[k]) P.u[k] = up_t;
             if (infeas(P.l[k] > P.u[k] + tol)) return changed;
 
-            // Substitute into the other rows of column j (fill-in at k).
-            const double s = ak / aj;   // x_j = b/aj - s/ak * ... (see below)
+            // Substitute into the other rows of column j (fill-in at k):
+            // x_j = b/aj - (ak/aj) x_k.
             for (int64_t e : P.cole[j]) {
                 const Ent &en = P.ents[e];
                 if (!en.alive || en.r == i) continue;
@@ -456,7 +459,6 @@ class Presolver {
                 P.kill_entry(e);
                 stats.nnz_removed++;
             }
-            (void)s;
             // Objective: c_j x_j = c_j b/aj - (c_j ak/aj) x_k.
             P.c[k] -= P.c[j] * ak / aj;
             P.obj_shift += P.c[j] * b / aj;
@@ -701,10 +703,9 @@ class Presolver {
             r.a = s;
             r.val = {P.l[j], P.u[j], P.l[k], P.u[k]};
             // w = x_j + s x_k bounds (sign-aware, inf-propagating).
-            auto lo_of = [&](double lj, double bk) { return lj + bk; };
             const double lo_k = s > 0 ? s * P.l[k] : s * P.u[k];
             const double up_k = s > 0 ? s * P.u[k] : s * P.l[k];
-            P.l[j] = lo_of(P.l[j], lo_k);
+            P.l[j] = P.l[j] + lo_k;
             P.u[j] = P.u[j] + up_k;
             log.push_back(std::move(r));
             for (int64_t e : P.cole[k]) {
