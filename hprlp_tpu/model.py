@@ -52,8 +52,14 @@ class Model:
     def from_mps(cls, path: str, **kw) -> "Model":
         return cls(read_mps(path, **kw))
 
-    def solve(self, parameters: Optional[Parameters] = None) -> Results:
-        res = solve_with_presolve(self._problem, parameters)
+    def solve(self, parameters: Optional[Parameters] = None,
+              x0=None, y0=None) -> Results:
+        """Solve; x0/y0 warm-start in the original space (bypasses
+        presolve — the reduction maps would invalidate the point)."""
+        if x0 is not None or y0 is not None:
+            res = solve_problem(self._problem, parameters, x0=x0, y0=y0)
+        else:
+            res = solve_with_presolve(self._problem, parameters)
         return _apply_sense(res, self._problem.objective_sense)
 
     def __enter__(self):

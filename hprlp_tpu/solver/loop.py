@@ -183,11 +183,15 @@ def resolve_dtype(params: Parameters):
 
 
 def solve_problem(problem: LpProblem, params: Parameters | None = None,
-                  _device_data=None) -> Results:
+                  _device_data=None, x0=None, y0=None) -> Results:
     """Full solve: upload -> scale -> power method -> HPR loop -> unscale.
 
     Parity: solve() + HPRLP_main_solve() (reference: src/HPRLP.cu:116-310,
     :493-524) minus presolve (handled by the caller / presolve package).
+
+    x0/y0: optional warm-start primal/dual points in the ORIGINAL space
+    (a capability the reference lacks; SURVEY §7 design stance — the
+    functional chunk design makes it free).
     """
     params = params or Parameters()
     params.validate()
@@ -245,6 +249,19 @@ def solve_problem(problem: LpProblem, params: Parameters | None = None,
         sigma = 1.0
 
     state = init_state(lp)
+    if x0 is not None or y0 is not None:
+        # Map warm-start points into the padded, scaled space (inverse of
+        # unscale_solution: x_scaled = x * col_norm / b_scale).
+        if x0 is not None:
+            xp = np.zeros(lp.n)
+            xp[maps.col_pos] = np.asarray(x0, np.float64)
+            xs = jnp.asarray(xp, dtype) * scal.col_norm / scal.b_scale
+            state = dataclasses.replace(state, x=xs, last_x=xs, x_bar=xs)
+        if y0 is not None:
+            yp = np.zeros(lp.m)
+            yp[maps.row_pos] = np.asarray(y0, np.float64)
+            ys = jnp.asarray(yp, dtype) * scal.row_norm / scal.c_scale
+            state = dataclasses.replace(state, y=ys, last_y=ys, y_bar=ys)
 
     # SpMV backend selection (reference autotuner analogue,
     # src/main_iterate.cu:517-595).

@@ -136,3 +136,30 @@ def test_f32_precision_mode(demo_lp):
                                                 stop_tol=1e-4))
     assert res.status == "OPTIMAL"
     assert res.primal_obj == pytest.approx(-26.4, abs=0.05)
+
+
+class TestWarmStart:
+    def test_warm_start_from_optimum_converges_fast(self):
+        from tests.conftest import random_lp
+        from hprlp_tpu import Model, Parameters
+
+        prob = random_lp(31, m=30, n=45, density=0.25)
+        p = Parameters(verbose=False, stop_tol=1e-7, use_presolve=False)
+        cold = Model(prob).solve(p)
+        assert cold.status == "OPTIMAL"
+        warm = Model(prob).solve(p, x0=cold.x, y0=cold.y)
+        assert warm.status == "OPTIMAL"
+        assert warm.iter <= max(cold.iter // 3, 160)
+        assert warm.primal_obj == __import__("pytest").approx(
+            cold.primal_obj, rel=1e-5, abs=1e-5)
+
+    def test_bad_warm_start_still_converges(self):
+        from tests.conftest import random_lp
+        from hprlp_tpu import Model, Parameters
+
+        prob = random_lp(32, m=25, n=35, density=0.3)
+        rng = __import__("numpy").random.default_rng(0)
+        res = Model(prob).solve(
+            Parameters(verbose=False, stop_tol=1e-6, use_presolve=False),
+            x0=rng.normal(size=prob.n) * 100, y0=rng.normal(size=prob.m))
+        assert res.status == "OPTIMAL"
