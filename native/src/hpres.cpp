@@ -246,17 +246,55 @@ class Presolver {
         return changed;
     }
 
+    // True iff x_j's bounds can never be active given row i's other
+    // variables at their bounds (implied free; parity: PSLP StonCols
+    // implied-free eq->ineq conversion, include/explorers/StonCols.h:27-52).
+    bool implied_free(int64_t j, int64_t i, double a) {
+        if (P.l[j] == -INF && P.u[j] == INF) return true;
+        double rest_min = 0.0, rest_max = 0.0;
+        for (int64_t e : P.rowe[i]) {
+            const Ent &en = P.ents[e];
+            if (!en.alive || en.c == j) continue;
+            const double lo = P.l[en.c], up = P.u[en.c];
+            if (en.v > 0) {
+                if (lo == -INF || rest_min == -INF) rest_min = -INF;
+                else rest_min += en.v * lo;
+                if (up == INF || rest_max == INF) rest_max = INF;
+                else rest_max += en.v * up;
+            } else {
+                if (up == INF || rest_min == -INF) rest_min = -INF;
+                else rest_min += en.v * up;
+                if (lo == -INF || rest_max == INF) rest_max = INF;
+                else rest_max += en.v * lo;
+            }
+        }
+        // a x_j in [AL - rest_max, AU - rest_min].
+        const double lo_num = P.AL[i] == -INF || rest_max == INF
+                              ? -INF : P.AL[i] - rest_max;
+        const double up_num = P.AU[i] == INF || rest_min == -INF
+                              ? INF : P.AU[i] - rest_min;
+        const double ij_lo = a > 0 ? lo_num / a
+                             : (up_num == INF ? -INF : up_num / a);
+        const double ij_up = a > 0 ? up_num / a
+                             : (lo_num == -INF ? INF : lo_num / a);
+        const bool lo_ok = P.l[j] == -INF ||
+                           (ij_lo != -INF && ij_lo >= P.l[j] - tol);
+        const bool up_ok = P.u[j] == INF ||
+                           (ij_up != INF && ij_up <= P.u[j] + tol);
+        return lo_ok && up_ok;
+    }
+
     bool pass_free_singleton_cols() {
         bool changed = false;
         for (int64_t j = 0; j < P.n; ++j) {
             if (!P.calive[j] || P.clen[j] != 1) continue;
-            if (P.l[j] != -INF || P.u[j] != INF) continue;
             int64_t e = -1;
             for (int64_t k : P.cole[j])
                 if (P.ents[k].alive) { e = k; break; }
             const int64_t i = P.ents[e].r;
             const double a = P.ents[e].v;
             if (std::fabs(a) < 1e-10) continue;
+            if (!implied_free(j, i, a)) continue;
             const double ca = P.c[j] / a;
             // Row value r* the optimum drives the row to.
             double rstar;

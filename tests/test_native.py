@@ -420,3 +420,29 @@ class TestPrimalPropagation:
                    [1.0, 1.0], [5.0, 5.0], [1.0, 1.0])
         status, red, h = presolve_problem(prob)
         assert status == "INFEASIBLE"
+
+
+class TestImpliedFreeSingleton:
+    def test_implied_free_substituted(self):
+        # x1 in [0, 10] appears only in row 0: x0 + x1 = 4 with x0 in
+        # [0, 3]: implied x1 in [1, 4] subset of [0, 10] -> implied free.
+        prob = _pp([[1.0, 1.0], [1.0, 0.0]],
+                   [4.0, 0.0], [4.0, 3.0],
+                   [0.0, 0.0], [3.0, 10.0], [1.0, 2.0])
+        status, red, h = presolve_problem(prob)
+        assert status == "OK"
+        st = h.stats()
+        assert st["cols_removed"] >= 1
+        x, y, z, m = _check_postsolve(prob, red, h, tol=1e-5)
+        assert x[0] + x[1] == pytest.approx(4.0, abs=1e-6)
+        assert 0.0 - 1e-6 <= x[1] <= 10.0 + 1e-6
+
+    def test_not_implied_free_kept(self):
+        # Implied range [1, 4] NOT within x1's bounds [0, 2] -> no sub.
+        prob = _pp([[1.0, 1.0]],
+                   [4.0], [4.0],
+                   [0.0, 0.0], [3.0, 2.0], [1.0, 2.0])
+        status, red, h = presolve_problem(prob)
+        assert status == "OK"
+        x, y, z, m = _check_postsolve(prob, red, h, tol=1e-5)
+        assert x[1] <= 2.0 + 1e-6
