@@ -69,8 +69,8 @@ class EllMatrix:
                                      metadata=dict(static=True))
     dense: jax.Array | None = None  # (nrows, ncols) when backend == "dense"
     # LaneELL tiles (backend == "lane"); see ops/lane_ell.py.
-    lane_idx1t: jax.Array | None = None  # (C, 128, CHUNK_SUB) int32
-    lane_idx2: jax.Array | None = None   # (C, CHUNK_SUB, 128) int32
+    lane_idx1t: jax.Array | None = None  # (C, 128, CHUNK_SUB) int8
+    lane_idx2: jax.Array | None = None   # (C, CHUNK_SUB, 128) int8
     lane_vals: jax.Array | None = None   # (C, CHUNK_SUB, 128) dtype
     lane_rank: jax.Array | None = None   # (C, 8, CHUNK_SUB) int32
     lane_dgid: jax.Array | None = None   # (C*CHUNK_SUB,) int32
