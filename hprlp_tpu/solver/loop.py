@@ -167,18 +167,24 @@ def update_sigma(ri: RestartInfo, sigma: float, lambda_max: float,
 
 
 def resolve_dtype(params: Parameters):
+    backend = jax.default_backend()
     if params.precision == "f64":
         if not jax.config.jax_enable_x64:
             jax.config.update("jax_enable_x64", True)
         return jnp.float64
     if params.precision == "f32":
+        if jax.config.jax_enable_x64 and backend != "cpu":
+            # A prior f64 solve flipped x64 on globally; 64-bit index
+            # types then poison f32 jits on TPU backends.
+            jax.config.update("jax_enable_x64", False)
         return jnp.float32
     # auto: f64 on CPU backends when available, f32 on accelerators.
-    backend = jax.default_backend()
     if backend == "cpu":
         if not jax.config.jax_enable_x64:
             jax.config.update("jax_enable_x64", True)
         return jnp.float64
+    if jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", False)
     return jnp.float32
 
 
@@ -285,107 +291,111 @@ def solve_problem(problem: LpProblem, params: Parameters | None = None,
             lp = dataclasses.replace(lp, A=with_backend(lp.A, b),
                                      AT=with_backend(lp.AT, b))
 
-    ri = RestartInfo(best_sigma=sigma)
-    obj_constant = maps.obj_constant
+    from .device_loop import init_restart_dev, run_superchunk
 
-    metrics = {k: float(v) for k, v in
-               jax.device_get(initial_metrics(lp, scal, state)).items()}
+    obj_constant = maps.obj_constant
+    obj_c_dev = jnp.asarray(obj_constant, dtype)
+    rd = init_restart_dev(sigma, dtype)
+    sigma_dev = jnp.asarray(sigma, dtype)
+    lam_dev = jnp.asarray(lambda_max, dtype)
+    metrics_prev = initial_metrics(lp, scal, state)
 
     first = {1e-4: True, 1e-6: True, 1e-8: True}
     it = 0
+    check = params.check_iter
     log(" iter     errRp        errRd         p_obj            d_obj"
         "          gap         sigma       time")
 
-    while True:
-        periodic = (it % params.check_iter == 0)
-        res = _derive_residuals(metrics, scal_host, obj_constant, it == 0)
+    def host_res(m_host, at_it):
+        return _derive_residuals(m_host, scal_host, obj_constant, at_it == 0)
 
-        if periodic and it > 0:
-            ri.current_gap, lambda_max = _m_norm(
-                sigma, lambda_max, metrics["gap_dot"], metrics["gap_dy2"],
-                metrics["gap_dx2"])
+    def finish(status, at_it, res, sigma_val, restarts):
+        out.status = status
+        out.iter = at_it
+        out.gap = res.rel_gap
+        out.residuals = res.kkt
+        out.primal_obj = res.primal_obj
+        out.dual_obj = res.dual_obj
+        out.time = elapsed()
+        out.restarts = restarts
+        if out.time4 == 0.0 and first[1e-4]:
+            out.iter4, out.time4 = out.iter, out.time
+        if out.time6 == 0.0 and first[1e-6]:
+            out.iter6, out.time6 = out.iter, out.time
+        if out.time8 == 0.0 and first[1e-8]:
+            out.iter8, out.time8 = out.iter, out.time
+        x_s, y_s, z_s = jax.device_get(unscale_solution(scal, state))
+        out.x = np.asarray(x_s, np.float64)[maps.col_pos]
+        out.y = np.asarray(y_s, np.float64)[maps.row_pos]
+        out.z = np.asarray(z_s, np.float64)[maps.col_pos]
+        log(f"\n=== Solution Summary ===\nStatus: {out.status}\n"
+            f"Iterations: {out.iter}\nTime: {out.time:.2f} seconds\n"
+            f"Primal Objective: {out.primal_obj:.12e}\n"
+            f"Residual: {out.residuals:.2e}\n")
+        return out
 
-        # Stopping (reference: src/main_iterate.cu:406-420).
-        if res.kkt < params.stop_tol:
-            status = "OPTIMAL"
-        elif it >= params.max_iter:
-            status = "ITER_LIMIT"
-        elif elapsed() > params.time_limit:
-            status = "TIME_LIMIT"
-        else:
-            status = "CONTINUE"
-
-        print_flag = (it % _print_step(it) == 0) or status != "CONTINUE"
-        if print_flag:
-            log(f"{it:5d}    {res.err_Rp:.2e}    {res.err_Rd:.2e}    "
-                f"{res.primal_obj:+.6e}    {res.dual_obj:+.6e}    "
-                f"{res.rel_gap:.2e}    {sigma:.2e}      {elapsed():.2f}")
-
+    def milestones(res, at_it, at_time):
         for tol, (attr_i, attr_t) in ((1e-4, ("iter4", "time4")),
                                       (1e-6, ("iter6", "time6")),
                                       (1e-8, ("iter8", "time8"))):
             if first[tol] and res.kkt < tol:
-                setattr(out, attr_i, it)
-                setattr(out, attr_t, elapsed())
+                setattr(out, attr_i, at_it)
+                setattr(out, attr_t, at_time)
                 first[tol] = False
-                log(f"Residual < {tol:.0e} at iter = {it}")
+                log(f"Residual < {tol:.0e} at iter = {at_it}")
 
-        if status != "CONTINUE":
-            out.status = status
-            out.iter = it
-            out.gap = res.rel_gap
-            out.residuals = res.kkt
-            out.primal_obj = res.primal_obj
-            out.dual_obj = res.dual_obj
-            out.time = elapsed()
-            out.restarts = ri.times
-            if out.time4 == 0.0 and first[1e-4]:
-                out.iter4, out.time4 = out.iter, out.time
-            if out.time6 == 0.0 and first[1e-6]:
-                out.iter6, out.time6 = out.iter, out.time
-            if out.time8 == 0.0 and first[1e-8]:
-                out.iter8, out.time8 = out.iter, out.time
-            x_s, y_s, z_s = jax.device_get(unscale_solution(scal, state))
-            out.x = np.asarray(x_s, np.float64)[maps.col_pos]
-            out.y = np.asarray(y_s, np.float64)[maps.row_pos]
-            out.z = np.asarray(z_s, np.float64)[maps.col_pos]
-            log(f"\n=== Solution Summary ===\nStatus: {out.status}\n"
-                f"Iterations: {out.iter}\nTime: {out.time:.2f} seconds\n"
-                f"Primal Objective: {out.primal_obj:.12e}\n"
-                f"Residual: {out.residuals:.2e}\n")
-            return out
+    # Iteration-0 bookkeeping.
+    m0 = {k: float(v) for k, v in jax.device_get(metrics_prev).items()}
+    res = host_res(m0, 0)
+    log(f"{0:5d}    {res.err_Rp:.2e}    {res.err_Rd:.2e}    "
+        f"{res.primal_obj:+.6e}    {res.dual_obj:+.6e}    "
+        f"{res.rel_gap:.2e}    {sigma:.2e}      {elapsed():.2f}")
+    milestones(res, 0, elapsed())
+    if res.kkt < params.stop_tol:
+        return finish("OPTIMAL", 0, res, sigma, 0)
 
-        # Restart decision at periodic checkpoints only
-        # (reference: src/HPRLP.cu:201-205).
-        if periodic:
-            check_restart(ri, it, params.check_iter, sigma)
+    restarts = 0
+    ramp = 1
+    while True:
+        # Super-chunk size: progressive doubling (1, 2, 4, 8 chunks per
+        # dispatch) bounds the overshoot past the stopping point to at
+        # most the distance already travelled; single chunks when verbose
+        # or near the tolerance.
+        if params.verbose or res.kkt < 10 * params.stop_tol:
+            n_chunks = 1
         else:
-            ri.restart_flag = 0
+            n_chunks = ramp
+            ramp = min(ramp * 2, 8)
+        n_chunks = max(1, min(n_chunks,
+                              (params.max_iter - it + check - 1) // check))
 
-        sigma = update_sigma(ri, sigma, lambda_max, res,
-                             metrics["move_x"], metrics["move_y"])
-        if ri.restart_flag > 0:
-            ri.inner = 0
-            ri.times += 1
-            ri.save_gap = math.inf
+        t_disp = time.perf_counter()
+        state, rd, sigma_dev, lam_dev, metrics_prev, stacked = \
+            run_superchunk(lp, scal, state, rd, sigma_dev, lam_dev,
+                           metrics_prev, it, obj_c_dev, n_chunks, check)
+        stacked = {k: np.asarray(v, np.float64)
+                   for k, v in jax.device_get(stacked).items()}
+        t_done = time.perf_counter()
 
-        target = next_checkpoint(it, params.check_iter, params.verbose)
-        if target - it < 2:  # chunk needs >= 2 iterations; skip one checkpoint
-            target = next_checkpoint(target, params.check_iter,
-                                     params.verbose)
-        n_iters = target - it
+        for k in range(n_chunks):
+            it += check
+            # Time attribution within the dispatch: linear interpolation.
+            t_k = (t_disp - t_alg) + (t_done - t_disp) * (k + 1) / n_chunks
+            m_k = {key: stacked[key][k] for key in stacked}
+            res = host_res(m_k, it)
+            sigma = float(stacked["sigma"][k])
+            restarts += int(stacked["flag"][k])
+            milestones(res, it, t_k)
+            if params.verbose and (it % _print_step(it) == 0
+                                   or res.kkt < params.stop_tol):
+                log(f"{it:5d}    {res.err_Rp:.2e}    {res.err_Rd:.2e}    "
+                    f"{res.primal_obj:+.6e}    {res.dual_obj:+.6e}    "
+                    f"{res.rel_gap:.2e}    {sigma:.2e}      {t_k:.2f}")
 
-        state, metrics_dev = run_chunk(
-            lp, scal, state, sigma, lambda_max,
-            jnp.asarray(ri.restart_flag > 0), jnp.asarray(n_iters, jnp.int32))
-        metrics = {k: float(v) for k, v in jax.device_get(metrics_dev).items()}
-
-        if ri.restart_flag > 0:
-            # last_gap = fixed-point M-norm after the first post-restart step
-            # (reference: src/HPRLP.cu:305-307).
-            ri.last_gap, lambda_max = _m_norm(
-                sigma, lambda_max, metrics["fs_dot"], metrics["fs_dy2"],
-                metrics["fs_dx2"])
-
-        ri.inner += n_iters
-        it = target
+        # Stopping uses the LAST chunk's state (what `state` holds).
+        if res.kkt < params.stop_tol:
+            return finish("OPTIMAL", it, res, sigma, restarts)
+        if it >= params.max_iter:
+            return finish("ITER_LIMIT", it, res, sigma, restarts)
+        if elapsed() > params.time_limit:
+            return finish("TIME_LIMIT", it, res, sigma, restarts)
