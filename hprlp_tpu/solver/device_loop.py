@@ -111,25 +111,31 @@ def _decide_and_update(rd: RestartDev, sigma, lam, m_prev, scal,
     save_gap = jnp.where(est, cg_est, rd.save_gap)
     current_gap = jnp.where(est, cg_est, cg)
 
-    # update_sigma (reference :367-404).
+    # update_sigma (reference :367-404).  The exp/log chain runs in f32:
+    # sigma is a step-size heuristic (f32 accuracy is ample), and on TPU
+    # f64 transcendentals are emulated — slow AND inaccurate enough to
+    # degrade the restart quality (observed: 1350 -> 124k iterations on
+    # an f64 solve with the chain in emulated f64).
+    f32 = jnp.float32
     pm, dm = m_prev["move_x"], m_prev["move_y"]
     ok = (pm > 1e-16) & (dm > 1e-16) & (pm < 1e12) & (dm < 1e12)
-    ratio = (pm / jnp.maximum(dm, 1e-300)) / jnp.sqrt(lam)
-    fact = jnp.exp(-0.05 * (current_gap / jnp.maximum(best_gap, 1e-300)))
+    ratio = ((pm / jnp.maximum(dm, 1e-300)) / jnp.sqrt(lam)).astype(f32)
+    fact = jnp.exp((-0.05 * (current_gap
+                             / jnp.maximum(best_gap, 1e-300))).astype(f32))
     temp1 = jnp.maximum(jnp.minimum(err_Rd, err_Rp),
                         jnp.minimum(rel_gap, current_gap))
     sigma_cand = jnp.exp(
-        fact * jnp.log(jnp.maximum(ratio, 1e-300))
-        + (1 - fact) * jnp.log(jnp.maximum(best_sigma, 1e-300)))
+        fact * jnp.log(jnp.maximum(ratio, 1e-30))
+        + (1 - fact) * jnp.log(jnp.maximum(best_sigma.astype(f32), 1e-30)))
     ratio_inf = jnp.where(err_Rp > 0, err_Rd / jnp.maximum(err_Rp, 1e-300),
-                          1.0)
+                          1.0).astype(f32)
     kappa = jnp.where(
-        temp1 > 9e-10, 1.0,
+        temp1 > 9e-10, jnp.asarray(1.0, f32),
         jnp.where(temp1 > 5e-10,
                   jnp.clip(jnp.sqrt(ratio_inf), 1e-2, 100.0),
                   jnp.clip(ratio_inf, 1e-2, 100.0)))
     sigma_new = jnp.where(flag,
-                          jnp.where(ok, kappa * sigma_cand,
+                          jnp.where(ok, (kappa * sigma_cand).astype(dtype),
                                     jnp.asarray(1.0, dtype)),
                           sigma)
 
@@ -148,21 +154,34 @@ def _decide_and_update(rd: RestartDev, sigma, lam, m_prev, scal,
 @functools.partial(jax.jit,
                    static_argnames=("n_chunks", "check_iter"))
 def run_superchunk(lp, scal, state, rd: RestartDev, sigma, lambda_max,
-                   metrics_prev, it0, obj_constant, n_chunks: int,
-                   check_iter: int):
-    """Advance n_chunks * check_iter iterations with on-device restarts.
+                   metrics_prev, it0, obj_constant, stop_tol,
+                   n_chunks: int, check_iter: int):
+    """Advance up to n_chunks * check_iter iterations with on-device
+    restarts AND on-device stopping: the loop exits at the first chunk
+    boundary whose relative KKT error is below stop_tol, so the returned
+    state is exactly the first converged checkpoint (iterating past
+    convergence can destabilise sigma — observed on emulated-f64 TPU).
 
     metrics_prev: the metrics dict from the previous chunk boundary (or
     initial_metrics at it0 == 0).  Returns (state, rd, sigma, lambda_max,
-    stacked) where stacked[k] holds the k-th chunk's metric values plus
-    sigma/flag — everything the host needs for milestones and stopping.
+    m_last, stacked, k_done): stacked[k] holds the k-th chunk's metric
+    values plus sigma/flag for the host's milestone/print bookkeeping;
+    only the first k_done entries are valid.
     """
     dtype = lp.c.dtype
     sigma = jnp.asarray(sigma, dtype)
     lambda_max = jnp.asarray(lambda_max, dtype)
+    stop_tol = jnp.asarray(stop_tol, dtype)
+    buf = {k: jnp.zeros(n_chunks, dtype) for k in METRIC_KEYS}
+    buf["sigma"] = jnp.zeros(n_chunks, dtype)
+    buf["flag"] = jnp.zeros(n_chunks, jnp.int32)
 
-    def step(carry, _):
-        state, rd, sigma, lam, m_prev, it = carry
+    def cond(carry):
+        _, _, _, _, _, _, k, _, done = carry
+        return (k < n_chunks) & jnp.logical_not(done)
+
+    def body(carry):
+        state, rd, sigma, lam, m_prev, it, k, buf, _ = carry
         rd, sigma, lam, flag = _decide_and_update(
             rd, sigma, lam, m_prev, scal, obj_constant, it, check_iter,
             dtype)
@@ -175,12 +194,22 @@ def run_superchunk(lp, scal, state, rd: RestartDev, sigma, lambda_max,
             lambda: (rd.last_gap, lam))
         rd = dataclasses.replace(rd, last_gap=lg,
                                  inner=rd.inner + check_iter)
-        out = {k: m[k] for k in METRIC_KEYS}
-        out["sigma"] = sigma
-        out["flag"] = flag.astype(jnp.int32)
-        return (state, rd, sigma, lam, m, it + check_iter), out
+        it = it + check_iter
+        buf = dict(buf)
+        for key in METRIC_KEYS:
+            buf[key] = buf[key].at[k].set(m[key].astype(dtype))
+        buf["sigma"] = buf["sigma"].at[k].set(sigma)
+        buf["flag"] = buf["flag"].at[k].set(flag.astype(jnp.int32))
+        # Device-side stopping on the NEW boundary's relative KKT error
+        # (same formula the host uses).
+        err_Rp, err_Rd, rel_gap = _residuals_dev(m, scal, obj_constant,
+                                                 False)
+        kkt = jnp.maximum(jnp.maximum(err_Rp, err_Rd), rel_gap)
+        return (state, rd, sigma, lam, m, it, k + 1, buf, kkt < stop_tol)
 
-    (state, rd, sigma, lambda_max, m_last, _), stacked = jax.lax.scan(
-        step, (state, rd, sigma, lambda_max, metrics_prev,
-               jnp.asarray(it0, jnp.int32)), None, length=n_chunks)
-    return state, rd, sigma, lambda_max, m_last, stacked
+    init = (state, rd, sigma, lambda_max, metrics_prev,
+            jnp.asarray(it0, jnp.int32), jnp.asarray(0, jnp.int32), buf,
+            jnp.asarray(False))
+    state, rd, sigma, lambda_max, m_last, _, k_done, buf, _ = \
+        jax.lax.while_loop(cond, body, init)
+    return state, rd, sigma, lambda_max, m_last, buf, k_done

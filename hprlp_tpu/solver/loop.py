@@ -356,12 +356,14 @@ def solve_problem(problem: LpProblem, params: Parameters | None = None,
 
     restarts = 0
     ramp = 1
+    near_tol = False
     while True:
         # Super-chunk size: progressive doubling (1, 2, 4, 8 chunks per
         # dispatch) bounds the overshoot past the stopping point to at
         # most the distance already travelled; single chunks when verbose
-        # or near the tolerance.
-        if params.verbose or res.kkt < 10 * params.stop_tol:
+        # or once ANY checkpoint has come near the tolerance (iterating
+        # far past convergence can destabilise sigma).
+        if params.verbose or near_tol or res.kkt < 10 * params.stop_tol:
             n_chunks = 1
         else:
             n_chunks = ramp
@@ -370,21 +372,25 @@ def solve_problem(problem: LpProblem, params: Parameters | None = None,
                               (params.max_iter - it + check - 1) // check))
 
         t_disp = time.perf_counter()
-        state, rd, sigma_dev, lam_dev, metrics_prev, stacked = \
+        state, rd, sigma_dev, lam_dev, metrics_prev, stacked, k_done = \
             run_superchunk(lp, scal, state, rd, sigma_dev, lam_dev,
-                           metrics_prev, it, obj_c_dev, n_chunks, check)
+                           metrics_prev, it, obj_c_dev,
+                           params.stop_tol, n_chunks, check)
+        k_done = int(k_done)
         stacked = {k: np.asarray(v, np.float64)
                    for k, v in jax.device_get(stacked).items()}
         t_done = time.perf_counter()
 
-        for k in range(n_chunks):
+        for k in range(k_done):
             it += check
             # Time attribution within the dispatch: linear interpolation.
-            t_k = (t_disp - t_alg) + (t_done - t_disp) * (k + 1) / n_chunks
+            t_k = (t_disp - t_alg) + (t_done - t_disp) * (k + 1) / k_done
             m_k = {key: stacked[key][k] for key in stacked}
             res = host_res(m_k, it)
             sigma = float(stacked["sigma"][k])
             restarts += int(stacked["flag"][k])
+            if res.kkt < 10 * params.stop_tol:
+                near_tol = True
             milestones(res, it, t_k)
             if params.verbose and (it % _print_step(it) == 0
                                    or res.kkt < params.stop_tol):
