@@ -274,9 +274,13 @@ def solve_problem(problem: LpProblem, params: Parameters | None = None,
     if params.spmv_backend == "auto":
         from .autotune import autotune_backends
 
+        # Probes run 20 iterations, not a full check_iter chunk: n_iters
+        # is a traced argument, so the SAME compiled chunk serves probes
+        # and production, and 20 iterations rank backends just as well
+        # (a full-length gather probe costs seconds on large problems).
         probe_args = (scal, state, jnp.asarray(sigma, dtype),
                       jnp.asarray(lambda_max, dtype), jnp.asarray(False),
-                      jnp.asarray(params.check_iter, jnp.int32))
+                      jnp.asarray(min(20, params.check_iter), jnp.int32))
         lp = autotune_backends(run_chunk, lp, probe_args,
                                verbose=params.autotune_verbose)
     elif params.spmv_backend in ("dense", "lane"):
