@@ -242,13 +242,6 @@ def solve_problem(problem: LpProblem, params: Parameters | None = None,
     t_alg = time.perf_counter()
     elapsed = lambda: time.perf_counter() - t_alg
 
-    t_pm = time.perf_counter()
-    # Floor guards the degenerate all-zero-A case (zero-constraint LPs):
-    # lambda_max = 0 would make the y-update divide 0/0.
-    lambda_max = max(float(power_method(lp)) * 1.01, 1e-12)
-    out.power_time = time.perf_counter() - t_pm
-    log(f"ESTIMATING MAXIMUM EIGENVALUE time = {out.power_time:.2f} seconds")
-
     if scal_host["norm_b"] > 1e-8 and scal_host["norm_c"] > 1e-8:
         sigma = scal_host["norm_b"] / scal_host["norm_c"]
     else:
@@ -269,8 +262,9 @@ def solve_problem(problem: LpProblem, params: Parameters | None = None,
             ys = jnp.asarray(yp, dtype) * scal.row_norm / scal.c_scale
             state = dataclasses.replace(state, y=ys, last_y=ys, y_bar=ys)
 
-    # SpMV backend selection (reference autotuner analogue,
-    # src/main_iterate.cu:517-595).
+    # SpMV backend selection BEFORE the power method, so the power
+    # iterations also run on the fast backend (reference autotuner
+    # analogue, src/main_iterate.cu:517-595).
     if params.spmv_backend == "auto":
         from .autotune import autotune_backends
 
@@ -278,8 +272,10 @@ def solve_problem(problem: LpProblem, params: Parameters | None = None,
         # is a traced argument, so the SAME compiled chunk serves probes
         # and production, and 20 iterations rank backends just as well
         # (a full-length gather probe costs seconds on large problems).
+        # lambda_max is a placeholder during probing (merit comparison
+        # only — all candidates see the same value).
         probe_args = (scal, state, jnp.asarray(sigma, dtype),
-                      jnp.asarray(lambda_max, dtype), jnp.asarray(False),
+                      jnp.asarray(4.0, dtype), jnp.asarray(False),
                       jnp.asarray(min(20, params.check_iter), jnp.int32))
         lp = autotune_backends(run_chunk, lp, probe_args,
                                verbose=params.autotune_verbose)
@@ -294,6 +290,13 @@ def solve_problem(problem: LpProblem, params: Parameters | None = None,
         else:
             lp = dataclasses.replace(lp, A=with_backend(lp.A, b),
                                      AT=with_backend(lp.AT, b))
+
+    t_pm = time.perf_counter()
+    # Floor guards the degenerate all-zero-A case (zero-constraint LPs):
+    # lambda_max = 0 would make the y-update divide 0/0.
+    lambda_max = max(float(power_method(lp)) * 1.01, 1e-12)
+    out.power_time = time.perf_counter() - t_pm
+    log(f"ESTIMATING MAXIMUM EIGENVALUE time = {out.power_time:.2f} seconds")
 
     from .device_loop import init_restart_dev, run_superchunk
 
