@@ -71,6 +71,12 @@ def autotune_backends(run: Callable, lp: LpDevice, probe_args,
     # f32-only (Mosaic has no f64).
     lane_ok = (jax.default_backend() != "cpu"
                and lp.c.dtype == jnp.float32)
+    if lane_ok:
+        # A dense matvec reads nrows*ncols*4 bytes per SpMV vs LaneELL's
+        # ~30 bytes/nnz; below ~1% density dense cannot win — skip the
+        # expensive densify+probe.
+        density = lp.A.nnz / max(1, lp.A.nrows * lp.A.ncols)
+        dense_ok = dense_ok and density > 0.01
     candidates = [("gather", "gather")]
     if lane_ok:
         candidates.append(("lane", "lane"))
