@@ -163,3 +163,34 @@ class TestWarmStart:
             Parameters(verbose=False, stop_tol=1e-6, use_presolve=False),
             x0=rng.normal(size=prob.n) * 100, y0=rng.normal(size=prob.m))
         assert res.status == "OPTIMAL"
+
+
+class TestDeviceLoop:
+    def test_milestones_recorded_mid_superchunk(self):
+        """iter4/6/8 must come from the stacked per-chunk metrics, not just
+        the final boundary."""
+        from tests.conftest import random_lp
+        from hprlp_tpu import Model, Parameters
+
+        prob = random_lp(41, m=30, n=45, density=0.25)
+        res = Model(prob).solve(Parameters(verbose=False, stop_tol=1e-8,
+                                           use_presolve=False))
+        assert res.status == "OPTIMAL"
+        assert 0 < res.iter4 <= res.iter6 <= res.iter8 <= res.iter
+        assert res.time4 <= res.time6 <= res.time8 <= res.time + 1e-9
+
+    def test_stops_at_first_converged_boundary(self):
+        """Device-side stopping: iter is a multiple of check_iter and the
+        reported kkt belongs to exactly that boundary."""
+        from tests.conftest import random_lp
+        from hprlp_tpu import Model, Parameters
+
+        prob = random_lp(42, m=25, n=40, density=0.3)
+        res = Model(prob).solve(Parameters(verbose=False, stop_tol=1e-6,
+                                           use_presolve=False))
+        assert res.status == "OPTIMAL"
+        assert res.iter % 150 == 0
+        assert res.residuals < 1e-6
+        # The returned solution reproduces the reported residual.
+        kkt = prob.kkt_error(res.x, res.y, res.z)["kkt"]
+        assert kkt < 2e-6
