@@ -50,7 +50,20 @@ def make_problem():
 
 
 def main():
+    import os
+
     import jax
+
+    # Persistent compile cache: first-time compiles through a remote-compile
+    # TPU tunnel take minutes; cached runs are seconds.
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.expanduser("~/.cache/jax_tpu"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from hprlp_tpu.ops.device_problem import build_device_problem
