@@ -251,6 +251,18 @@ class Constraint:
                                                  float(other))
         return NotImplemented
 
+    def __bool__(self):
+        # Python evaluates `lo <= expr <= hi` as `(lo <= expr) and
+        # (expr <= hi)`: the first Constraint would be truthy and silently
+        # DROPPED, leaving only the upper bound.  (The reference binding
+        # shares this flaw and models it silently wrong,
+        # bindings/python/hprlp/modeling.py.)  Fail loudly instead.
+        raise TypeError(
+            "A Constraint has no truth value. For a two-sided constraint "
+            "use between(lo, expr, hi) or the parenthesised form "
+            "(expr >= lo) <= hi - Python's chained 'lo <= expr <= hi' "
+            "would silently drop the lower bound.")
+
 
 class TwoSidedConstraint(Constraint):
     """lower <= expr <= upper (maps to one row AL <= a'x <= AU)."""

@@ -28,6 +28,13 @@ class PresolveHandle:
         self._ptr = ptr
         self.m_orig = m_orig
         self.n_orig = n_orig
+        # Reduced dimensions the native postsolve will read from the input
+        # buffers.  When the presolver fixes every column but leaves alive
+        # rows (red_m > 0, red_n == 0), the caller naturally passes
+        # zero-length vectors; postsolve() pads to these sizes so the native
+        # loop never reads out of bounds.
+        self.reduced_m = lib.hpres_reduced_m(ptr) if ptr else 0
+        self.reduced_n = lib.hpres_reduced_n(ptr) if ptr else 0
 
     def stats(self) -> dict:
         r = ct.c_int64()
@@ -42,13 +49,18 @@ class PresolveHandle:
     def postsolve(self, x_red: np.ndarray, y_red: np.ndarray,
                   z_red: np.ndarray):
         """Map a reduced solution back to the original space."""
+        def fit(v, size):
+            v = np.ascontiguousarray(v, np.float64)
+            if v.shape[0] < size:
+                v = np.concatenate([v, np.zeros(size - v.shape[0])])
+            return v
+
         x = np.zeros(self.n_orig)
         y = np.zeros(self.m_orig)
         z = np.zeros(self.n_orig)
         self._lib.hpres_postsolve(
-            self._ptr, np.ascontiguousarray(x_red, np.float64),
-            np.ascontiguousarray(y_red, np.float64),
-            np.ascontiguousarray(z_red, np.float64), x, y, z)
+            self._ptr, fit(x_red, self.reduced_n), fit(y_red, self.reduced_m),
+            fit(z_red, self.reduced_n), x, y, z)
         return x, y, z
 
     def __del__(self):

@@ -43,6 +43,7 @@ class Results:
     setup_time: float = 0.0
     scaling_time: float = 0.0
     power_time: float = 0.0
+    autotune_time: float = 0.0
 
     # Restart statistics (reference HPRLP_restart counters).
     restarts: int = 0

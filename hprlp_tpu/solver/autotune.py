@@ -92,10 +92,19 @@ def autotune_backends(run: Callable, lp: LpDevice, probe_args,
     best = lp
     best_time = base_time
     for a_b, at_b in candidates[1:]:
-        cand = LpDevice(A=with_backend(lp.A, a_b),
-                        AT=with_backend(lp.AT, at_b),
-                        AL=lp.AL, AU=lp.AU, c=lp.c, l=lp.l, u=lp.u)
-        t, m = _time_chunk(run, cand, probe_args)
+        # A probe that fails to build or compile (e.g. a Pallas lowering
+        # edge case on a new matrix shape) must not abort the solve: keep
+        # the baseline and move on (the reference's autotuner likewise
+        # only ever switches away from a working baseline).
+        try:
+            cand = LpDevice(A=with_backend(lp.A, a_b),
+                            AT=with_backend(lp.AT, at_b),
+                            AL=lp.AL, AU=lp.AU, c=lp.c, l=lp.l, u=lp.u)
+            t, m = _time_chunk(run, cand, probe_args)
+        except Exception as e:
+            log(f"[autotune] {a_b}/{at_b}: probe failed ({type(e).__name__}: "
+                f"{e}); keeping baseline")
+            continue
         ok = _merit_close(m, base_metrics)
         log(f"[autotune] {a_b}/{at_b}: {t * 1e3:.2f} ms"
             f"{'' if ok else '  (merit mismatch, rejected)'}")

@@ -29,24 +29,6 @@ from .scaling import ScalingInfo, scale_problem
 
 
 @dataclasses.dataclass
-class RestartInfo:
-    """Parity: HPRLP_restart (reference: include/structs.h:215-228)."""
-
-    restart_flag: int = 0
-    first_restart: bool = True
-    last_gap: float = math.inf
-    current_gap: float = math.inf
-    save_gap: float = math.inf
-    best_gap: float = math.inf
-    best_sigma: float = 1.0
-    inner: int = 0
-    sufficient: int = 0
-    necessary: int = 0
-    long: int = 0
-    times: int = 0
-
-
-@dataclasses.dataclass
 class Residuals:
     """Parity: HPRLP_residuals (reference: include/structs.h:255-263)."""
 
@@ -77,21 +59,6 @@ def next_checkpoint(it: int, check_iter: int, with_prints: bool = True) -> int:
         j += 1
 
 
-def _m_norm(sigma: float, lam: float, dot: float, dy2: float, dx2: float
-            ) -> tuple[float, float]:
-    """M-weighted norm with the reference's lambda_max self-correction
-    (reference: src/main_iterate.cu:293-308, :486-515).
-    Returns (norm, possibly-corrected lambda_max)."""
-    dot2 = 2.0 * dot
-    w = sigma * lam * dy2 + dx2 / sigma + dot2
-    if w < 0:
-        if sigma * dy2 > 0:
-            lam = -(dot2 + dx2 / sigma) / (sigma * dy2) * 1.05
-        w = math.sqrt(max(-(dot2 + dx2 / sigma) * 0.05, 0.0))
-        return w, lam
-    return math.sqrt(w), lam
-
-
 def _derive_residuals(metrics: dict, scal_host: dict, obj_constant: float,
                       is_iter0: bool) -> Residuals:
     obj_scale = scal_host["b_scale"] * scal_host["c_scale"]
@@ -107,63 +74,6 @@ def _derive_residuals(metrics: dict, scal_host: dict, obj_constant: float,
         r.err_Rp = max(r.err_Rp, scal_host["b_scale"] * metrics["nrm_lu_viol"])
     r.kkt = max(r.err_Rd, r.err_Rp, r.rel_gap)
     return r
-
-
-def check_restart(ri: RestartInfo, it: int, check_iter: int, sigma: float
-                  ) -> None:
-    """Reference: src/main_iterate.cu:324-364 (flags overwrite in order)."""
-    ri.restart_flag = 0
-    if ri.first_restart:
-        # ">=": the exact check_iter boundary may be skipped by the
-        # chunk scheduler's no-2-iteration-chunks rule.
-        if it >= check_iter:
-            ri.first_restart = False
-            ri.restart_flag = 1
-            ri.best_gap = ri.current_gap
-            ri.best_sigma = sigma
-        return
-    if it % check_iter == 0:
-        if ri.current_gap < 0:
-            ri.current_gap = 1e-6
-        if ri.current_gap <= 0.2 * ri.last_gap:
-            ri.sufficient += 1
-            ri.restart_flag = 1
-        if ri.current_gap <= 0.6 * ri.last_gap and ri.current_gap > ri.save_gap:
-            ri.necessary += 1
-            ri.restart_flag = 2
-        if ri.inner >= 0.2 * it:
-            ri.long += 1
-            ri.restart_flag = 3
-        if ri.best_gap > ri.current_gap:
-            ri.best_gap = ri.current_gap
-            ri.best_sigma = sigma
-        ri.save_gap = ri.current_gap
-
-
-def update_sigma(ri: RestartInfo, sigma: float, lambda_max: float,
-                 res: Residuals, primal_move: float, dual_move: float
-                 ) -> float:
-    """Reference: src/main_iterate.cu:367-404."""
-    if ri.restart_flag <= 0:
-        return sigma
-    if (primal_move > 1e-16 and dual_move > 1e-16
-            and primal_move < 1e12 and dual_move < 1e12):
-        ratio = (primal_move / dual_move) / math.sqrt(lambda_max)
-        fact = math.exp(-0.05 * (ri.current_gap / ri.best_gap))
-        temp1 = max(min(res.err_Rd, res.err_Rp),
-                    min(res.rel_gap, ri.current_gap))
-        sigma_cand = math.exp(fact * math.log(ratio)
-                              + (1 - fact) * math.log(ri.best_sigma))
-        if temp1 > 9e-10:
-            kappa = 1.0
-        elif temp1 > 5e-10:
-            ratio_infeas = res.err_Rd / res.err_Rp if res.err_Rp > 0 else 1.0
-            kappa = max(min(math.sqrt(ratio_infeas), 100.0), 1e-2)
-        else:
-            ratio_infeas = res.err_Rd / res.err_Rp if res.err_Rp > 0 else 1.0
-            kappa = max(min(ratio_infeas, 100.0), 1e-2)
-        return kappa * sigma_cand
-    return 1.0
 
 
 def resolve_dtype(params: Parameters):
@@ -198,7 +108,21 @@ def solve_problem(problem: LpProblem, params: Parameters | None = None,
     x0/y0: optional warm-start primal/dual points in the ORIGINAL space
     (a capability the reference lacks; SURVEY §7 design stance — the
     functional chunk design makes it free).
+
+    The jax_enable_x64 flag is solve-scoped: resolve_dtype may flip the
+    process-global flag to match the requested precision, and it is
+    restored on return so unrelated user JAX code keeps its semantics.
     """
+    prior_x64 = bool(jax.config.jax_enable_x64)
+    try:
+        return _solve_problem_impl(problem, params, _device_data, x0, y0)
+    finally:
+        if bool(jax.config.jax_enable_x64) != prior_x64:
+            jax.config.update("jax_enable_x64", prior_x64)
+
+
+def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
+                        _device_data, x0, y0) -> Results:
     params = params or Parameters()
     params.validate()
     dtype = resolve_dtype(params)
@@ -238,10 +162,6 @@ def solve_problem(problem: LpProblem, params: Parameters | None = None,
     out.scaling_time = time.perf_counter() - t_scale
     log(f"Scaling time = {out.scaling_time:.2f} seconds")
 
-    # --- algorithm clock starts here (reference: src/HPRLP.cu:150) ---
-    t_alg = time.perf_counter()
-    elapsed = lambda: time.perf_counter() - t_alg
-
     if scal_host["norm_b"] > 1e-8 and scal_host["norm_c"] > 1e-8:
         sigma = scal_host["norm_b"] / scal_host["norm_c"]
     else:
@@ -265,6 +185,7 @@ def solve_problem(problem: LpProblem, params: Parameters | None = None,
     # SpMV backend selection BEFORE the power method, so the power
     # iterations also run on the fast backend (reference autotuner
     # analogue, src/main_iterate.cu:517-595).
+    t_tune = time.perf_counter()
     if params.spmv_backend == "auto":
         from .autotune import autotune_backends
 
@@ -290,6 +211,7 @@ def solve_problem(problem: LpProblem, params: Parameters | None = None,
         else:
             lp = dataclasses.replace(lp, A=with_backend(lp.A, b),
                                      AT=with_backend(lp.AT, b))
+    out.autotune_time = time.perf_counter() - t_tune
 
     t_pm = time.perf_counter()
     # Floor guards the degenerate all-zero-A case (zero-constraint LPs):
@@ -297,6 +219,12 @@ def solve_problem(problem: LpProblem, params: Parameters | None = None,
     lambda_max = max(float(power_method(lp)) * 1.01, 1e-12)
     out.power_time = time.perf_counter() - t_pm
     log(f"ESTIMATING MAXIMUM EIGENVALUE time = {out.power_time:.2f} seconds")
+
+    # --- algorithm clock starts here, AFTER backend autotune and the power
+    # method (reference: src/HPRLP.cu:141-167 setup vs :178 loop — probe and
+    # eigenvalue time belongs to setup, not the per-iteration story) ---
+    t_alg = time.perf_counter()
+    elapsed = lambda: time.perf_counter() - t_alg
 
     from .device_loop import init_restart_dev, run_superchunk
 
