@@ -61,6 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto", help="Solve precision (default: auto)")
     p.add_argument("--mesh", type=int, default=None, metavar="N",
                    help="Shard the solve over N devices")
+    p.add_argument("--mps-format", choices=("free", "fixed"),
+                   default="free",
+                   help="MPS card format: free (whitespace tokens, default) "
+                        "or fixed (column positions; names may contain "
+                        "spaces)")
     p.add_argument("--quiet", action="store_true", help="Suppress progress")
     p.add_argument("--solution-out", metavar="FILE", default=None,
                    help="Write status/objective/x/y/z to FILE in a plain "
@@ -117,7 +122,7 @@ def main(argv=None) -> int:
         verbose=not args.quiet,
     )
     try:
-        model = Model.from_mps(args.input)
+        model = Model.from_mps(args.input, mps_format=args.mps_format)
     except Exception as e:  # parse errors -> exit 1 with message
         print(f"Failed to read {args.input}: {e}", file=sys.stderr)
         return 1

@@ -58,14 +58,44 @@ def _warn(msg: str) -> None:
     print(f"[mps] warning: {msg}", file=sys.stderr)
 
 
+def split_fixed_card(line: str) -> list[str]:
+    """Split a FIXED-format MPS card into its positional fields
+    (reference: read_card_fixed, src/mps_reader.cpp:360-483):
+    f1 cols 2-3, f2 5-12, f3 15-22, f4 25-36, f5 40-47, f6 50-61
+    (1-based, inclusive).  Trailing empty fields are dropped; if the first
+    field is empty the remaining fields shift left — the result then reads
+    exactly like a free-format token list.  Fixed format is what allows
+    spaces INSIDE row/column names."""
+    def fld(a: int, b: int) -> str:
+        return line[a:b].strip() if len(line) > a else ""
+
+    fields = [fld(1, 3), fld(4, 12), fld(14, 22), fld(24, 36), fld(39, 47),
+              fld(49, 61)]
+    while fields and not fields[-1]:
+        fields.pop()
+    if fields and not fields[0]:
+        fields = fields[1:]
+    return fields
+
+
 def read_mps(path: str, apply_objsense: bool = True,
-             ignore_quadobj: bool = False) -> LpProblem:
-    """Read an MPS/QPS file (optionally .gz) into an LpProblem."""
+             ignore_quadobj: bool = False,
+             mps_format: str = "free") -> LpProblem:
+    """Read an MPS/QPS file (optionally .gz) into an LpProblem.
+
+    mps_format: "free" (whitespace-delimited, the default — matches the
+    reference's build_model_from_mps, src/mps_reader.cpp:1517) or "fixed"
+    (column-position cards, read_card_fixed :360-483, which permits spaces
+    in names)."""
+    if mps_format not in ("free", "fixed"):
+        raise ValueError(f"mps_format must be 'free' or 'fixed', "
+                         f"got {mps_format!r}")
     with _open_text(path) as f:
-        return _parse(f, path, apply_objsense, ignore_quadobj)
+        return _parse(f, path, apply_objsense, ignore_quadobj,
+                      fixed=(mps_format == "fixed"))
 
 
-def _parse(f, path, apply_objsense, ignore_quadobj) -> LpProblem:
+def _parse(f, path, apply_objsense, ignore_quadobj, fixed=False) -> LpProblem:
     name = ""
     objsense = 1  # +1 MIN (default), -1 MAX
     objname = None
@@ -159,7 +189,12 @@ def _parse(f, path, apply_objsense, ignore_quadobj) -> LpProblem:
             fields = line.split()
             header = fields[0].upper()
             if header == "NAME":
-                name = fields[1] if len(fields) > 1 else ""
+                if fixed:
+                    # Fixed format: the model name starts at column 15
+                    # (reference: :394-398) and may contain spaces.
+                    name = line[14:].strip() if len(line) > 14 else ""
+                else:
+                    name = fields[1] if len(fields) > 1 else ""
                 section = "NAME"
                 continue
             if header == "OBJSENSE":
@@ -180,7 +215,9 @@ def _parse(f, path, apply_objsense, ignore_quadobj) -> LpProblem:
             section = None
             continue
 
-        fields = line.split()
+        fields = split_fixed_card(line) if fixed else line.split()
+        if not fields:
+            continue
         if pending_objsense and section == "OBJSENSE":
             objsense = -1 if fields[0].upper().startswith("MAX") else 1
             pending_objsense = False

@@ -19,16 +19,25 @@ def is_available() -> bool:
 
 
 def read_mps_native(path: str, apply_objsense: bool = True,
-                    ignore_quadobj: bool = False) -> LpProblem:
+                    ignore_quadobj: bool = False,
+                    mps_format: str = "free") -> LpProblem:
     """Read an MPS/MPS.gz file via the native reader.
+
+    mps_format: "free" (default) or "fixed" (column-position cards that
+    permit spaces in names; reference read_card_fixed,
+    src/mps_reader.cpp:360-483).
 
     Raises RuntimeError if the native library is unavailable and
     ValueError on parse errors (same exception surface as io.mps).
     """
+    if mps_format not in ("free", "fixed"):
+        raise ValueError(f"mps_format must be 'free' or 'fixed', "
+                         f"got {mps_format!r}")
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native library unavailable; use io.mps.read_mps")
-    h = lib.hpmps_read(path.encode(), 1 if ignore_quadobj else 0)
+    h = lib.hpmps_read_ex(path.encode(), 1 if ignore_quadobj else 0,
+                          1 if mps_format == "fixed" else 0)
     try:
         st = lib.hpmps_status(h)
         if st != 0:

@@ -48,6 +48,10 @@ def _configure(lib):
     lib.hpres_presolve.argtypes = [
         ct.c_int64, ct.c_int64, _i64p, _i32p, _f64p, _f64p, _f64p, _f64p,
         _f64p, _f64p, ct.c_double, ct.c_int]
+    lib.hpres_presolve_ex.restype = h
+    lib.hpres_presolve_ex.argtypes = [
+        ct.c_int64, ct.c_int64, _i64p, _i32p, _f64p, _f64p, _f64p, _f64p,
+        _f64p, _f64p, ct.c_double, ct.c_int, ct.c_double, ct.c_int]
     lib.hpres_status.restype = ct.c_int
     lib.hpres_status.argtypes = [h]
     for fn in ("hpres_reduced_m", "hpres_reduced_n", "hpres_reduced_nnz"):
@@ -72,6 +76,8 @@ def _configure(lib):
 
     lib.hpmps_read.restype = h
     lib.hpmps_read.argtypes = [ct.c_char_p, ct.c_int]
+    lib.hpmps_read_ex.restype = h
+    lib.hpmps_read_ex.argtypes = [ct.c_char_p, ct.c_int, ct.c_int]
     lib.hpmps_status.restype = ct.c_int
     lib.hpmps_status.argtypes = [h]
     lib.hpmps_error.restype = ct.c_char_p

@@ -74,8 +74,15 @@ def is_available() -> bool:
 
 
 def presolve_problem(problem: LpProblem, feas_tol: float = 1e-8,
-                     max_rounds: int = 0):
+                     max_rounds: int = 0, max_time: float = 0.0,
+                     debug_checks: bool = False):
     """Run native presolve.
+
+    max_time: wall-clock budget in seconds (<= 0 selects the 60 s default;
+    reference: PSLP Presolver.c:90 clipped by pslp_integration.cpp:232-234).
+    debug_checks: run the invariant checker after every pass (parity:
+    PSLP Debugger.c); a violation fails the presolve and the caller solves
+    the unreduced model.
 
     Returns (status, reduced LpProblem | None, PresolveHandle | None):
     status is "OK" / "INFEASIBLE" / "UNBOUNDED" / "UNAVAILABLE".
@@ -89,7 +96,7 @@ def presolve_problem(problem: LpProblem, feas_tol: float = 1e-8,
     A = problem.A.tocsr()
     A.sum_duplicates()
     m, n = A.shape
-    ptr = lib.hpres_presolve(
+    ptr = lib.hpres_presolve_ex(
         m, n,
         np.ascontiguousarray(A.indptr, np.int64),
         np.ascontiguousarray(A.indices, np.int32),
@@ -99,7 +106,8 @@ def presolve_problem(problem: LpProblem, feas_tol: float = 1e-8,
         np.ascontiguousarray(problem.l, np.float64),
         np.ascontiguousarray(problem.u, np.float64),
         np.ascontiguousarray(problem.c, np.float64),
-        float(feas_tol), int(max_rounds))
+        float(feas_tol), int(max_rounds), float(max_time),
+        1 if debug_checks else 0)
     handle = PresolveHandle(lib, ptr, m, n)
 
     st = lib.hpres_status(ptr)

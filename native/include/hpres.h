@@ -5,11 +5,16 @@
  * written from scratch in C++:
  *   - reductions: empty/singleton/redundant/forcing rows, fixed/empty
  *     columns, dual fixing via up/down locks, free singleton column
- *     substitution, parallel rows, activity-based primal propagation
- *     (detection-only: implied bounds are used to fix variables and drop
- *     rows but are NOT installed, keeping dual postsolve exact)
+ *     substitution, doubleton equality substitution, parallel rows/cols,
+ *     activity-based primal propagation with INSTALLED bounds (BoundChange
+ *     postsolve records transfer the bound multiplier back to the implying
+ *     row, parity: PSLP BOUND_CHANGE_* + retrieve_bound_change)
+ *   - FAST/MEDIUM phase driver with <5%-nnz cycle termination and a
+ *     wall-clock budget (parity: PSLP Presolver.c:52-53, :643-748)
  *   - typed postsolve log replayed in reverse to recover (x, y, z) in the
  *     original space (parity: PSLP include/core/Postsolver.h semantics)
+ *   - opt-in invariant checker run after every pass (parity: PSLP
+ *     Debugger.c, which the reference excludes from its embedded build)
  *
  * Problem form (same as the solver):
  *     minimize c'x   s.t.  AL <= A x <= AU,  l <= x <= u
@@ -44,6 +49,19 @@ hpres_handle *hpres_presolve(
     const double *l, const double *u, const double *c,
     double feas_tol,     /* feasibility tolerance (reference: 1e-6) */
     int max_rounds);     /* reduction rounds (0 = default) */
+
+/* Extended entry: wall-clock budget and the opt-in invariant checker.
+ * max_time <= 0 selects the 60 s default (reference: PSLP Presolver.c:90,
+ * clipped by the integration layer to the solver time limit).
+ * debug_checks != 0 validates internal invariants after every pass and
+ * fails the presolve (HPRES_ERROR -> caller solves unreduced) on any
+ * violation — parity: PSLP Debugger.c / DEBUGGER_ENABLED. */
+hpres_handle *hpres_presolve_ex(
+    int64_t m, int64_t n,
+    const int64_t *Ap, const int32_t *Ai, const double *Ax,
+    const double *AL, const double *AU,
+    const double *l, const double *u, const double *c,
+    double feas_tol, int max_rounds, double max_time, int debug_checks);
 
 int hpres_status(const hpres_handle *h);
 

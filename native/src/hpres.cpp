@@ -13,6 +13,7 @@
 #include "../include/hpres.h"
 
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstring>
 #include <limits>
@@ -41,6 +42,11 @@ enum class RecType : uint8_t {
                     // z split by bound provenance, y_i from stationarity
     ParallelCol,    // j (kept), k (merged away), s: columns k = s * j with
                     // costs in the same ratio; w = x_j + s x_k
+    BoundChange,    // j, i, a: bound on x_j tightened to the implied bound
+                    // from row i; replay transfers the bound multiplier to
+                    // y_i (parity: PSLP BOUND_CHANGE_THE_ROW,
+                    // include/core/Postsolver.h:50-51, retrieve_bound_change
+                    // src/core/Postsolver.c:350-414)
 };
 
 struct Rec {
@@ -60,17 +66,31 @@ struct Problem {
     std::vector<char> ralive, calive;
     std::vector<double> AL, AU, l, u, c;
     double obj_shift = 0.0;
+    int64_t live_entries = 0;  // live nnz (fill-in counted, kills deducted)
 
     void kill_entry(int64_t e) {
         if (!ents[e].alive) return;
         ents[e].alive = false;
         rlen[ents[e].r]--;
         clen[ents[e].c]--;
+        live_entries--;
+    }
+
+    void add_entry(int64_t r, int64_t c, double v) {
+        int64_t id = (int64_t)ents.size();
+        ents.push_back({(int32_t)r, (int32_t)c, v, true});
+        rowe[r].push_back(id);
+        cole[c].push_back(id);
+        rlen[r]++;
+        clen[c]++;
+        live_entries++;
     }
 };
 
 struct Stats {
     int64_t rows_removed = 0, cols_removed = 0, nnz_removed = 0, rounds = 0;
+    int64_t bounds_tightened = 0;
+    double time_s = 0.0;
 };
 
 class Presolver {
@@ -487,12 +507,7 @@ class Presolver {
                         stats.nnz_removed++;
                     }
                 } else if (delta != 0.0) {
-                    int64_t id = (int64_t)P.ents.size();
-                    P.ents.push_back({(int32_t)rr, (int32_t)k, delta, true});
-                    P.rowe[rr].push_back(id);
-                    P.cole[k].push_back(id);
-                    P.rlen[rr]++;
-                    P.clen[k]++;
+                    P.add_entry(rr, k, delta);
                 }
                 P.kill_entry(e);
                 stats.nnz_removed++;
@@ -604,12 +619,40 @@ class Presolver {
         return changed;
     }
 
-    // Primal propagation (parity: PSLP Primal_propagation.c, one round per
-    // row per pass).  Implied bounds are used DETECTION-ONLY — to declare
-    // infeasibility or to fix a variable at one of its EXISTING bounds —
-    // and are never installed as new bounds, which keeps dual postsolve
-    // exact (the reference installs bounds and pays for it with
-    // BOUND_CHANGE postsolve records).
+    // Tighten one side of x_k's box to the implied bound from row i,
+    // recording a BoundChange with the row snapshot so postsolve can
+    // transfer the bound multiplier to y_i (parity: PSLP
+    // BOUND_CHANGE_THE_ROW, src/core/Postsolver.c:350-414, 802-820).
+    void install_bound(int64_t i, int64_t k, double a, bool upper_side,
+                       double newb) {
+        Rec r;
+        r.type = RecType::BoundChange;
+        r.i = (int32_t)i;
+        r.j = (int32_t)k;
+        r.a = a;
+        r.flag = upper_side ? 1 : 0;
+        r.d0 = newb;                              // installed bound
+        r.d1 = upper_side ? P.l[k] : P.u[k];      // other side (original)
+        r.b = upper_side ? P.u[k] : P.l[k];       // old changed-side bound
+        for (int64_t e : P.rowe[i]) {
+            const Ent &en = P.ents[e];
+            if (!en.alive) continue;
+            r.idx.push_back(en.c);
+            r.val.push_back(en.v);
+        }
+        log.push_back(std::move(r));
+        (upper_side ? P.u[k] : P.l[k]) = newb;
+        stats.bounds_tightened++;
+    }
+
+    // Primal propagation with INSTALLED bounds (parity: PSLP
+    // Primal_propagation.c, one round per row per pass).  Residual-activity
+    // implied bounds on each variable in a row either prove infeasibility,
+    // fix the variable at its own bound, or tighten its box (recorded as
+    // BoundChange; the reference pays the same dual-postsolve price with
+    // BOUND_CHANGE records, include/core/Postsolver.h:50-51).  Installed
+    // bounds feed every later reduction: activity rows, dual fixing,
+    // doubleton bound translation, implied-free tests.
     bool pass_primal_propagation() {
         bool changed = false;
         for (int64_t i = 0; i < P.m; ++i) {
@@ -634,36 +677,61 @@ class Presolver {
                 const int64_t k = en.c;
                 const double a = en.v;
                 const double lo = P.l[k], up = P.u[k];
-                // Residual min-activity excluding k's own contribution.
-                double rest_min;
+                // Residual activities excluding k's own contribution.
                 const bool k_inf_min = (a > 0 ? lo == -INF : up == INF);
-                if (inf_min - (k_inf_min ? 1 : 0) > 0) continue;
-                rest_min = amin - (k_inf_min ? 0.0
-                           : (a > 0 ? a * lo : a * up));
-                // Implied bound from AU_i: a*x_k <= AU_i - rest_min.
-                if (std::isfinite(P.AU[i])) {
-                    const double slack = P.AU[i] - rest_min;
-                    if (a > 0) {
-                        const double iu = slack / a;
-                        if (infeas(std::isfinite(lo) && iu < lo - tol))
-                            return changed;
-                        if (std::isfinite(lo) && iu <= lo + tol &&
-                            up > lo) {
-                            fix_col(k, lo);
-                            changed = true;
-                            break;  // activities stale; next row
-                        }
-                    } else {
-                        const double il = slack / a;
-                        if (infeas(std::isfinite(up) && il > up + tol))
-                            return changed;
-                        if (std::isfinite(up) && il >= up - tol &&
-                            lo < up) {
-                            fix_col(k, up);
-                            changed = true;
-                            break;
-                        }
-                    }
+                const bool k_inf_max = (a > 0 ? up == INF : lo == -INF);
+                const bool have_rmin = inf_min - (k_inf_min ? 1 : 0) == 0;
+                const bool have_rmax = inf_max - (k_inf_max ? 1 : 0) == 0;
+                const double rest_min = amin - (k_inf_min ? 0.0
+                                        : (a > 0 ? a * lo : a * up));
+                const double rest_max = amax - (k_inf_max ? 0.0
+                                        : (a > 0 ? a * up : a * lo));
+                // Implied box for x_k from the row's two sides.
+                double iu = INF, il = -INF;
+                if (a > 0) {
+                    if (have_rmin && std::isfinite(P.AU[i]))
+                        iu = (P.AU[i] - rest_min) / a;
+                    if (have_rmax && std::isfinite(P.AL[i]))
+                        il = (P.AL[i] - rest_max) / a;
+                } else {
+                    if (have_rmin && std::isfinite(P.AU[i]))
+                        il = (P.AU[i] - rest_min) / a;
+                    if (have_rmax && std::isfinite(P.AL[i]))
+                        iu = (P.AL[i] - rest_max) / a;
+                }
+                if (infeas(std::isfinite(lo) && iu < lo - tol))
+                    return changed;
+                if (infeas(std::isfinite(up) && il > up + tol))
+                    return changed;
+                // Fix at the variable's own bound when the implied bound
+                // pins it there (y_i stays 0 — the row is slack-feasible
+                // at that point; same pragmatic choice as PSLP).
+                if (std::isfinite(lo) && iu <= lo + tol && up > lo) {
+                    fix_col(k, lo);
+                    changed = true;
+                    break;  // activities stale; next row
+                }
+                if (std::isfinite(up) && il >= up - tol && lo < up) {
+                    fix_col(k, up);
+                    changed = true;
+                    break;
+                }
+                // Install meaningfully tighter bounds: replace an infinite
+                // bound, or cut a finite one by >= 0.1% (Gurobi-style
+                // usefulness filter; avoids endless micro-tightening).
+                // Huge implied bounds (>1e15) are noise — skip.
+                if (iu != INF && std::fabs(iu) < 1e15 && iu < up &&
+                    (up == INF || up - iu > 1e-3 * std::max(1.0,
+                                                            std::fabs(up)))) {
+                    install_bound(i, k, a, /*upper_side=*/true, iu);
+                    changed = true;
+                }
+                if (il != -INF && std::fabs(il) < 1e15 && il > P.l[k] &&
+                    (P.l[k] == -INF ||
+                     il - P.l[k] > 1e-3 * std::max(1.0,
+                                                   std::fabs(P.l[k])))) {
+                    install_bound(i, k, a, /*upper_side=*/false, il);
+                    changed = true;
                 }
             }
         }
@@ -759,33 +827,146 @@ class Presolver {
         return changed;
     }
 
-    // ---- driver ---------------------------------------------------------
+    // ---- invariant checker (opt-in debug mode) --------------------------
+    // Parity: PSLP's Debugger.c (include/core/Debugger.h:37-60), which the
+    // reference EXCLUDES from its embedded build (CMakeLists.txt:98); here
+    // it is a runtime flag so the property tests can run every pass
+    // checked.  A violation aborts presolve with HPRES_ERROR, which the
+    // integration layer treats like any other failure (solve unreduced).
 
-    void run(int max_rounds) {
+    bool debug_checks = false;
+    const char *invariant_error = nullptr;
+
+    const char *check_invariants_impl() {
+        std::vector<int64_t> rl(P.m, 0), cl(P.n, 0);
+        int64_t live = 0;
+        for (const Ent &e : P.ents) {
+            if (!e.alive) continue;
+            if (e.r < 0 || e.r >= P.m || e.c < 0 || e.c >= P.n)
+                return "entry index out of range";
+            if (!P.ralive[e.r]) return "live entry in dead row";
+            if (!P.calive[e.c]) return "live entry in dead column";
+            if (!std::isfinite(e.v)) return "non-finite coefficient";
+            rl[e.r]++;
+            cl[e.c]++;
+            live++;
+        }
+        if (live != P.live_entries) return "live-entry count drifted";
+        for (int64_t i = 0; i < P.m; ++i) {
+            if (P.ralive[i] && rl[i] != P.rlen[i])
+                return "row live-count mismatch";
+            if (P.ralive[i]) {
+                if (std::isnan(P.AL[i]) || std::isnan(P.AU[i]))
+                    return "NaN row bound";
+                if (P.AL[i] > P.AU[i] + tol)
+                    return "crossed row bounds without INFEASIBLE";
+            }
+        }
+        for (int64_t j = 0; j < P.n; ++j) {
+            if (P.calive[j] && cl[j] != P.clen[j])
+                return "column live-count mismatch";
+            if (P.calive[j]) {
+                if (std::isnan(P.l[j]) || std::isnan(P.u[j]) ||
+                    std::isnan(P.c[j]))
+                    return "NaN column data";
+                if (P.l[j] > P.u[j] + tol)
+                    return "crossed column bounds without INFEASIBLE";
+            }
+        }
+        for (const Rec &r : log) {
+            if (r.i >= (int32_t)P.m || r.j >= (int32_t)P.n)
+                return "log record index out of range";
+            for (int32_t t : r.idx)
+                if (t < 0 || (t >= P.m && t >= P.n))
+                    return "log snapshot index out of range";
+        }
+        return nullptr;
+    }
+
+    // True if presolve should stop (invariant broken).
+    bool check_failed(const char *where) {
+        if (!debug_checks || status != HPRES_OK) return status != HPRES_OK;
+        const char *err = check_invariants_impl();
+        if (err) {
+            invariant_error = err;
+            (void)where;
+            status = HPRES_ERROR;
+            return true;
+        }
+        return false;
+    }
+
+    // ---- driver ---------------------------------------------------------
+    // FAST/MEDIUM phase alternation (parity: PSLP Presolver.c:52-53,
+    // :643-748): cheap local reductions loop while they keep removing
+    // >5% of the remaining nonzeros, then one sweep of the quadratic-ish
+    // explorers; a cycle that removes <5% (after a warm-up) or the
+    // wall-clock budget ends the run.  Unlike the reference's fixed 60 s
+    // the budget is a parameter (hpres_presolve_ex), defaulting to 60 s.
+
+    bool run_fast_phase() {
+        bool ch = false;
+        ch |= pass_empty_and_singleton_rows();
+        if (check_failed("singleton_rows")) return ch;
+        ch |= pass_fixed_and_empty_cols();
+        if (check_failed("fixed_cols")) return ch;
+        ch |= pass_free_singleton_cols();
+        if (check_failed("free_ston_cols")) return ch;
+        ch |= pass_doubleton_eq();
+        if (check_failed("doubleton_eq")) return ch;
+        ch |= pass_dual_fix();
+        check_failed("dual_fix");
+        return ch;
+    }
+
+    bool run_medium_phase() {
+        bool ch = false;
+        ch |= pass_activity_rows();
+        if (check_failed("activity_rows")) return ch;
+        ch |= pass_primal_propagation();
+        if (check_failed("propagation")) return ch;
+        ch |= pass_parallel_rows();
+        if (check_failed("parallel_rows")) return ch;
+        ch |= pass_parallel_cols();
+        check_failed("parallel_cols");
+        return ch;
+    }
+
+    void run(int max_rounds, double max_time, bool debug) {
+        debug_checks = debug;
         if (max_rounds <= 0) max_rounds = 16;
+        if (max_time <= 0.0) max_time = 60.0;
+        const auto t0 = std::chrono::steady_clock::now();
+        auto elapsed = [&] {
+            return std::chrono::duration<double>(
+                       std::chrono::steady_clock::now() - t0).count();
+        };
         for (int round = 0; round < max_rounds; ++round) {
             stats.rounds = round + 1;
+            const int64_t cycle0 = P.live_entries;
             bool changed = false;
-            changed |= pass_empty_and_singleton_rows();
-            if (status != HPRES_OK) return;
-            changed |= pass_activity_rows();
-            if (status != HPRES_OK) return;
-            changed |= pass_fixed_and_empty_cols();
-            if (status != HPRES_OK) return;
-            changed |= pass_free_singleton_cols();
-            if (status != HPRES_OK) return;
-            changed |= pass_doubleton_eq();
-            if (status != HPRES_OK) return;
-            changed |= pass_dual_fix();
-            if (status != HPRES_OK) return;
-            changed |= pass_parallel_rows();
-            if (status != HPRES_OK) return;
-            changed |= pass_parallel_cols();
-            if (status != HPRES_OK) return;
-            changed |= pass_primal_propagation();
+            // FAST loop: repeat while it cuts >5% of the remaining nnz.
+            while (true) {
+                const int64_t before = P.live_entries;
+                const bool ch = run_fast_phase();
+                changed |= ch;
+                if (status != HPRES_OK) return;
+                if (!ch || elapsed() > max_time) break;
+                if (before - P.live_entries <=
+                    (int64_t)(0.05 * (double)std::max<int64_t>(before, 1)))
+                    break;
+            }
+            if (elapsed() > max_time) break;
+            changed |= run_medium_phase();
             if (status != HPRES_OK) return;
             if (!changed) break;
+            if (elapsed() > max_time) break;
+            const int64_t cut = cycle0 - P.live_entries;
+            if (round >= 2 &&
+                cut < (int64_t)(0.05 * (double)std::max<int64_t>(cycle0, 1)))
+                break;
         }
+        stats.time_s = elapsed();
         compact();
     }
 
@@ -989,6 +1170,38 @@ class Presolver {
                     z[k] = s * z[r.j];
                     break;
                 }
+                case RecType::BoundChange: {
+                    // Installed bound from row i (reverse of
+                    // install_bound).  If the reduced solution rests on the
+                    // IMPLIED bound with a multiplier, that multiplier
+                    // really belongs to row i: transfer z_j/a_ij to y_i and
+                    // restore stationarity of the other row-i columns
+                    // (parity: PSLP retrieve_bound_change,
+                    // src/core/Postsolver.c:350-414).
+                    const double xj = x[r.j];
+                    const double zj = z[r.j];
+                    const double sc = std::max(1.0, std::fabs(xj));
+                    const bool changed_upper = r.flag & 1;
+                    // x_j at its surviving original bound with a
+                    // sign-valid multiplier: nothing to fix.
+                    if (std::isfinite(r.d1) &&
+                        std::fabs(xj - r.d1) <= 1e-7 * sc) {
+                        const bool other_is_lower = changed_upper;
+                        if ((other_is_lower && zj >= 0) ||
+                            (!other_is_lower && zj <= 0))
+                            break;
+                    }
+                    // Implied bound not active, or no multiplier: no-op.
+                    if (std::fabs(xj - r.d0) > 1e-7 * sc || zj == 0.0)
+                        break;
+                    y[r.i] += zj / r.a;
+                    for (size_t t = 0; t < r.idx.size(); ++t) {
+                        if (r.idx[t] == r.j) continue;
+                        z[r.idx[t]] -= (r.val[t] / r.a) * zj;
+                    }
+                    z[r.j] = 0.0;
+                    break;
+                }
                 case RecType::FreeSingletonCol: {
                     // x_j = (r* - sum_k a_ik x_k) / a;  y_i = c_j / a.
                     double s = r.d0;
@@ -1012,12 +1225,13 @@ struct hpres_handle {
 
 extern "C" {
 
-hpres_handle *hpres_presolve(int64_t m, int64_t n, const int64_t *Ap,
-                             const int32_t *Ai, const double *Ax,
-                             const double *AL, const double *AU,
-                             const double *l, const double *u,
-                             const double *c, double feas_tol,
-                             int max_rounds) {
+hpres_handle *hpres_presolve_ex(int64_t m, int64_t n, const int64_t *Ap,
+                                const int32_t *Ai, const double *Ax,
+                                const double *AL, const double *AU,
+                                const double *l, const double *u,
+                                const double *c, double feas_tol,
+                                int max_rounds, double max_time,
+                                int debug_checks) {
     auto *h = new hpres_handle();
     Presolver &ps = h->ps;
     ps.tol = feas_tol > 0 ? feas_tol : 1e-8;
@@ -1040,16 +1254,22 @@ hpres_handle *hpres_presolve(int64_t m, int64_t n, const int64_t *Ap,
     for (int64_t i = 0; i < m; ++i) {
         for (int64_t e = Ap[i]; e < Ap[i + 1]; ++e) {
             if (Ax[e] == 0.0) continue;  // drop explicit zeros
-            int64_t id = (int64_t)P.ents.size();
-            P.ents.push_back({(int32_t)i, Ai[e], Ax[e], true});
-            P.rowe[i].push_back(id);
-            P.cole[Ai[e]].push_back(id);
-            P.rlen[i]++;
-            P.clen[Ai[e]]++;
+            P.add_entry(i, Ai[e], Ax[e]);
         }
     }
-    ps.run(max_rounds);
+    ps.run(max_rounds, max_time, debug_checks != 0);
     return h;
+}
+
+hpres_handle *hpres_presolve(int64_t m, int64_t n, const int64_t *Ap,
+                             const int32_t *Ai, const double *Ax,
+                             const double *AL, const double *AU,
+                             const double *l, const double *u,
+                             const double *c, double feas_tol,
+                             int max_rounds) {
+    return hpres_presolve_ex(m, n, Ap, Ai, Ax, AL, AU, l, u, c, feas_tol,
+                             max_rounds, /*max_time=*/0.0,
+                             /*debug_checks=*/0);
 }
 
 int hpres_status(const hpres_handle *h) { return h->ps.status; }

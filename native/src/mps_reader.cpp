@@ -57,6 +57,29 @@ class LineReader {
     gzFile gz_ = nullptr;
 };
 
+// FIXED-format card fields (reference: read_card_fixed,
+// src/mps_reader.cpp:360-483): f1 cols 2-3, f2 5-12, f3 15-22, f4 25-36,
+// f5 40-47, f6 50-61 (1-based, inclusive).  Trailing empties dropped and a
+// leading empty field shifts the rest left, so the result reads like a
+// free-format token list; fixed format is what allows spaces in names.
+void split_fixed(const std::string &line, std::vector<std::string> &out) {
+    out.clear();
+    auto fld = [&](size_t a, size_t b) -> std::string {
+        if (line.size() <= a) return std::string();
+        std::string s = line.substr(a, std::min(b, line.size()) - a);
+        size_t x = s.find_first_not_of(" \t");
+        if (x == std::string::npos) return std::string();
+        size_t y = s.find_last_not_of(" \t");
+        return s.substr(x, y - x + 1);
+    };
+    std::string fs[6] = {fld(1, 3),   fld(4, 12),  fld(14, 22),
+                         fld(24, 36), fld(39, 47), fld(49, 61)};
+    int nf = 6;
+    while (nf > 0 && fs[nf - 1].empty()) --nf;
+    const int start = (nf > 0 && fs[0].empty()) ? 1 : 0;
+    for (int i = start; i < nf; ++i) out.push_back(fs[i]);
+}
+
 void split(const std::string &line, std::vector<std::string> &out) {
     out.clear();
     size_t i = 0;
@@ -233,7 +256,8 @@ static void finalize(hpmps_handle *h, int ignore_quadobj) {
 
 extern "C" {
 
-hpmps_handle *hpmps_read(const char *path, int ignore_quadobj) {
+hpmps_handle *hpmps_read_ex(const char *path, int ignore_quadobj,
+                            int fixed_format) {
     auto *h = new hpmps_handle();
     Parser &p = h->p;
     LineReader rd(path);
@@ -256,13 +280,29 @@ hpmps_handle *hpmps_read(const char *path, int ignore_quadobj) {
         if (line[first_ns] == '*') continue;
 
         const bool is_header = !std::isspace((unsigned char)line[0]);
-        split(line, f);
+        if (is_header || !fixed_format) split(line, f);
+        else split_fixed(line, f);
         if (f.empty()) continue;
 
         if (is_header) {
             const std::string head = upper(f[0]);
             if (head == "NAME") {
-                p.model_name = f.size() > 1 ? f[1] : "";
+                if (fixed_format) {
+                    // Fixed format: model name starts at column 15 and may
+                    // contain spaces (reference: :394-398).
+                    if (line.size() > 14) {
+                        std::string nm = line.substr(14);
+                        size_t x = nm.find_first_not_of(" \t");
+                        size_t y = nm.find_last_not_of(" \t\r");
+                        p.model_name = (x == std::string::npos)
+                                           ? std::string()
+                                           : nm.substr(x, y - x + 1);
+                    } else {
+                        p.model_name.clear();
+                    }
+                } else {
+                    p.model_name = f.size() > 1 ? f[1] : "";
+                }
                 sec = NAME;
             } else if (head == "OBJSENSE") {
                 sec = OBJSENSE;
@@ -426,6 +466,10 @@ hpmps_handle *hpmps_read(const char *path, int ignore_quadobj) {
 
     finalize(h, ignore_quadobj);
     return h;
+}
+
+hpmps_handle *hpmps_read(const char *path, int ignore_quadobj) {
+    return hpmps_read_ex(path, ignore_quadobj, /*fixed_format=*/0);
 }
 
 int hpmps_status(const hpmps_handle *h) { return h->p.status; }

@@ -446,3 +446,95 @@ class TestImpliedFreeSingleton:
         assert status == "OK"
         x, y, z, m = _check_postsolve(prob, red, h, tol=1e-5)
         assert x[1] <= 2.0 + 1e-6
+
+
+class TestBoundChangeInstall:
+    """Primal propagation now INSTALLS implied bounds with BoundChange
+    postsolve records (parity: PSLP BOUND_CHANGE_THE_ROW +
+    retrieve_bound_change, src/core/Postsolver.c:350-414)."""
+
+    def test_free_var_gets_bounded_then_dual_exact(self):
+        # x1 is free; row 0 (x0 + x1 <= 4, x0 in [0,1]) implies x1 <= 4.
+        # With c = (1, -1) the LP pushes x1 to the IMPLIED bound, whose
+        # multiplier must be transferred to row 0 in postsolve.
+        prob = _pp([[1.0, 1.0], [1.0, 0.0]],
+                   [-np.inf, 0.0], [4.0, 1.0],
+                   [0.0, -np.inf], [1.0, np.inf], [1.0, -1.0])
+        status, red, h = presolve_problem(prob, debug_checks=True)
+        assert status == "OK"
+        x, y, z, m = _check_postsolve(prob, red, h, tol=1e-5)
+        # Optimum: x0 = 0, x1 = 4, obj = -4; row 0 tight with dual -1.
+        assert x[1] == pytest.approx(4.0, abs=1e-5)
+        assert prob.c @ x == pytest.approx(-4.0, abs=1e-5)
+
+    def test_unbounded_free_var_detected(self):
+        # min x1 s.t. x0 - x1 >= -1 (so x1 <= x0 + 1, no lower bound on
+        # x1): unbounded below — the presolver must detect it.
+        prob = _pp([[1.0, -1.0]],
+                   [-1.0], [np.inf],
+                   [0.0, -np.inf], [2.0, np.inf], [0.0, 1.0])
+        status, red, h = presolve_problem(prob, debug_checks=True)
+        assert status == "UNBOUNDED"
+
+    def test_install_lower_bound_from_ge_row(self):
+        # Row 0: x0 + x1 >= 3 with x0 in [0, 1] implies x1 >= 2 (installed
+        # lower bound on a free variable); c = (0, 1) drives x1 down onto
+        # the IMPLIED bound, whose multiplier postsolve transfers to row 0.
+        prob = _pp([[1.0, 1.0], [1.0, 0.0]],
+                   [3.0, 0.0], [np.inf, 1.0],
+                   [0.0, -np.inf], [1.0, np.inf], [0.0, 1.0])
+        status, red, h = presolve_problem(prob, debug_checks=True)
+        assert status == "OK"
+        x, y, z, m = _check_postsolve(prob, red, h, tol=1e-5)
+        # Optimum: x0 = 1, x1 = 2, obj = 2.
+        assert prob.c @ x == pytest.approx(2.0, abs=1e-5)
+
+    @pytest.mark.parametrize("seed", [15, 20, 27, 39, 55])
+    def test_random_lp_with_free_vars_duals(self, seed):
+        """Random LPs with some free/one-sided variables: presolve with
+        debug_checks on, exact dual recovery through BoundChange replay."""
+        from tests.conftest import random_lp
+        from tests.test_batched import reference_solve
+
+        rng = np.random.default_rng(seed)
+        prob = random_lp(seed, m=25, n=35, density=0.3)
+        l = prob.l.copy()
+        u = prob.u.copy()
+        # Free a third of the variables (drop both bounds), one-side
+        # another third.
+        idx = rng.permutation(prob.n)
+        l[idx[:12]] = -np.inf
+        u[idx[:12]] = np.inf
+        u[idx[12:23]] = np.inf
+        prob2 = LpProblem.from_arrays(prob.A, prob.AL, prob.AU, l, u,
+                                      prob.c)
+        ref = reference_solve(prob2.A, prob2.AL, prob2.AU, prob2.l,
+                              prob2.u, prob2.c)
+        if ref.status != 0:
+            pytest.skip("randomly generated LP unbounded/infeasible")
+        status, red, h = presolve_problem(prob2, debug_checks=True)
+        assert status == "OK"
+        x, y, z, m = _check_postsolve(prob2, red, h, tol=2e-5)
+        assert prob2.c @ x == pytest.approx(ref.fun, rel=1e-4, abs=1e-4)
+
+
+class TestDebugChecker:
+    def test_debug_mode_passes_on_random(self):
+        from tests.conftest import random_lp
+
+        for seed in range(5):
+            prob = random_lp(seed, m=30, n=40, density=0.2)
+            status, red, h = presolve_problem(prob, debug_checks=True)
+            assert status in ("OK", "INFEASIBLE", "UNBOUNDED")
+
+    def test_time_budget_respected(self):
+        from tests.conftest import random_lp
+        import time
+
+        prob = random_lp(3, m=200, n=300, density=0.05)
+        t0 = time.time()
+        status, red, h = presolve_problem(prob, max_time=0.001)
+        # A microscopic budget must still return a valid (possibly
+        # unreduced) problem quickly.
+        assert time.time() - t0 < 10.0
+        assert status in ("OK", "INFEASIBLE", "UNBOUNDED")
