@@ -67,14 +67,21 @@ class EllMatrix:
     ncols: int = dataclasses.field(metadata=dict(static=True))
     backend: str = dataclasses.field(default="gather",
                                      metadata=dict(static=True))
+    # Device mesh for multi-chip solves (set by parallel.sharded).  The
+    # lane backend partitions its CHUNK axis over this mesh under
+    # shard_map and psums the per-device partial y (SURVEY §2.9/§5.8 —
+    # new TPU-native component, no reference counterpart).
+    mesh: jax.sharding.Mesh | None = dataclasses.field(
+        default=None, metadata=dict(static=True))
+    mesh_axis: str = dataclasses.field(default="d",
+                                       metadata=dict(static=True))
     dense: jax.Array | None = None  # (nrows, ncols) when backend == "dense"
     # LaneELL tiles (backend == "lane"); see ops/lane_ell.py.
     lane_idx1t: jax.Array | None = None  # (C, 128, CHUNK_SUB) int8
     lane_idx2: jax.Array | None = None   # (C, CHUNK_SUB, 128) int8
     lane_vals: jax.Array | None = None   # (C, CHUNK_SUB, 128) dtype
     lane_rank: jax.Array | None = None   # (C, 8, CHUNK_SUB) int32
-    lane_dgid: jax.Array | None = None   # (C*CHUNK_SUB,) int32
-    lane_ndist: jax.Array | None = None  # (C*SUBBLOCKS,) int32
+    lane_gbase: jax.Array | None = None  # (C*SUBBLOCKS,) int32
     lane_wid: jax.Array | None = None    # (C,) int32
 
     @property
@@ -116,18 +123,52 @@ def to_coo(A: EllMatrix):
 
 
 def attach_lane(A: EllMatrix) -> EllMatrix:
-    """Build and attach LaneELL tiles (host scheduling round-trip)."""
-    from .lane_ell import schedule_lane_ell
+    """Build and attach LaneELL tiles (host scheduling round-trip).
+
+    When A carries a device mesh, the chunk axis is padded to a multiple
+    of the mesh size and every tile array is placed chunk-sharded over it
+    (empty padding chunks contribute exact zeros); spmv() then runs the
+    kernel under shard_map with a psum of the per-device partial y."""
+    from .lane_ell import CHUNK_SUB, LANES, SUBBLOCKS, schedule_lane_ell
     from .pallas_spmv import pack_tiles
 
     rows_p, cols_p, vals = to_coo(A)
     tiles = schedule_lane_ell(rows_p, cols_p, vals, A.nrows, A.ncols)
     packed = pack_tiles(tiles, A.ncols, A.dtype)
+
+    if A.mesh is not None:
+        import numpy as _np
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = A.mesh.devices.size
+        C = int(packed["idx2"].shape[0])
+        C_pad = -(-C // n_dev) * n_dev
+        if C_pad != C:
+            pad = C_pad - C
+
+            def padc(arr, fill=0):
+                shape = (pad,) + tuple(arr.shape[1:])
+                return jnp.concatenate(
+                    [arr, jnp.full(shape, fill, arr.dtype)], axis=0)
+
+            packed = dict(packed)
+            packed["idx1t"] = padc(packed["idx1t"])
+            packed["idx2"] = padc(packed["idx2"])
+            packed["vals"] = padc(packed["vals"])
+            packed["rank"] = padc(packed["rank"])
+            packed["wid"] = padc(packed["wid"])
+            packed["gbase"] = jnp.concatenate(
+                [packed["gbase"],
+                 jnp.zeros(pad * SUBBLOCKS, packed["gbase"].dtype)])
+        shard = NamedSharding(A.mesh, P(A.mesh_axis))
+        for k in ("idx1t", "idx2", "vals", "rank", "wid", "gbase"):
+            packed[k] = jax.device_put(packed[k], shard)
+
     return dataclasses.replace(
         A, backend="lane", dense=None, lane_idx1t=packed["idx1t"],
         lane_idx2=packed["idx2"], lane_vals=packed["vals"],
-        lane_rank=packed["rank"], lane_dgid=packed["dgid"],
-        lane_ndist=packed["ndist"], lane_wid=packed["wid"])
+        lane_rank=packed["rank"], lane_gbase=packed["gbase"],
+        lane_wid=packed["wid"])
 
 
 def with_backend(A: EllMatrix, backend: str) -> EllMatrix:
@@ -141,8 +182,7 @@ def with_backend(A: EllMatrix, backend: str) -> EllMatrix:
     return dataclasses.replace(A, backend=backend, dense=None,
                                lane_idx1t=None, lane_idx2=None,
                                lane_vals=None, lane_rank=None,
-                               lane_dgid=None, lane_ndist=None,
-                               lane_wid=None)
+                               lane_gbase=None, lane_wid=None)
 
 
 def spmv(A: EllMatrix, x: jax.Array) -> jax.Array:
@@ -161,9 +201,31 @@ def spmv(A: EllMatrix, x: jax.Array) -> jax.Array:
 
         # Interpreter mode on CPU backends (tests / virtual meshes).
         interp = jax.default_backend() == "cpu"
-        return lane_spmv(x, A.lane_idx1t, A.lane_idx2, A.lane_vals,
-                         A.lane_rank, A.lane_dgid, A.lane_ndist,
-                         A.lane_wid, A.nrows // 128, interpret=interp)
+        g_real = A.nrows // 128
+        if A.mesh is None:
+            return lane_spmv(x, A.lane_idx1t, A.lane_idx2, A.lane_vals,
+                             A.lane_rank, A.lane_gbase,
+                             A.lane_wid, g_real, interpret=interp)
+        # Multi-chip: each device runs the kernel over ITS chunk shard
+        # against the replicated x, producing a partial y; one psum over
+        # ICI completes the SpMV.  (nnz-partition — any device may touch
+        # any output row, the psum makes that free.)
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        ax = A.mesh_axis
+
+        def body(x_loc, i1t, i2, v, rank, gbase, wid):
+            y_part = lane_spmv(x_loc, i1t, i2, v, rank, gbase, wid,
+                               g_real, interpret=interp)
+            return jax.lax.psum(y_part, ax)
+
+        return shard_map(
+            body, mesh=A.mesh,
+            in_specs=(P(), P(ax), P(ax), P(ax), P(ax), P(ax), P(ax)),
+            out_specs=P(),
+            check_vma=False)(x, A.lane_idx1t, A.lane_idx2, A.lane_vals,
+                             A.lane_rank, A.lane_gbase, A.lane_wid)
     parts = [jnp.sum(b.vals * x[b.cols], axis=1) for b in A.buckets]
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
@@ -211,8 +273,7 @@ def scale_rows(A: EllMatrix, s: jax.Array) -> EllMatrix:
     return dataclasses.replace(A, buckets=buckets, backend="gather",
                                dense=None, lane_idx1t=None, lane_idx2=None,
                                lane_vals=None, lane_rank=None,
-                               lane_dgid=None, lane_ndist=None,
-                               lane_wid=None)
+                               lane_gbase=None, lane_wid=None)
 
 
 def scale_cols(A: EllMatrix, s: jax.Array) -> EllMatrix:
@@ -223,8 +284,7 @@ def scale_cols(A: EllMatrix, s: jax.Array) -> EllMatrix:
     return dataclasses.replace(A, buckets=buckets, backend="gather",
                                dense=None, lane_idx1t=None, lane_idx2=None,
                                lane_vals=None, lane_rank=None,
-                               lane_dgid=None, lane_ndist=None,
-                               lane_wid=None)
+                               lane_gbase=None, lane_wid=None)
 
 
 def row_masked_mean(A: EllMatrix, per_entry_fn) -> jax.Array:

@@ -42,7 +42,11 @@ def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
 
 
 def _shard_ell(A: EllMatrix, mesh: Mesh, axis: str) -> EllMatrix:
-    """Place each bucket row-sharded over the mesh."""
+    """Place each bucket row-sharded over the mesh and stamp the mesh on
+    the matrix: with_backend(A, "lane") then builds CHUNK-sharded LaneELL
+    tiles and spmv() runs the Pallas kernel under shard_map + psum, so
+    mesh solves keep the fast kernel (round-1 gap: sharded solves fell
+    back to the gather backend)."""
     row_sharding = NamedSharding(mesh, P(axis, None))
     n = mesh.devices.size
     buckets = []
@@ -56,7 +60,8 @@ def _shard_ell(A: EllMatrix, mesh: Mesh, axis: str) -> EllMatrix:
             cols=jax.device_put(b.cols, row_sharding),
             valid=jax.device_put(b.valid, row_sharding),
             row_start=b.row_start, width=b.width))
-    return dataclasses.replace(A, buckets=tuple(buckets))
+    return dataclasses.replace(A, buckets=tuple(buckets), mesh=mesh,
+                               mesh_axis=axis)
 
 
 def shard_problem(lp: LpDevice, mesh: Mesh, axis: str = "d") -> LpDevice:

@@ -48,6 +48,12 @@ class Results:
     # Restart statistics (reference HPRLP_restart counters).
     restarts: int = 0
 
+    # SpMV backend the solve ran on (gather / dense / lane) — autotune
+    # outcome, useful for asserting the fast path was kept (e.g. under a
+    # device mesh).
+    spmv_backend: str = ""
+
+
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)
         for k in ("x", "y", "z"):

@@ -246,6 +246,7 @@ def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
 
     def finish(status, at_it, res, sigma_val, restarts):
         out.status = status
+        out.spmv_backend = lp.A.backend
         out.iter = at_it
         out.gap = res.rel_gap
         out.residuals = res.kkt

@@ -86,3 +86,47 @@ class TestShardedBatched:
                           np.ones((2, 3)), np.zeros((2, 3)),
                           np.ones((2, 3)),
                           params=Parameters(verbose=False, mesh_shape=NDEV))
+
+
+class TestShardedLane:
+    """Shard-aware LaneELL: chunk-partitioned Pallas kernel under
+    shard_map + psum (interpret mode on the CPU mesh)."""
+
+    def test_lane_spmv_sharded_matches_dense(self):
+        import dataclasses as dc
+
+        from hprlp_tpu.ops.sparse import spmv, with_backend
+
+        prob = random_lp(31, m=96, n=140, density=0.15)
+        lp, _ = build_device_problem(prob, row_multiple=8 * NDEV,
+                                     vec_multiple=256 * NDEV)
+        mesh = make_mesh(NDEV)
+        sharded = shard_problem(lp, mesh)
+        assert sharded.A.mesh is not None
+
+        A_lane = with_backend(sharded.A, "lane")
+        assert A_lane.backend == "lane"
+        # Chunk axis padded to the mesh size and sharded.
+        assert A_lane.lane_idx2.shape[0] % NDEV == 0
+
+        import jax.numpy as jnp
+        x = jnp.asarray(np.random.default_rng(0).normal(size=lp.A.ncols),
+                        lp.c.dtype)
+        y_lane = np.asarray(spmv(A_lane, x))
+        y_ref = np.asarray(spmv(lp.A, x))  # unsharded gather backend
+        np.testing.assert_allclose(y_lane, y_ref, rtol=2e-5, atol=2e-5)
+
+    def test_sharded_solve_keeps_lane_backend(self):
+        prob = random_lp(32, m=60, n=80, density=0.2)
+        p1 = Parameters(verbose=False, stop_tol=1e-5, use_presolve=False,
+                        precision="f32")
+        r1 = solve_problem(prob, p1)
+        p8 = Parameters(verbose=False, stop_tol=1e-5, use_presolve=False,
+                        mesh_shape=NDEV, spmv_backend="lane",
+                        precision="f32")
+        r8 = solve_problem(prob, p8)
+        assert r8.spmv_backend == "lane"
+        assert r1.status == r8.status == "OPTIMAL"
+        assert r8.primal_obj == pytest.approx(r1.primal_obj, rel=1e-4,
+                                              abs=1e-4)
+        np.testing.assert_allclose(r8.x, r1.x, atol=5e-3)
