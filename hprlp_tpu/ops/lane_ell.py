@@ -25,9 +25,11 @@ compile on v5e.  LaneELL routes arbitrary sparse gathers through it:
     g0  = transpose(g0T)                    slot-major again
     g1  = lane-gather(g0, idx2)             route to the output row's lane
     p   = g1 * vals
-    serial segment-flush of p's sublanes into the VMEM-resident y2 by
-    group id (sublanes are sorted by group, so flushes happen once per
-    group run, not per sublane).
+    per 128-sublane sub-block: one MXU segment-sum  local = R @ p  with
+    R[d, s] = [gid[s] - gbase == d], then a single 128-row add
+    y2[gbase : gbase+128] += local.  The scheduler bounds every
+    sub-block's output-group span to < 128 so this flush is always one
+    matmul + one VMEM read-modify-write (no serial per-group loop).
 
   Output rows are grouped 128 per group (group = padded_row // 128, lane =
   padded_row % 128); an entry's slot sublane belongs to its row's group.
@@ -121,7 +123,9 @@ def schedule_lane_ell(rows_p: np.ndarray, cols_p: np.ndarray,
              (lane-major) for the gather on the transposed window;
       idx2:  (C, CHUNK_SUB, 128) int32 — phase-2 source residue per lane;
       vals:  (C, CHUNK_SUB, 128) in the input values' dtype;
-      gid:   (C, CHUNK_SUB) int32 — output group per sublane (sorted runs);
+      gid:   (C, CHUNK_SUB) int32 — output group per sublane (sorted,
+             span < 128 within each 128-sublane sub-block);
+      gbase: (C, SUBBLOCKS) int32 — first output group per sub-block;
       wid:   (C,) int32 — window per chunk;
       cols:  (C, CHUNK_SUB, 128) int64 — padded col per slot, -1 empty
              (tests / re-scaling);
@@ -146,36 +150,57 @@ def schedule_lane_ell(rows_p: np.ndarray, cols_p: np.ndarray,
     sub_of[order] = sub_sorted
     T = len(gid_arr)
 
-    # Chunk sublanes: CHUNK_SUB per chunk, one window per chunk.  Pad each
-    # window's sublane run to a CHUNK_SUB multiple (window-major order
-    # holds by construction).
+    # Chunk sublanes: CHUNK_SUB per chunk, one window per chunk; within a
+    # chunk, each 128-sublane SUB-BLOCK must span < 128 distinct output
+    # groups so the kernel can flush it with ONE segment-sum matmul into
+    # y2[gbase : gbase+128] (no serial per-run loop).  Walk each window's
+    # sublane run (sorted by group), cutting a sub-block whenever adding a
+    # sublane would exceed 128 sublanes or a 128-group span; pad every
+    # sub-block to LANES sublanes and every window to a SUBBLOCKS multiple
+    # of sub-blocks.
     win_change = np.nonzero(np.diff(wid_arr))[0] + 1
     seg_starts = np.concatenate([[0], win_change, [T]])
     new_pos = np.zeros(T, np.int64)
-    chunks_gid = []
-    chunks_wid = []
+    blk_gid: list[np.ndarray] = []   # (LANES,) per sub-block
+    blk_wid: list[int] = []
+    blk_gbase: list[int] = []
     cursor = 0
     for a, b in zip(seg_starts[:-1], seg_starts[1:]):
         if a == b:
             continue
-        n = b - a
-        n_padded = -(-n // CHUNK_SUB) * CHUNK_SUB
-        new_pos[a:b] = cursor + np.arange(n)
-        w = wid_arr[a]
-        pad_gid = np.concatenate(
-            [gid_arr[a:b], np.zeros(n_padded - n, np.int64)])
-        chunks_gid.append(pad_gid)
-        chunks_wid.extend([int(w)] * (n_padded // CHUNK_SUB))
-        cursor += n_padded
+        w = int(wid_arr[a])
+        n_blocks_before = len(blk_wid)
+        i = a
+        while i < b:
+            g0 = int(gid_arr[i])
+            j = i
+            while j < b and j - i < LANES and gid_arr[j] - g0 < LANES:
+                j += 1
+            n = j - i
+            new_pos[i:j] = cursor + np.arange(n)
+            blk_gid.append(np.concatenate(
+                [gid_arr[i:j], np.full(LANES - n, g0, np.int64)]))
+            blk_wid.append(w)
+            blk_gbase.append(g0)
+            cursor += LANES
+            i = j
+        while (len(blk_wid) - n_blocks_before) % SUBBLOCKS != 0:
+            blk_gid.append(np.zeros(LANES, np.int64))
+            blk_wid.append(w)
+            blk_gbase.append(0)
+            cursor += LANES
+    if cursor == 0:  # empty matrix
+        for _ in range(SUBBLOCKS):
+            blk_gid.append(np.zeros(LANES, np.int64))
+            blk_wid.append(0)
+            blk_gbase.append(0)
+        cursor = CHUNK_SUB
     T_pad = cursor
-    C = max(1, T_pad // CHUNK_SUB)
-    if T_pad == 0:  # empty matrix
-        chunks_gid = [np.zeros(CHUNK_SUB, np.int64)]
-        chunks_wid = [0]
-        T_pad, C = CHUNK_SUB, 1
+    C = T_pad // CHUNK_SUB
 
-    gid_tile = np.concatenate(chunks_gid).reshape(C, CHUNK_SUB)
-    wid_tile = np.asarray(chunks_wid, np.int32)
+    gid_tile = np.concatenate(blk_gid).reshape(C, CHUNK_SUB)
+    wid_tile = np.asarray(blk_wid[::SUBBLOCKS], np.int32)
+    gbase_tile = np.asarray(blk_gbase, np.int64).reshape(C, SUBBLOCKS)
 
     idx1 = np.zeros((T_pad, LANES), np.int32)
     idx2 = np.zeros((T_pad, LANES), np.int32)
@@ -199,6 +224,7 @@ def schedule_lane_ell(rows_p: np.ndarray, cols_p: np.ndarray,
         "vals": vtile.reshape(C, CHUNK_SUB, LANES),
         "cols": ctile.reshape(C, CHUNK_SUB, LANES),
         "gid": gid_tile.astype(np.int32),
+        "gbase": gbase_tile.astype(np.int32),
         "wid": wid_tile,
         "G": G,
         "n_windows": n_win,

@@ -33,8 +33,8 @@ def _check(A, m_pad, n_pad, interpret=True):
     # Pallas kernel in interpreter mode.
     packed = pack_tiles(tiles, n_pad, np.float32)
     y = np.asarray(lane_spmv(jnp.asarray(x), packed["idx1t"], packed["idx2"],
-                             packed["vals"], packed["rank"], packed["dgid"],
-                             packed["ndist"], packed["wid"],
+                             packed["vals"], packed["rank"],
+                             packed["gbase"], packed["wid"],
                              packed["G"], interpret=interpret))
     np.testing.assert_allclose(y, y_ref, atol=1e-5 * scale)
     return tiles
