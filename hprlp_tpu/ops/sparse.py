@@ -80,7 +80,6 @@ class EllMatrix:
     lane_idx1t: jax.Array | None = None  # (C, 128, CHUNK_SUB) int8
     lane_idx2: jax.Array | None = None   # (C, CHUNK_SUB, 128) int8
     lane_vals: jax.Array | None = None   # (C, CHUNK_SUB, 128) dtype
-    lane_rank: jax.Array | None = None   # (C, 8, CHUNK_SUB) int32
     lane_gbase: jax.Array | None = None  # (C*SUBBLOCKS,) int32
     lane_wid: jax.Array | None = None    # (C,) int32
 
@@ -155,20 +154,18 @@ def attach_lane(A: EllMatrix) -> EllMatrix:
             packed["idx1t"] = padc(packed["idx1t"])
             packed["idx2"] = padc(packed["idx2"])
             packed["vals"] = padc(packed["vals"])
-            packed["rank"] = padc(packed["rank"])
             packed["wid"] = padc(packed["wid"])
             packed["gbase"] = jnp.concatenate(
                 [packed["gbase"],
                  jnp.zeros(pad * SUBBLOCKS, packed["gbase"].dtype)])
         shard = NamedSharding(A.mesh, P(A.mesh_axis))
-        for k in ("idx1t", "idx2", "vals", "rank", "wid", "gbase"):
+        for k in ("idx1t", "idx2", "vals", "wid", "gbase"):
             packed[k] = jax.device_put(packed[k], shard)
 
     return dataclasses.replace(
         A, backend="lane", dense=None, lane_idx1t=packed["idx1t"],
         lane_idx2=packed["idx2"], lane_vals=packed["vals"],
-        lane_rank=packed["rank"], lane_gbase=packed["gbase"],
-        lane_wid=packed["wid"])
+        lane_gbase=packed["gbase"], lane_wid=packed["wid"])
 
 
 def with_backend(A: EllMatrix, backend: str) -> EllMatrix:
@@ -181,7 +178,7 @@ def with_backend(A: EllMatrix, backend: str) -> EllMatrix:
         return attach_lane(A)
     return dataclasses.replace(A, backend=backend, dense=None,
                                lane_idx1t=None, lane_idx2=None,
-                               lane_vals=None, lane_rank=None,
+                               lane_vals=None,
                                lane_gbase=None, lane_wid=None)
 
 
@@ -204,8 +201,8 @@ def spmv(A: EllMatrix, x: jax.Array) -> jax.Array:
         g_real = A.nrows // 128
         if A.mesh is None:
             return lane_spmv(x, A.lane_idx1t, A.lane_idx2, A.lane_vals,
-                             A.lane_rank, A.lane_gbase,
-                             A.lane_wid, g_real, interpret=interp)
+                             A.lane_gbase, A.lane_wid, g_real,
+                             interpret=interp)
         # Multi-chip: each device runs the kernel over ITS chunk shard
         # against the replicated x, producing a partial y; one psum over
         # ICI completes the SpMV.  (nnz-partition — any device may touch
@@ -215,17 +212,17 @@ def spmv(A: EllMatrix, x: jax.Array) -> jax.Array:
 
         ax = A.mesh_axis
 
-        def body(x_loc, i1t, i2, v, rank, gbase, wid):
-            y_part = lane_spmv(x_loc, i1t, i2, v, rank, gbase, wid,
+        def body(x_loc, i1t, i2, v, gbase, wid):
+            y_part = lane_spmv(x_loc, i1t, i2, v, gbase, wid,
                                g_real, interpret=interp)
             return jax.lax.psum(y_part, ax)
 
         return shard_map(
             body, mesh=A.mesh,
-            in_specs=(P(), P(ax), P(ax), P(ax), P(ax), P(ax), P(ax)),
+            in_specs=(P(), P(ax), P(ax), P(ax), P(ax), P(ax)),
             out_specs=P(),
             check_vma=False)(x, A.lane_idx1t, A.lane_idx2, A.lane_vals,
-                             A.lane_rank, A.lane_gbase, A.lane_wid)
+                             A.lane_gbase, A.lane_wid)
     parts = [jnp.sum(b.vals * x[b.cols], axis=1) for b in A.buckets]
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
@@ -272,7 +269,7 @@ def scale_rows(A: EllMatrix, s: jax.Array) -> EllMatrix:
         for b in A.buckets)
     return dataclasses.replace(A, buckets=buckets, backend="gather",
                                dense=None, lane_idx1t=None, lane_idx2=None,
-                               lane_vals=None, lane_rank=None,
+                               lane_vals=None,
                                lane_gbase=None, lane_wid=None)
 
 
@@ -283,7 +280,7 @@ def scale_cols(A: EllMatrix, s: jax.Array) -> EllMatrix:
         dataclasses.replace(b, vals=b.vals * s[b.cols]) for b in A.buckets)
     return dataclasses.replace(A, buckets=buckets, backend="gather",
                                dense=None, lane_idx1t=None, lane_idx2=None,
-                               lane_vals=None, lane_rank=None,
+                               lane_vals=None,
                                lane_gbase=None, lane_wid=None)
 
 

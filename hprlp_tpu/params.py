@@ -20,11 +20,18 @@ class Parameters:
       use_bc_scaling, use_presolve.
 
     TPU-native additions:
-      precision: "auto" | "f32" | "f64".  "auto" picks f64 on CPU backends
-        and f32 on TPU.  TPUs have no native f64 but XLA emulates it:
-        "f64" is the high-accuracy mode (validated to 1e-8 KKT on TPU,
-        where f32 typically stalls around 1e-4..1e-6); "f32" is the fast
-        mode (LaneELL/dense MXU backends) for 1e-4-grade solves.
+      precision: "auto" | "f32" | "f64" | "mixed".  "auto" picks f64 on
+        CPU backends and, on accelerators, f32 for stop_tol >= 1e-5 and
+        "mixed" below it.  TPUs have no native f64:
+        - "f32": the fast mode (LaneELL/dense MXU backends), reliable to
+          ~1e-4..1e-6 KKT;
+        - "mixed": f32 iterations + f64 host-side iterative refinement
+          (solve, measure the ORIGINAL-space KKT in f64, re-solve the
+          zoomed residual problem warm-started, stitch in f64) — reaches
+          1e-8 at LaneELL per-iteration speed (SURVEY §7.2 hard part 1;
+          same refinement idea PDLP uses for high-accuracy runs);
+        - "f64": XLA-emulated f64 end to end (slow SpMV backends; the
+          bit-faithful reference-semantics mode).
       spmv_backend: "auto" | "gather" | "dense" ("xla" = alias of
         "gather").  Analogue of the reference's fused-kernel autotuner
         (src/main_iterate.cu:517-595): "auto" benchmarks the backends on
@@ -56,9 +63,19 @@ class Parameters:
     precision: str = "auto"
     mesh_shape: Optional[int] = None
     verbose: bool = True
+    # Iterative-refinement controls (precision="mixed").
+    refine_max_stages: int = 6
+    refine_stage_tol: float = 1e-6   # per-stage tolerance on the zoomed LP
+    refine_zoom_cap: float = 1e12    # max cumulative zoom factor
+
+    # Internal: iteration window for stall detection (no new best KKT for
+    # this many iterations ends the solve with status "STALLED").  Set by
+    # the refinement driver on its f32 stages; None disables (reference
+    # semantics).
+    stall_window: Optional[int] = None
 
     def validate(self) -> None:
-        if self.precision not in ("auto", "f32", "f64"):
+        if self.precision not in ("auto", "f32", "f64", "mixed"):
             raise ValueError(f"invalid precision: {self.precision!r}")
         if self.spmv_backend == "xla":
             self.spmv_backend = "gather"

@@ -1,0 +1,204 @@
+"""Persistent solver server: line-delimited JSON protocol with base64
+array transport.
+
+Why: the reference's Julia/MATLAB bindings ccall a C shared library
+(reference: bindings/julia/package/src/wrapper.jl, bindings/matlab/
+hprlp_mex.cpp); this framework's engine is a Python/JAX process, so
+non-Python front ends drive a WARM server process instead — one JAX
+start-up amortised over every solve (round-1 gap: the CLI shims paid the
+full cold start per call).
+
+Transport:
+  * default: requests on stdin, responses on stdout, one JSON object per
+    line (binary arrays as base64 of little-endian raw bytes; float64,
+    int64 for index arrays);
+  * --request FILE --response FILE: serve exactly one request from/to
+    files (used by the MATLAB wrapper, which cannot keep a pipe open).
+
+Operations:
+  {"op": "ping"}                      -> {"ok": true, "result": "pong"}
+  {"op": "shutdown"}                  -> {"ok": true} and exit
+  {"op": "solve_mps", "path": p, "params": {...}, "mps_format": "free"}
+  {"op": "solve", "m","n","Ap","Ai","Ax","AL","AU","l","u","c",
+   "obj_constant", "params"}          (CSR of A; base64 arrays)
+  {"op": "solve_batched", "m","n","batch","Ap","Ai","Ax",
+   "C","AL","AU","l","u",            ((dim, B) column-major f64)
+   "obj_constants", "params"}
+
+Solve responses carry status/iter/time/primal_obj/dual_obj/gap/residuals
+plus x/y/z (base64 f64); batched responses use column-major (dim, B).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import sys
+
+import numpy as np
+
+
+def _enc(a: np.ndarray) -> str:
+    return base64.b64encode(
+        np.ascontiguousarray(a).tobytes()).decode("ascii")
+
+
+def _dec_f64(s: str) -> np.ndarray:
+    return np.frombuffer(base64.b64decode(s), dtype="<f8").copy()
+
+
+def _dec_i64(s: str) -> np.ndarray:
+    return np.frombuffer(base64.b64decode(s), dtype="<i8").copy()
+
+
+def _params(d: dict):
+    from .params import Parameters
+
+    p = Parameters(verbose=False)
+    for k, v in (d or {}).items():
+        if not hasattr(p, k):
+            raise ValueError(f"unknown parameter {k!r}")
+        setattr(p, k, v)
+    return p
+
+
+def _pack_results(res) -> dict:
+    out = {
+        "status": res.status, "iter": int(res.iter),
+        "time": float(res.time), "primal_obj": float(res.primal_obj),
+        "dual_obj": float(res.dual_obj), "gap": float(res.gap),
+        "residuals": float(res.residuals),
+        "iter4": int(res.iter4), "iter6": int(res.iter6),
+        "iter8": int(res.iter8), "time4": float(res.time4),
+        "time6": float(res.time6), "time8": float(res.time8),
+    }
+    for k in ("x", "y", "z"):
+        v = getattr(res, k)
+        out[k] = _enc(np.asarray(v, np.float64)) if v is not None else ""
+    return out
+
+
+def handle(req: dict) -> dict:
+    """Dispatch one request; ANY failure returns an error response (the
+    error boundary lives here so both transports share it)."""
+    try:
+        return _handle(req)
+    except Exception as e:
+        return {"ok": False, "error": f"{type(e).__name__}: {e}"}
+
+
+def _handle(req: dict) -> dict:
+    op = req.get("op")
+    if op == "ping":
+        return {"ok": True, "result": "pong"}
+
+    if op == "solve_mps":
+        from .model import Model
+
+        model = Model.from_mps(req["path"],
+                               mps_format=req.get("mps_format", "free"))
+        res = model.solve(_params(req.get("params")))
+        return {"ok": True, "result": _pack_results(res)}
+
+    if op == "solve":
+        import scipy.sparse as sp
+
+        from .model import Model
+
+        m, n = int(req["m"]), int(req["n"])
+        A = sp.csr_matrix((_dec_f64(req["Ax"]),
+                           _dec_i64(req["Ai"]).astype(np.int32),
+                           _dec_i64(req["Ap"])), shape=(m, n))
+        model = Model.from_arrays(
+            A, _dec_f64(req["AL"]), _dec_f64(req["AU"]),
+            _dec_f64(req["l"]), _dec_f64(req["u"]), _dec_f64(req["c"]),
+            obj_constant=float(req.get("obj_constant", 0.0)))
+        res = model.solve(_params(req.get("params")))
+        return {"ok": True, "result": _pack_results(res)}
+
+    if op == "solve_batched":
+        import scipy.sparse as sp
+
+        from .solver.batched import solve_batched
+
+        m, n, B = int(req["m"]), int(req["n"]), int(req["batch"])
+        A = sp.csr_matrix((_dec_f64(req["Ax"]),
+                           _dec_i64(req["Ai"]).astype(np.int32),
+                           _dec_i64(req["Ap"])), shape=(m, n))
+
+        def mat(key, rows):
+            return _dec_f64(req[key]).reshape(rows, B, order="F")
+
+        oc = (_dec_f64(req["obj_constants"])
+              if req.get("obj_constants") else None)
+        res = solve_batched(A, mat("C", n), mat("AL", m), mat("AU", m),
+                            mat("l", n), mat("u", n), obj_constants=oc,
+                            params=_params(req.get("params")))
+        out = {
+            "m": res.m, "n": res.n, "batch": res.batch_size,
+            "status": list(res.status),
+            "iter": _enc(np.asarray(res.iter, np.int64)),
+            "residuals": _enc(np.asarray(res.residuals, np.float64)),
+            "gap": _enc(np.asarray(res.gap, np.float64)),
+            "primal_obj": _enc(np.asarray(res.primal_obj, np.float64)),
+            "x": _enc(np.asarray(res.x, np.float64).ravel(order="F")),
+            "y": _enc(np.asarray(res.y, np.float64).ravel(order="F")),
+            "z": _enc(np.asarray(res.z, np.float64).ravel(order="F")),
+            "time": float(res.time), "setup_time": float(res.setup_time),
+            "solve_time": float(res.solve_time),
+            "power_time": float(res.power_time),
+        }
+        return {"ok": True, "result": out}
+
+    return {"ok": False, "error": f"unknown op {op!r}"}
+
+
+def serve_stream(inp, outp) -> None:
+    for line in inp:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+        except json.JSONDecodeError as e:
+            outp.write(json.dumps({"ok": False,
+                                   "error": f"bad json: {e}"}) + "\n")
+            outp.flush()
+            continue
+        if req.get("op") == "shutdown":
+            outp.write(json.dumps({"ok": True}) + "\n")
+            outp.flush()
+            return
+        resp = handle(req)
+        outp.write(json.dumps(resp) + "\n")
+        outp.flush()
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="hprlp-server")
+    ap.add_argument("--request", default=None,
+                    help="serve ONE request from this JSON file")
+    ap.add_argument("--response", default=None,
+                    help="write the one-shot response to this JSON file")
+    args = ap.parse_args(argv)
+
+    if args.request:
+        with open(args.request) as f:
+            req = json.load(f)
+        resp = handle(req)
+        text = json.dumps(resp)
+        if args.response:
+            with open(args.response, "w") as f:
+                f.write(text)
+        else:
+            sys.stdout.write(text + "\n")
+        return 0 if resp.get("ok") else 1
+
+    serve_stream(sys.stdin, sys.stdout)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -35,7 +35,7 @@ from ..ops.sparse import spmm
 from ..params import Parameters
 from ..problem import LpProblem
 from ..results import BatchedResults
-from .loop import next_checkpoint, resolve_dtype
+from .loop import resolve_dtype
 from .power_iteration import power_method
 from .scaling import conceptual_b, scale_matrix
 
@@ -212,20 +212,6 @@ def _initial_bmetrics(lp: BatchedLpDevice, row_norm, col_norm,
     return m
 
 
-def _vec_m_norm(sigma, lam, dot, dy2, dx2):
-    """Vectorised M-norm with per-member lambda self-correction
-    (reference: src/batched_solver.cu:625-650)."""
-    dot2 = 2.0 * dot
-    w = sigma * lam * dy2 + dx2 / sigma + dot2
-    neg = w < 0
-    lam_fix = np.where(neg & (sigma * dy2 > 0),
-                       -(dot2 + dx2 / sigma) / np.maximum(sigma * dy2, 1e-300)
-                       * 1.05, lam)
-    norm = np.where(neg, np.sqrt(np.maximum(-(dot2 + dx2 / sigma) * 0.05, 0.0)),
-                    np.sqrt(np.maximum(w, 0.0)))
-    return norm, lam_fix
-
-
 def solve_batched(A, C, AL, AU, l, u, obj_constants=None,
                   params: Parameters | None = None) -> BatchedResults:
     """Solve B LPs sharing the sparse matrix A.
@@ -392,161 +378,116 @@ def solve_batched(A, C, AL, AU, l, u, obj_constants=None,
                          y_bar=zm, z_bar=zn, y_obj=zm,
                          inner=jnp.zeros(B, jnp.int32))
 
-    # Vectorised restart bookkeeping (reference BatchedRestartHost,
-    # src/batched_solver.cu:103-120).
-    first_restart = np.ones(B, bool)
-    last_gap = np.full(B, np.inf)
-    current_gap = np.full(B, np.inf)
-    save_gap = np.full(B, np.inf)
-    best_gap = np.full(B, np.inf)
-    best_sigma = sigma.copy()
-    inner_host = np.zeros(B)
-    active = np.ones(B, bool)
+    # Device-resident superchunk driver (solver/batched_device_loop.py):
+    # per-member restart/sigma/stopping decisions all run inside jit; one
+    # dispatch advances up to n_chunks * check_iter iterations for every
+    # live member (round-1 gap: a host round-trip per checkpoint).
+    from .batched_device_loop import (init_batched_restart_dev,
+                                      run_batched_superchunk)
+
     status = np.array(["CONTINUE"] * B, object)
     iters = np.zeros(B, np.int64)
     final_kkt = np.full(B, np.inf)
     final_gap = np.full(B, np.inf)
     final_pobj = np.zeros(B)
 
-    metrics = {k: np.asarray(jax.device_get(v), np.float64)
-               for k, v in _initial_bmetrics(lp, row_norm_d, col_norm_d,
-                                             state).items()}
+    metrics_prev = _initial_bmetrics(lp, row_norm_d, col_norm_d, state)
+    rd = init_batched_restart_dev(jnp.asarray(sigma, dtype), dtype)
+    sigma_d = jnp.asarray(sigma, dtype)
+    lam_d = jnp.asarray(lam, dtype)
+    active_d = jnp.ones(B, bool)
+    b_scale_d = jnp.asarray(b_scale, dtype)
+    c_scale_d = jnp.asarray(c_scale, dtype)
+    nb_d = jnp.asarray(norm_b_org, dtype)
+    nc_d = jnp.asarray(norm_c_org, dtype)
+    oc_d = jnp.asarray(obj_constants, dtype)
     obj_scale = b_scale * c_scale
-    it = 0
+    check = params.check_iter
 
-    while True:
-        periodic = (it % params.check_iter == 0)
-
-        pobj = obj_scale * metrics["dot_c_xbar"] + obj_constants
-        dobj = obj_scale * (metrics["dot_yobj_ybar"]
-                            + metrics["dot_xbar_zbar"]) + obj_constants
+    def derive(m_k, at_it):
+        pobj = obj_scale * m_k["dot_c_xbar"] + obj_constants
+        dobj = obj_scale * (m_k["dot_yobj_ybar"]
+                            + m_k["dot_xbar_zbar"]) + obj_constants
         rel_gap = np.abs(pobj - dobj) / (1.0 + np.abs(pobj) + np.abs(dobj))
-        err_Rd = c_scale * metrics["nrm_Rd"] / norm_c_org
-        err_Rp = b_scale * metrics["nrm_Rp"] / norm_b_org
-        if it == 0:
-            err_Rp = np.maximum(err_Rp, b_scale * metrics["nrm_lu_viol"])
+        err_Rd = c_scale * m_k["nrm_Rd"] / norm_c_org
+        err_Rp = b_scale * m_k["nrm_Rp"] / norm_b_org
+        if at_it == 0:
+            err_Rp = np.maximum(err_Rp, b_scale * m_k["nrm_lu_viol"])
         kkt = np.maximum(np.maximum(err_Rd, err_Rp), rel_gap)
+        return pobj, rel_gap, kkt
 
-        if periodic and it > 0:
-            current_gap, lam = _vec_m_norm(sigma, lam, metrics["gap_dot"],
-                                           metrics["gap_dy2"],
-                                           metrics["gap_dx2"])
+    def finish(active_h):
+        out.solve_time = elapsed()
+        out.time = out.setup_time + out.solve_time
+        out.iter = iters
+        out.residuals = final_kkt
+        out.gap = final_gap
+        out.primal_obj = final_pobj
+        out.status = list(status)
+        # Un-scale solutions (reference :887-935).
+        x_s = np.asarray(jax.device_get(state.x_bar), np.float64)
+        y_s = np.asarray(jax.device_get(state.y_bar), np.float64)
+        z_s = np.asarray(jax.device_get(state.z_bar), np.float64)
+        x = (b_scale[None, :] * x_s / col_norm[:, None])[maps.col_pos, :]
+        y = (c_scale[None, :] * y_s / row_norm[:, None])[maps.row_pos, :]
+        z = (c_scale[None, :] * z_s * col_norm[:, None])[maps.col_pos, :]
+        out.x = np.asfortranarray(x)
+        out.y = np.asfortranarray(y)
+        out.z = np.asfortranarray(z)
+        return out
 
-        # Per-member stopping.
-        newly_opt = active & (kkt < params.stop_tol)
-        final_kkt = np.where(active, kkt, final_kkt)
-        final_gap = np.where(active, rel_gap, final_gap)
-        final_pobj = np.where(active, pobj, final_pobj)
-        iters = np.where(active, it, iters)
-        status[newly_opt] = "OPTIMAL"
-        active &= ~newly_opt
+    # Iteration-0 bookkeeping.
+    m0 = {k: np.asarray(jax.device_get(v), np.float64)
+          for k, v in metrics_prev.items()}
+    pobj, rel_gap, kkt = derive(m0, 0)
+    done0 = kkt < params.stop_tol
+    status[done0] = "OPTIMAL"
+    final_kkt[:] = kkt
+    final_gap[:] = rel_gap
+    final_pobj[:] = pobj
+    active_h = ~done0
+    active_d = jnp.asarray(active_h)
+    log(f"iter {0:6d}  active {int(active_h.sum()):4d}/{B}  "
+        f"max_kkt {np.nanmax(kkt):.2e}  time {elapsed():.2f}s")
+    it = 0
+    ramp = 1
 
-        stop_all = not active.any()
+    while active_h.any():
         if it >= params.max_iter:
-            status[active] = "ITER_LIMIT"
-            stop_all = True
-        elif elapsed() > params.time_limit:
-            status[active] = "TIME_LIMIT"
-            stop_all = True
+            status[active_h] = "ITER_LIMIT"
+            return finish(active_h)
+        if elapsed() > params.time_limit:
+            status[active_h] = "TIME_LIMIT"
+            return finish(active_h)
 
-        if periodic or stop_all:
-            log(f"iter {it:6d}  active {int(active.sum()):4d}/{B}  "
-                f"max_kkt {np.nanmax(kkt):.2e}  time {elapsed():.2f}s")
+        n_chunks = 1 if params.verbose else ramp
+        ramp = min(ramp * 2, 8)
+        n_chunks = max(1, min(n_chunks,
+                              (params.max_iter - it + check - 1) // check))
+        state, rd, sigma_d, lam_d, active_d, metrics_prev, stacked, \
+            k_done = run_batched_superchunk(
+                lp, row_norm_d, col_norm_d, state, rd, sigma_d, lam_d,
+                active_d, metrics_prev, it, b_scale_d, c_scale_d, nb_d,
+                nc_d, oc_d, params.stop_tol, n_chunks, check)
+        k_done = int(k_done)
+        stacked = {k: np.asarray(v, np.float64)
+                   for k, v in jax.device_get(stacked).items()}
 
-        if stop_all:
-            out.solve_time = elapsed()
-            out.time = out.setup_time + out.solve_time
-            out.iter = iters
-            out.residuals = final_kkt
-            out.gap = final_gap
-            out.primal_obj = final_pobj
-            out.status = list(status)
-            # Un-scale solutions (reference :887-935).
-            x_s = np.asarray(jax.device_get(state.x_bar), np.float64)
-            y_s = np.asarray(jax.device_get(state.y_bar), np.float64)
-            z_s = np.asarray(jax.device_get(state.z_bar), np.float64)
-            x = (b_scale[None, :] * x_s / col_norm[:, None])[maps.col_pos, :]
-            y = (c_scale[None, :] * y_s / row_norm[:, None])[maps.row_pos, :]
-            z = (c_scale[None, :] * z_s * col_norm[:, None])[maps.col_pos, :]
-            out.x = np.asfortranarray(x)
-            out.y = np.asfortranarray(y)
-            out.z = np.asfortranarray(z)
-            return out
+        for k in range(k_done):
+            it += check
+            was_active = stacked["active"][k] > 0.5
+            m_k = {key: stacked[key][k] for key in stacked}
+            pobj, rel_gap, kkt = derive(m_k, it)
+            final_kkt = np.where(was_active, kkt, final_kkt)
+            final_gap = np.where(was_active, rel_gap, final_gap)
+            final_pobj = np.where(was_active, pobj, final_pobj)
+            iters = np.where(was_active, it, iters)
+            newly_opt = was_active & (kkt < params.stop_tol)
+            status[newly_opt] = "OPTIMAL"
+            active_h = was_active & ~newly_opt
+            if params.verbose and it % params.check_iter == 0:
+                log(f"iter {it:6d}  active {int(active_h.sum()):4d}/{B}  "
+                    f"max_kkt {np.nanmax(kkt):.2e}  time {elapsed():.2f}s")
 
-        # Restart decisions (vectorised check_restart,
-        # reference :667-762).
-        restart_flag = np.zeros(B, np.int8)
-        if periodic:
-            # ">=": the exact boundary may be skipped by the chunk
-            # scheduler's no-2-iteration-chunks rule.
-            if it >= params.check_iter and first_restart.any():
-                fr = first_restart & active
-                restart_flag[fr] = 1
-                best_gap = np.where(fr, current_gap, best_gap)
-                best_sigma = np.where(fr, sigma, best_sigma)
-                # All members pass the first-restart point together
-                # (converged ones are frozen anyway).
-                first_restart[:] = False
-            else:
-                est = ~first_restart & active
-                cg = np.where(current_gap < 0, 1e-6, current_gap)
-                current_gap = cg
-                suff = est & (cg <= 0.2 * last_gap)
-                nec = est & (cg <= 0.6 * last_gap) & (cg > save_gap)
-                lng = est & (inner_host >= 0.2 * it)
-                restart_flag[suff] = 1
-                restart_flag[nec] = 2
-                restart_flag[lng] = 3
-                better = est & (best_gap > cg)
-                best_gap = np.where(better, cg, best_gap)
-                best_sigma = np.where(better, sigma, best_sigma)
-                save_gap = np.where(est, cg, save_gap)
-
-        do_restart = restart_flag > 0
-        if do_restart.any():
-            # Vectorised update_sigma (reference :367-404 semantics).
-            pm = metrics["move_x"]
-            dm = metrics["move_y"]
-            ok = ((pm > 1e-16) & (dm > 1e-16) & (pm < 1e12) & (dm < 1e12))
-            # Per-member lambda (it may have been self-corrected upward).
-            ratio = (pm / np.maximum(dm, 1e-300)) / np.sqrt(lam)
-            fact = np.exp(-0.05 * (current_gap
-                                   / np.maximum(best_gap, 1e-300)))
-            sig_cand = np.exp(fact * np.log(np.maximum(ratio, 1e-300))
-                              + (1 - fact) * np.log(np.maximum(best_sigma,
-                                                               1e-300)))
-            temp1 = np.maximum(np.minimum(err_Rd, err_Rp),
-                               np.minimum(rel_gap, current_gap))
-            ratio_inf = np.where(err_Rp > 0, err_Rd / np.maximum(err_Rp,
-                                                                 1e-300), 1.0)
-            kappa = np.where(
-                temp1 > 9e-10, 1.0,
-                np.where(temp1 > 5e-10,
-                         np.clip(np.sqrt(ratio_inf), 1e-2, 100.0),
-                         np.clip(ratio_inf, 1e-2, 100.0)))
-            sigma = np.where(do_restart,
-                             np.where(ok, kappa * sig_cand, 1.0), sigma)
-            inner_host = np.where(do_restart, 0.0, inner_host)
-            save_gap = np.where(do_restart, np.inf, save_gap)
-
-        target = next_checkpoint(it, params.check_iter, params.verbose)
-        if target - it < 2:
-            target = next_checkpoint(target, params.check_iter,
-                                     params.verbose)
-        n_iters = target - it
-
-        state, metrics_dev = run_batched_chunk(
-            lp, row_norm_d, col_norm_d, state,
-            jnp.asarray(sigma, dtype), jnp.asarray(lam, dtype),
-            jnp.asarray(do_restart), jnp.asarray(active),
-            jnp.asarray(n_iters, jnp.int32))
-        metrics = {k: np.asarray(jax.device_get(v), np.float64)
-                   for k, v in metrics_dev.items()}
-
-        if do_restart.any():
-            lg, lam = _vec_m_norm(sigma, lam, metrics["fs_dot"],
-                                  metrics["fs_dy2"], metrics["fs_dx2"])
-            last_gap = np.where(do_restart, lg, last_gap)
-
-        inner_host = np.where(active, inner_host + n_iters, inner_host)
-        it = target
+    log(f"iter {it:6d}  all {B} members converged  time {elapsed():.2f}s")
+    return finish(active_h)

@@ -113,6 +113,20 @@ def solve_problem(problem: LpProblem, params: Parameters | None = None,
     process-global flag to match the requested precision, and it is
     restored on return so unrelated user JAX code keeps its semantics.
     """
+    params = params or Parameters()
+    params.validate()
+    # Mixed precision = f32 LaneELL-speed stages + f64 host refinement
+    # (solver/refine.py).  "auto" below 1e-5 on accelerators routes here:
+    # plain f32 stalls before 1e-8 and emulated f64 loses the fast kernel.
+    precision = params.precision
+    if precision == "auto" and jax.default_backend() != "cpu" \
+            and params.stop_tol < 1e-5:
+        precision = "mixed"
+    if precision == "mixed" and _device_data is None:
+        from .refine import solve_refined
+
+        return solve_refined(problem, params, x0=x0, y0=y0)
+
     prior_x64 = bool(jax.config.jax_enable_x64)
     try:
         return _solve_problem_impl(problem, params, _device_data, x0, y0)
@@ -293,6 +307,8 @@ def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
     restarts = 0
     ramp = 1
     near_tol = False
+    best_kkt = res.kkt
+    best_kkt_it = 0
     while True:
         # Super-chunk size: progressive doubling (1, 2, 4, 8 chunks per
         # dispatch) bounds the overshoot past the stopping point to at
@@ -341,3 +357,12 @@ def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
             return finish("ITER_LIMIT", it, res, sigma, restarts)
         if elapsed() > params.time_limit:
             return finish("TIME_LIMIT", it, res, sigma, restarts)
+        if params.stall_window is not None:
+            # Opt-in stall detection (used by the mixed-precision
+            # refinement driver: f32 plateaus below its round-off floor
+            # should hand over to the next refinement stage, not burn
+            # iterations until ITER_LIMIT).
+            if res.kkt < 0.9 * best_kkt:
+                best_kkt, best_kkt_it = res.kkt, it
+            elif it - best_kkt_it > params.stall_window:
+                return finish("STALLED", it, res, sigma, restarts)

@@ -1,0 +1,188 @@
+"""Mixed-precision solve (precision="mixed"): f32 LaneELL-speed stages +
+f64 host stitching + a warm-started f64 tail for the final stretch.
+
+TPUs have no native f64, so a straight f64 solve pays XLA's emulation and
+loses the Pallas fast path (round-1 gap: 1e-8 solves ran at gather speed).
+The scheme here:
+
+1. Solve in f32 with stall detection (the f32 iterates plateau at their
+   round-off floor, typically 1e-5..1e-6 true KKT).
+2. Zoomed refinement stages: re-solve
+       min  c'd   s.t.  zeta(AL - Ax0) <= A d <= zeta(AU - Ax0),
+                        zeta(l - x0)  <=  d  <= zeta(u - x0)
+   in f32 and stitch x += d/zeta, (y, z) = (yd, zd) in f64 (the cost is
+   UNSCALED, so the sub's duals are original-scale duals; with the
+   two-sided form the textbook reduced-cost objective drops the
+   non-constant y0'Ad term and regresses the objective — measured).
+   Each stage improves the true f64-measured KKT ~10-30x until the f32
+   measurement floor binds (~1e-6).
+3. If the target is below what stages can certify, finish with an
+   f64 (XLA-emulated) solve WARM-STARTED at the refined point: the tail
+   typically needs a few hundred iterations, so its slow per-iteration
+   cost is amortised away.
+
+No reference counterpart: the reference solves in f64 end-to-end on
+hardware that has it (src/HPRLP.cu).  SURVEY §7.2 hard part 1 / VERDICT
+r1 "fast high-precision mode".
+"""
+
+from __future__ import annotations
+
+import copy
+import time
+
+import numpy as np
+
+from ..params import Parameters
+from ..problem import LpProblem
+from ..results import Results
+
+# f32 stages cannot certify much below this; below it the f64 tail runs.
+F32_CERT_FLOOR = 3e-7
+
+
+def _project_duals(problem: LpProblem, A, y, z):
+    """Clamp multipliers on infinite bounds (they send the dual objective
+    to -inf; the reference's postsolve validator projects the same way,
+    src/pslp_integration.cpp:499-580).  The y-residue is absorbed into z
+    to preserve stationarity c - A'y - z."""
+    y_proj = y.copy()
+    y_proj[np.isinf(problem.AL) & (y_proj > 0)] = 0.0
+    y_proj[np.isinf(problem.AU) & (y_proj < 0)] = 0.0
+    if not np.array_equal(y_proj, y):
+        z = z + A.T @ (y - y_proj)
+        y = y_proj
+    z = z.copy()
+    z[np.isinf(problem.l) & (z > 0)] = 0.0
+    z[np.isinf(problem.u) & (z < 0)] = 0.0
+    return y, z
+
+
+def solve_refined(problem: LpProblem, params: Parameters,
+                  x0=None, y0=None) -> Results:
+    from .loop import solve_problem
+
+    target = params.stop_tol
+    t_start = time.perf_counter()
+    log = print if params.verbose else (lambda *a, **k: None)
+
+    stage_params = copy.copy(params)
+    stage_params.precision = "f32"
+    stage_params.use_presolve = False  # applied upstream by the caller
+    stage_params.stop_tol = max(params.refine_stage_tol, target)
+    # A stage that plateaus at its f32 round-off floor should hand over to
+    # the next refinement stage, not run to ITER_LIMIT.
+    if stage_params.stall_window is None:
+        stage_params.stall_window = max(3000, 20 * params.check_iter)
+
+    A = problem.A
+    x = np.zeros(problem.n)
+    y = np.zeros(problem.m)
+    z = np.zeros(problem.n)
+
+    out = Results()
+    best = None  # (kkt, x, y, z, metrics)
+    total_iter = 0
+    restarts = 0
+    first = {1e-4: True, 1e-6: True, 1e-8: True}
+    res = None
+
+    def note_milestones(kkt, t_now):
+        for tol, (ai, at) in ((1e-4, ("iter4", "time4")),
+                              (1e-6, ("iter6", "time6")),
+                              (1e-8, ("iter8", "time8"))):
+            if first[tol] and kkt < tol:
+                setattr(out, ai, total_iter)
+                setattr(out, at, t_now)
+                first[tol] = False
+
+    for stage in range(max(1, params.refine_max_stages)):
+        budget = params.time_limit - (time.perf_counter() - t_start)
+        if budget <= 0:
+            break
+        stage_params.time_limit = budget
+
+        if stage == 0:
+            res = solve_problem(problem, stage_params, x0=x0, y0=y0)
+            if res.x is None:
+                return res  # ERROR surface unchanged
+            x, y, z = res.x, res.y, res.z
+            zoom = 1.0
+        else:
+            kkt_prev = best[0]
+            zoom = min(params.refine_zoom_cap,
+                       max(1.0, 0.1 / max(kkt_prev, 1e-300)))
+            Ax = A @ x
+            sub = LpProblem.from_arrays(
+                A,
+                zoom * (problem.AL - Ax), zoom * (problem.AU - Ax),
+                zoom * (problem.l - x), zoom * (problem.u - x),
+                problem.c)
+            res = solve_problem(sub, stage_params)
+            if res.x is None or res.status == "ERROR":
+                break
+            x = np.clip(x + res.x / zoom, problem.l, problem.u)
+            # Cost unscaled => the sub's duals are original-scale duals.
+            y, z = res.y, res.z
+        # Reuse the tuned backend for later stages (same matrix).
+        if res.spmv_backend and stage_params.spmv_backend == "auto":
+            stage_params.spmv_backend = res.spmv_backend
+        total_iter += res.iter
+        restarts += res.restarts
+
+        y, z = _project_duals(problem, A, y, z)
+        metrics = problem.kkt_error(x, y, z)
+        kkt = metrics["kkt"]
+        log(f"[refine] stage {stage}: zoom={zoom:.1e} "
+            f"stage_iter={res.iter} kkt={kkt:.3e}")
+        note_milestones(kkt, time.perf_counter() - t_start)
+
+        stalled = best is not None and stage > 0 and kkt > 0.5 * best[0]
+        if best is None or kkt < best[0]:
+            best = (kkt, x.copy(), y.copy(), z.copy(), metrics)
+        if kkt < target or stalled:
+            break
+        if best[0] < F32_CERT_FLOOR:
+            break  # below what f32 stages can certify; tail decides
+
+    kkt, x, y, z, metrics = best
+    status = "OPTIMAL" if kkt < target else res.status
+
+    if kkt >= target:
+        # f64 tail: warm-started emulated-f64 solve for the final stretch
+        # (typically a few hundred iterations from a ~1e-6 point).
+        budget = params.time_limit - (time.perf_counter() - t_start)
+        if budget > 0:
+            tail_params = copy.copy(params)
+            tail_params.precision = "f64"
+            tail_params.use_presolve = False
+            tail_params.stall_window = None
+            tail_params.time_limit = budget
+            log(f"[refine] f64 tail from kkt={kkt:.3e}")
+            res_t = solve_problem(problem, tail_params, x0=x, y0=y)
+            if res_t.x is not None:
+                total_iter += res_t.iter
+                restarts += res_t.restarts
+                yt, zt = _project_duals(problem, A, res_t.y, res_t.z)
+                mt = problem.kkt_error(res_t.x, yt, zt)
+                note_milestones(mt["kkt"], time.perf_counter() - t_start)
+                if mt["kkt"] < kkt:
+                    kkt, x, y, z, metrics = (mt["kkt"], res_t.x, yt, zt, mt)
+                status = ("OPTIMAL" if kkt < target else res_t.status)
+
+    out.status = status
+    out.iter = total_iter
+    out.time = time.perf_counter() - t_start
+    out.x, out.y, out.z = x, y, z
+    out.primal_obj = metrics["primal_obj"]
+    out.dual_obj = metrics["dual_obj"]
+    out.gap = metrics["rel_gap"]
+    out.residuals = kkt
+    out.spmv_backend = res.spmv_backend if res is not None else ""
+    out.restarts = restarts
+    if res is not None:
+        out.setup_time = res.setup_time
+        out.scaling_time = res.scaling_time
+        out.power_time = res.power_time
+        out.autotune_time = res.autotune_time
+    return out

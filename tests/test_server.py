@@ -1,0 +1,155 @@
+"""Solver-server protocol tests: the JSON+base64 transport the Julia and
+MATLAB wrappers speak (hprlp_tpu/server.py), exercised end to end
+in-process and over a real subprocess pipe."""
+
+import base64
+import io
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from hprlp_tpu.server import _enc, handle, serve_stream
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _dec(s):
+    return np.frombuffer(base64.b64decode(s), dtype="<f8")
+
+
+def _demo_solve_request(**params):
+    A = sp.csr_matrix(np.array([[1.0, 2.0], [3.0, 1.0]]))
+    return {
+        "op": "solve", "m": 2, "n": 2,
+        "Ap": _enc(A.indptr.astype(np.int64)),
+        "Ai": _enc(A.indices.astype(np.int64)),
+        "Ax": _enc(A.data.astype(np.float64)),
+        "AL": _enc(np.array([-1e30, -1e30])),
+        "AU": _enc(np.array([10.0, 12.0])),
+        "l": _enc(np.zeros(2)),
+        "u": _enc(np.array([1e30, 1e30])),
+        "c": _enc(np.array([-3.0, -5.0])),
+        "obj_constant": 0.0,
+        "params": {"precision": "f64", "stop_tol": 1e-6, **params},
+    }
+
+
+class TestHandle:
+    def test_ping(self):
+        assert handle({"op": "ping"}) == {"ok": True, "result": "pong"}
+
+    def test_unknown_op(self):
+        r = handle({"op": "nope"})
+        assert not r["ok"]
+
+    def test_solve_arrays(self):
+        r = handle(_demo_solve_request())
+        assert r["ok"], r
+        res = r["result"]
+        assert res["status"] == "OPTIMAL"
+        assert res["primal_obj"] == pytest.approx(-26.4, abs=1e-2)
+        np.testing.assert_allclose(_dec(res["x"]), [2.8, 3.6], atol=1e-3)
+
+    def test_solve_mps(self):
+        r = handle({"op": "solve_mps",
+                    "path": os.path.join(REPO, "data", "model.mps"),
+                    "params": {"precision": "f64"}})
+        assert r["ok"], r
+        assert r["result"]["status"] == "OPTIMAL"
+        assert r["result"]["primal_obj"] == pytest.approx(-26.4, abs=1e-2)
+
+    def test_solve_batched(self):
+        rng = np.random.default_rng(0)
+        m, n, B = 6, 9, 4
+        A = sp.random(m, n, density=0.5, random_state=rng,
+                      data_rvs=lambda k: rng.normal(size=k)).tocsr()
+        x0 = rng.uniform(-1, 1, (n, B))
+        Ax = A @ x0
+        req = {
+            "op": "solve_batched", "m": m, "n": n, "batch": B,
+            "Ap": _enc(A.indptr.astype(np.int64)),
+            "Ai": _enc(A.indices.astype(np.int64)),
+            "Ax": _enc(A.data.astype(np.float64)),
+            "C": _enc(rng.normal(size=(n, B)).ravel(order="F")),
+            "AL": _enc((Ax - 1.0).ravel(order="F")),
+            "AU": _enc((Ax + 1.0).ravel(order="F")),
+            "l": _enc((x0 - 2.0).ravel(order="F")),
+            "u": _enc((x0 + 2.0).ravel(order="F")),
+            "obj_constants": "",
+            "params": {"stop_tol": 1e-4},
+        }
+        r = handle(req)
+        assert r["ok"], r
+        out = r["result"]
+        assert out["batch"] == B
+        assert all(s == "OPTIMAL" for s in out["status"])
+        x = _dec(out["x"]).reshape(n, B, order="F")
+        assert x.shape == (n, B)
+
+    def test_error_boundary(self):
+        r = handle({"op": "solve_mps", "path": "/nonexistent.mps",
+                    "params": {}})
+        assert not r["ok"]
+        assert "error" in r
+
+
+class TestStream:
+    def test_stream_roundtrip(self):
+        lines = [json.dumps({"op": "ping"}),
+                 "not json at all",
+                 json.dumps(_demo_solve_request()),
+                 json.dumps({"op": "shutdown"}),
+                 json.dumps({"op": "ping"})]  # after shutdown: unserved
+        out = io.StringIO()
+        serve_stream(io.StringIO("\n".join(lines) + "\n"), out)
+        resp = [json.loads(x) for x in out.getvalue().splitlines()]
+        assert len(resp) == 4  # ping, bad-json error, solve, shutdown-ack
+        assert resp[0] == {"ok": True, "result": "pong"}
+        assert not resp[1]["ok"]
+        assert resp[2]["ok"] and resp[2]["result"]["status"] == "OPTIMAL"
+        assert resp[3] == {"ok": True}
+
+
+class TestSubprocess:
+    """The transport exactly as the wrappers use it."""
+
+    def test_oneshot_files(self, tmp_path):
+        req = tmp_path / "req.json"
+        resp = tmp_path / "resp.json"
+        req.write_text(json.dumps({"op": "ping"}))
+        env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+        env.pop("PYTHONSTARTUP", None)
+        r = subprocess.run(
+            [sys.executable, "-m", "hprlp_tpu.server",
+             "--request", str(req), "--response", str(resp)],
+            env=env, capture_output=True, timeout=300)
+        assert r.returncode == 0, r.stderr.decode()
+        assert json.loads(resp.read_text()) == {"ok": True,
+                                                "result": "pong"}
+
+    def test_pipe_session(self):
+        env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+        p = subprocess.Popen(
+            [sys.executable, "-m", "hprlp_tpu.server"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, env=env,
+            text=True)
+        try:
+            p.stdin.write(json.dumps({"op": "ping"}) + "\n")
+            p.stdin.flush()
+            assert json.loads(p.stdout.readline())["result"] == "pong"
+            p.stdin.write(json.dumps(_demo_solve_request()) + "\n")
+            p.stdin.flush()
+            out = json.loads(p.stdout.readline())
+            assert out["ok"] and out["result"]["status"] == "OPTIMAL"
+            p.stdin.write(json.dumps({"op": "shutdown"}) + "\n")
+            p.stdin.flush()
+            assert json.loads(p.stdout.readline()) == {"ok": True}
+            p.wait(timeout=60)
+        finally:
+            if p.poll() is None:
+                p.kill()
