@@ -25,11 +25,14 @@ compile on v5e.  LaneELL routes arbitrary sparse gathers through it:
     g0  = transpose(g0T)                    slot-major again
     g1  = lane-gather(g0, idx2)             route to the output row's lane
     p   = g1 * vals
-    per 128-sublane sub-block: one MXU segment-sum  local = R @ p  with
-    R[d, s] = [gid[s] - gbase == d], then a single 128-row add
-    y2[gbase : gbase+128] += local.  The scheduler bounds every
-    sub-block's output-group span to < 128 so this flush is always one
-    matmul + one VMEM read-modify-write (no serial per-group loop).
+    per 128-sublane sub-block: a single aligned block add
+    y2[gbase : gbase+128] += p.  The scheduler makes this exact by
+    ALIGNMENT: a sub-block holds at most one sublane per output group,
+    and the depth-k sublane of group g sits at sublane position
+    g - gbase of the k-th sub-block of its (window, 128-group range) —
+    so no in-kernel segment reduction exists at all (measured 5.6x
+    faster than an MXU one-hot segment-sum flush on v5e; the price is
+    depth-imbalance padding, ~1.3-1.5x sublanes on the bench matrix).
 
   Output rows are grouped 128 per group (group = padded_row // 128, lane =
   padded_row % 128); an entry's slot sublane belongs to its row's group.
@@ -47,7 +50,7 @@ import numpy as np
 
 LANES = 128
 WINDOW = LANES * LANES  # x values per window (one (128,128) VMEM tile)
-SUBBLOCKS = 4           # 128-sublane sub-blocks per kernel chunk
+SUBBLOCKS = 8           # 128-sublane sub-blocks per kernel chunk
 CHUNK_SUB = SUBBLOCKS * LANES  # slot sublanes per kernel grid step
 
 
@@ -150,57 +153,67 @@ def schedule_lane_ell(rows_p: np.ndarray, cols_p: np.ndarray,
     sub_of[order] = sub_sorted
     T = len(gid_arr)
 
-    # Chunk sublanes: CHUNK_SUB per chunk, one window per chunk; within a
-    # chunk, each 128-sublane SUB-BLOCK must span < 128 distinct output
-    # groups so the kernel can flush it with ONE segment-sum matmul into
-    # y2[gbase : gbase+128] (no serial per-run loop).  Walk each window's
-    # sublane run (sorted by group), cutting a sub-block whenever adding a
-    # sublane would exceed 128 sublanes or a 128-group span; pad every
-    # sub-block to LANES sublanes and every window to a SUBBLOCKS multiple
-    # of sub-blocks.
-    win_change = np.nonzero(np.diff(wid_arr))[0] + 1
-    seg_starts = np.concatenate([[0], win_change, [T]])
+    # ALIGNED placement: for each (window, 128-aligned group range), emit
+    # D = max-group-depth sub-blocks; the depth-k sublane of group g sits
+    # at sublane position g - gbase of sub-block k.  The kernel flush is
+    # then a single y2[gbase : gbase+128] += p per sub-block — no segment
+    # reduction of any kind.  Groups shallower than D leave empty (zero)
+    # sublane slots; chunks group SUBBLOCKS consecutive sub-blocks of one
+    # window (a window's sub-block count is padded to a multiple).
+    # Depth of each sublane within its (w, g) run (sublanes arrive sorted
+    # by (w, g); depth = position inside the run).
+    depth = np.zeros(T, np.int64)
+    if T:
+        idx = np.arange(T)
+        run_start = idx.copy()
+        same = np.zeros(T, bool)
+        same[1:] = (gid_arr[1:] == gid_arr[:-1]) & (wid_arr[1:] == wid_arr[:-1])
+        run_start[same] = 0
+        np.maximum.accumulate(run_start, out=run_start)
+        depth = idx - run_start
+
+    grange = gid_arr // LANES
     new_pos = np.zeros(T, np.int64)
-    blk_gid: list[np.ndarray] = []   # (LANES,) per sub-block
     blk_wid: list[int] = []
     blk_gbase: list[int] = []
-    cursor = 0
-    for a, b in zip(seg_starts[:-1], seg_starts[1:]):
-        if a == b:
-            continue
-        w = int(wid_arr[a])
-        n_blocks_before = len(blk_wid)
-        i = a
-        while i < b:
-            g0 = int(gid_arr[i])
-            j = i
-            while j < b and j - i < LANES and gid_arr[j] - g0 < LANES:
-                j += 1
-            n = j - i
-            new_pos[i:j] = cursor + np.arange(n)
-            blk_gid.append(np.concatenate(
-                [gid_arr[i:j], np.full(LANES - n, g0, np.int64)]))
-            blk_wid.append(w)
-            blk_gbase.append(g0)
-            cursor += LANES
-            i = j
-        while (len(blk_wid) - n_blocks_before) % SUBBLOCKS != 0:
-            blk_gid.append(np.zeros(LANES, np.int64))
-            blk_wid.append(w)
+    if T:
+        seg_change = np.nonzero((np.diff(wid_arr) != 0)
+                                | (np.diff(grange) != 0))[0] + 1
+        bounds = np.concatenate([[0], seg_change, [T]])
+        cur_sb = 0
+        prev_w = int(wid_arr[0])
+        win_first_sb = 0
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            w = int(wid_arr[a])
+            if w != prev_w:
+                while (cur_sb - win_first_sb) % SUBBLOCKS != 0:
+                    blk_wid.append(prev_w)
+                    blk_gbase.append(0)
+                    cur_sb += 1
+                prev_w = w
+                win_first_sb = cur_sb
+            D = int(depth[a:b].max()) + 1
+            gb = int(grange[a]) * LANES
+            new_pos[a:b] = ((cur_sb + depth[a:b]) * LANES
+                            + (gid_arr[a:b] - gb))
+            blk_wid.extend([w] * D)
+            blk_gbase.extend([gb] * D)
+            cur_sb += D
+        while (cur_sb - win_first_sb) % SUBBLOCKS != 0:
+            blk_wid.append(prev_w)
             blk_gbase.append(0)
-            cursor += LANES
-    if cursor == 0:  # empty matrix
-        for _ in range(SUBBLOCKS):
-            blk_gid.append(np.zeros(LANES, np.int64))
-            blk_wid.append(0)
-            blk_gbase.append(0)
-        cursor = CHUNK_SUB
-    T_pad = cursor
-    C = T_pad // CHUNK_SUB
+            cur_sb += 1
+    if not blk_wid:  # empty matrix
+        blk_wid = [0] * SUBBLOCKS
+        blk_gbase = [0] * SUBBLOCKS
+    n_sb = len(blk_wid)
+    T_pad = n_sb * LANES
+    C = n_sb // SUBBLOCKS
 
-    gid_tile = np.concatenate(blk_gid).reshape(C, CHUNK_SUB)
-    wid_tile = np.asarray(blk_wid[::SUBBLOCKS], np.int32)
     gbase_tile = np.asarray(blk_gbase, np.int64).reshape(C, SUBBLOCKS)
+    gid_tile = (gbase_tile[:, :, None]
+                + np.arange(LANES)[None, None, :]).reshape(C, CHUNK_SUB)
+    wid_tile = np.asarray(blk_wid[::SUBBLOCKS], np.int32)
 
     idx1 = np.zeros((T_pad, LANES), np.int32)
     idx2 = np.zeros((T_pad, LANES), np.int32)
@@ -240,7 +253,11 @@ def lane_spmv_reference(tiles: dict, x_pad: np.ndarray) -> np.ndarray:
             [x_pad, np.zeros(n_win * WINDOW - len(x_pad), x_pad.dtype)])
     x3 = x_pad.reshape(n_win, LANES, LANES)
     C = tiles["idx2"].shape[0]
-    y2 = np.zeros((G, LANES), x_pad.dtype)
+    # Flush windows are 128-aligned, so padding sublanes may carry group
+    # ids past G (their values are zero); accumulate into the rounded-up
+    # space and slice.
+    g_alloc = -(-max(G, LANES) // LANES) * LANES
+    y2 = np.zeros((g_alloc, LANES), x_pad.dtype)
     for c in range(C):
         W = x3[tiles["wid"][c]]
         idx1 = tiles["idx1t"][c].T            # (s, l0): row-in-window
@@ -248,4 +265,4 @@ def lane_spmv_reference(tiles: dict, x_pad: np.ndarray) -> np.ndarray:
         g1 = np.take_along_axis(g0, tiles["idx2"][c], axis=1)
         p = g1 * tiles["vals"][c]
         np.add.at(y2, tiles["gid"][c], p)
-    return y2.reshape(-1)
+    return y2[:G].reshape(-1)

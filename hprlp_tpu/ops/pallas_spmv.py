@@ -8,19 +8,18 @@ DMA'd):
     WT  = transpose(x3[wid[c]])            (128, 128) residue-major window
     g0T = lane-gather(WT, idx1T[c])        row-in-window per residue
     g1  = lane-gather(transpose(g0T), idx2[c])   route to output row lane
-    p   = g1 * vals[c]
-    per 128-sublane sub-block j: one MXU segment-sum
-        local = R @ p_j   with  R[d, s] = [rank[s] == d],
-        rank[s] = gid[s] - gbase[c, j]  (precomputed, < 128 by the
-        scheduler's group-span bound), then a single
-        y2[gbase : gbase+128, :] += local  VMEM read-modify-write.
+    per 128-sublane sub-block j:
+        y2[gbase[c,j] : gbase[c,j]+128, :] += g1_j * vals[c,j]
 
-Every data-movement op is a full-width vector op and the flush is one
-matmul + one 128-row add per sub-block — nothing is serial per group.
+The flush needs no reduction because the scheduler ALIGNS sublanes to
+output rows: sub-block j holds at most one sublane per group, with the
+sublane for group g at position g - gbase (ops/lane_ell.py).  Every op in
+the kernel is a full-width vector op; nothing is serial and nothing runs
+on the MXU.
 
 Role parity: the reference's fused warp-bucketed SpMV kernels (reference:
 src/cuda_kernels/HPR_cuda_kernels.cu:297-427) — redesigned around the TPU
-vector unit's lane crossbar + MXU segment sums rather than warp shuffles.
+vector unit's lane crossbar rather than warp shuffles.
 """
 
 from __future__ import annotations
@@ -35,13 +34,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .lane_ell import CHUNK_SUB, LANES, SUBBLOCKS, WINDOW
 
-# y2 is flushed in 128-group windows, so its VMEM accumulator must hold at
-# least 128 groups; smaller outputs are padded up and sliced at the end.
-MIN_GROUPS = LANES
-
 
 def _lane_kernel(wid_ref, gbase_ref, x3_ref, i1t_ref, i2_ref, v_ref,
-                 rank_ref, y2_ref, p_ref):
+                 y2_ref, p_ref):
     c = pl.program_id(0)
 
     @pl.when(c == 0)
@@ -51,7 +46,10 @@ def _lane_kernel(wid_ref, gbase_ref, x3_ref, i1t_ref, i2_ref, v_ref,
     # The lane crossbar is 128 wide, so gathers run per 128-sublane
     # sub-block; the super-chunk still amortises grid-step and DMA
     # overheads 4x.  Index tiles stream as int8 (all values < 128) and
-    # widen in VMEM (less HBM traffic).
+    # widen in VMEM (less HBM traffic).  Products land in the p scratch
+    # first and flush in a second loop — interleaving the gathers with
+    # the dynamic-index accumulator writes serialises the pipeline
+    # (measured 3x slower fused).
     wt = x3_ref[0].T                                       # (128, 128)
     for j in range(SUBBLOCKS):
         sl = slice(j * LANES, (j + 1) * LANES)
@@ -60,32 +58,21 @@ def _lane_kernel(wid_ref, gbase_ref, x3_ref, i1t_ref, i2_ref, v_ref,
         g1 = jnp.take_along_axis(g0t.T, i2_ref[0][sl, :].astype(jnp.int32),
                                  axis=1)
         p_ref[sl, :] = g1 * v_ref[0][sl, :]
-
-    d_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
     for j in range(SUBBLOCKS):
-        # Segment sum on the MXU: R[d, s] = (rank[s] == d); rank is the
-        # group offset from this sub-block's gbase, < 128 by construction.
-        rank = rank_ref[0, 0:1, j * LANES:(j + 1) * LANES]  # (1, 128)
-        R = (d_iota == rank).astype(p_ref.dtype)
-        local = jnp.dot(R, p_ref[j * LANES:(j + 1) * LANES, :],
-                        preferred_element_type=p_ref.dtype,
-                        precision=jax.lax.Precision.HIGHEST)
         gb = gbase_ref[c * SUBBLOCKS + j]
-        y2_ref[pl.ds(gb, LANES), :] += local
+        y2_ref[pl.ds(gb, LANES), :] += p_ref[j * LANES:(j + 1) * LANES, :]
 
 
 @functools.partial(jax.jit, static_argnames=("g_real", "interpret"))
 def lane_spmv(x_pad: jax.Array, idx1t: jax.Array, idx2: jax.Array,
-              vals: jax.Array, rank: jax.Array, gbase: jax.Array,
-              wid: jax.Array, g_real: int,
-              interpret: bool = False) -> jax.Array:
+              vals: jax.Array, gbase: jax.Array, wid: jax.Array,
+              g_real: int, interpret: bool = False) -> jax.Array:
     """y = A @ x using windowed LaneELL tiles.
 
     x_pad: (n_pad,); idx1t: (C, 128, CHUNK_SUB); idx2/vals:
-    (C, CHUNK_SUB, 128); rank: (C, 8, CHUNK_SUB) int32 (row 0 = group
-    offset from the sub-block's gbase per sublane); gbase:
-    (C*SUBBLOCKS,) int32 clamped so gbase+128 <= g_alloc; wid: (C,) int32.
-    g_real: m_pad // 128.  Returns y: (g_real * 128,).
+    (C, CHUNK_SUB, 128); gbase: (C*SUBBLOCKS,) int32 (128-aligned flush
+    bases); wid: (C,) int32.  g_real: m_pad // 128.
+    Returns y: (g_real * 128,).
     """
     C = idx2.shape[0]
     n_pad = x_pad.shape[0]
@@ -93,7 +80,9 @@ def lane_spmv(x_pad: jax.Array, idx1t: jax.Array, idx2: jax.Array,
     if n_win * WINDOW != n_pad:
         x_pad = jnp.pad(x_pad, (0, n_win * WINDOW - n_pad))
     x3 = x_pad.reshape(n_win, LANES, LANES)
-    g_alloc = max(g_real, MIN_GROUPS)
+    # Flush windows are 128-aligned, so the accumulator rounds the group
+    # count up to a 128 multiple (the tail slice is dropped on return).
+    g_alloc = -(-max(g_real, LANES) // LANES) * LANES
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -111,9 +100,6 @@ def lane_spmv(x_pad: jax.Array, idx1t: jax.Array, idx2: jax.Array,
             pl.BlockSpec((1, CHUNK_SUB, LANES),
                          lambda c, wid, gb: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, CHUNK_SUB),
-                         lambda c, wid, gb: (c, 0, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((g_alloc, LANES),
                                lambda c, wid, gb: (0, 0),
@@ -125,34 +111,24 @@ def lane_spmv(x_pad: jax.Array, idx1t: jax.Array, idx2: jax.Array,
         grid_spec=grid_spec,
         interpret=interpret,
         out_shape=jax.ShapeDtypeStruct((g_alloc, LANES), x_pad.dtype),
-    )(wid, gbase, x3, idx1t, idx2, vals, rank)
+    )(wid, gbase, x3, idx1t, idx2, vals)
     return y2[:g_real].reshape(-1)
 
 
 def pack_tiles(tiles: dict, n_pad: int, dtype) -> dict:
-    """Upload scheduler output as device tiles for lane_spmv: rank is the
-    per-sublane group offset from its sub-block's gbase; gbase is clamped
-    so every 128-group flush window fits inside the y2 allocation."""
-    gid = tiles["gid"].reshape(-1, SUBBLOCKS, LANES)  # (C, j, s)
-    C = gid.shape[0]
-    G = tiles["G"]
-    g_alloc = max(G, MIN_GROUPS)
-
+    """Upload scheduler output as device tiles for lane_spmv."""
     gbase = tiles["gbase"].astype(np.int64)           # (C, SUBBLOCKS)
-    gb_clamped = np.minimum(gbase, g_alloc - MIN_GROUPS)
-    rank = gid - gb_clamped[:, :, None]               # (C, j, s) in [0,128)
-    if rank.size and (rank.min() < 0 or rank.max() >= LANES):
-        raise AssertionError("lane scheduler violated the group-span bound")
-
-    rank_tile = np.zeros((C, 8, CHUNK_SUB), np.int32)
-    rank_tile[:, 0, :] = rank.reshape(C, CHUNK_SUB)
+    G = tiles["G"]
+    g_alloc = -(-max(G, LANES) // LANES) * LANES
+    if gbase.size and (gbase.min() < 0
+                       or gbase.max() + LANES > g_alloc):
+        raise AssertionError("lane scheduler emitted an out-of-range gbase")
 
     return {
         "idx1t": jnp.asarray(tiles["idx1t"].astype(np.int8)),
         "idx2": jnp.asarray(tiles["idx2"].astype(np.int8)),
         "vals": jnp.asarray(tiles["vals"].astype(np.dtype(dtype))),
-        "rank": jnp.asarray(rank_tile),
-        "gbase": jnp.asarray(gb_clamped.reshape(-1).astype(np.int32)),
+        "gbase": jnp.asarray(gbase.reshape(-1).astype(np.int32)),
         "wid": jnp.asarray(tiles["wid"]),
         "G": G,
     }

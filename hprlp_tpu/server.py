@@ -166,8 +166,11 @@ def serve_stream(inp, outp) -> None:
             outp.flush()
             continue
         if req.get("op") == "shutdown":
-            outp.write(json.dumps({"ok": True}) + "\n")
-            outp.flush()
+            try:
+                outp.write(json.dumps({"ok": True}) + "\n")
+                outp.flush()
+            except (BrokenPipeError, ValueError):
+                pass  # client already hung up
             return
         resp = handle(req)
         outp.write(json.dumps(resp) + "\n")

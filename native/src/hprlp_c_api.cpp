@@ -1,0 +1,516 @@
+/* C ABI for the TPU-native HPR-LP solver — see include/hprlp_tpu.h.
+ *
+ * Transport: one warm `python -m hprlp_tpu.server` worker over a pair of
+ * pipes, speaking the line-delimited JSON + base64 protocol
+ * (hprlp_tpu/server.py).  Role parity with the reference's in-process C
+ * API (reference: include/HPRLP.h, src/HPRLP.cu:321-537) with the
+ * process boundary replacing the shared library boundary.
+ */
+
+#include "../include/hprlp_tpu.h"
+
+#include <sys/types.h>
+#include <sys/wait.h>
+#include <unistd.h>
+
+#include <cerrno>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+extern char **environ;
+
+namespace {
+
+std::string g_last_error;
+
+/* ---- base64 ----------------------------------------------------------- */
+
+const char B64[] =
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/";
+
+std::string b64_encode(const unsigned char *data, size_t len) {
+    std::string out;
+    out.reserve((len + 2) / 3 * 4);
+    for (size_t i = 0; i < len; i += 3) {
+        unsigned v = data[i] << 16;
+        if (i + 1 < len) v |= data[i + 1] << 8;
+        if (i + 2 < len) v |= data[i + 2];
+        out.push_back(B64[(v >> 18) & 63]);
+        out.push_back(B64[(v >> 12) & 63]);
+        out.push_back(i + 1 < len ? B64[(v >> 6) & 63] : '=');
+        out.push_back(i + 2 < len ? B64[v & 63] : '=');
+    }
+    return out;
+}
+
+int b64_val(char c) {
+    if (c >= 'A' && c <= 'Z') return c - 'A';
+    if (c >= 'a' && c <= 'z') return c - 'a' + 26;
+    if (c >= '0' && c <= '9') return c - '0' + 52;
+    if (c == '+') return 62;
+    if (c == '/') return 63;
+    return -1;
+}
+
+std::vector<unsigned char> b64_decode(const std::string &s) {
+    std::vector<unsigned char> out;
+    out.reserve(s.size() / 4 * 3);
+    unsigned buf = 0;
+    int bits = 0;
+    for (char c : s) {
+        int v = b64_val(c);
+        if (v < 0) continue; /* '=', whitespace */
+        buf = (buf << 6) | (unsigned)v;
+        bits += 6;
+        if (bits >= 8) {
+            bits -= 8;
+            out.push_back((unsigned char)((buf >> bits) & 0xff));
+        }
+    }
+    return out;
+}
+
+template <typename T>
+std::string b64_of(const T *v, int64_t n) {
+    return b64_encode(reinterpret_cast<const unsigned char *>(v),
+                      (size_t)n * sizeof(T));
+}
+
+std::vector<double> f64_of_b64(const std::string &s) {
+    std::vector<unsigned char> raw = b64_decode(s);
+    std::vector<double> out(raw.size() / 8);
+    std::memcpy(out.data(), raw.data(), out.size() * 8);
+    return out;
+}
+
+/* ---- tiny JSON -------------------------------------------------------- */
+
+struct JsonValue {
+    enum Kind { Null, Bool, Num, Str, Arr, Obj } kind = Null;
+    bool b = false;
+    double num = 0.0;
+    std::string str;
+    std::vector<JsonValue> arr;
+    std::vector<std::pair<std::string, JsonValue>> obj;
+
+    const JsonValue *get(const std::string &key) const {
+        for (auto &kv : obj)
+            if (kv.first == key) return &kv.second;
+        return nullptr;
+    }
+    double num_or(const std::string &k, double d) const {
+        const JsonValue *v = get(k);
+        return v && v->kind == Num ? v->num : d;
+    }
+    std::string str_or(const std::string &k, const std::string &d) const {
+        const JsonValue *v = get(k);
+        return v && v->kind == Str ? v->str : d;
+    }
+};
+
+struct JsonParser {
+    const char *p, *end;
+    bool ok = true;
+
+    void ws() {
+        while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' ||
+                           *p == '\r'))
+            ++p;
+    }
+
+    JsonValue value() {
+        ws();
+        JsonValue v;
+        if (p >= end) { ok = false; return v; }
+        if (*p == '{') return object();
+        if (*p == '[') return array();
+        if (*p == '"') {
+            v.kind = JsonValue::Str;
+            v.str = string();
+            return v;
+        }
+        if (!strncmp(p, "true", 4)) { p += 4; v.kind = JsonValue::Bool; v.b = true; return v; }
+        if (!strncmp(p, "false", 5)) { p += 5; v.kind = JsonValue::Bool; return v; }
+        if (!strncmp(p, "null", 4)) { p += 4; return v; }
+        char *num_end = nullptr;
+        v.num = std::strtod(p, &num_end);
+        if (num_end == p) { ok = false; return v; }
+        p = num_end;
+        v.kind = JsonValue::Num;
+        return v;
+    }
+
+    std::string string() {
+        std::string out;
+        ++p; /* opening quote */
+        while (p < end && *p != '"') {
+            if (*p == '\\' && p + 1 < end) {
+                ++p;
+                switch (*p) {
+                    case 'n': out.push_back('\n'); break;
+                    case 't': out.push_back('\t'); break;
+                    case 'u': p += 4; out.push_back('?'); break;
+                    default: out.push_back(*p);
+                }
+            } else {
+                out.push_back(*p);
+            }
+            ++p;
+        }
+        if (p < end) ++p; /* closing quote */
+        return out;
+    }
+
+    JsonValue object() {
+        JsonValue v;
+        v.kind = JsonValue::Obj;
+        ++p;
+        ws();
+        if (p < end && *p == '}') { ++p; return v; }
+        while (p < end) {
+            ws();
+            std::string key = string();
+            ws();
+            if (p < end && *p == ':') ++p;
+            v.obj.emplace_back(key, value());
+            ws();
+            if (p < end && *p == ',') { ++p; continue; }
+            if (p < end && *p == '}') { ++p; break; }
+            ok = false;
+            break;
+        }
+        return v;
+    }
+
+    JsonValue array() {
+        JsonValue v;
+        v.kind = JsonValue::Arr;
+        ++p;
+        ws();
+        if (p < end && *p == ']') { ++p; return v; }
+        while (p < end) {
+            v.arr.push_back(value());
+            ws();
+            if (p < end && *p == ',') { ++p; continue; }
+            if (p < end && *p == ']') { ++p; break; }
+            ok = false;
+            break;
+        }
+        return v;
+    }
+};
+
+std::string json_escape(const std::string &s) {
+    std::string out;
+    for (char c : s) {
+        if (c == '"' || c == '\\') out.push_back('\\');
+        out.push_back(c);
+    }
+    return out;
+}
+
+/* ---- worker process --------------------------------------------------- */
+
+struct Worker {
+    pid_t pid = -1;
+    FILE *to = nullptr;   /* our writes -> worker stdin */
+    FILE *from = nullptr; /* worker stdout -> our reads */
+};
+
+Worker g_worker;
+
+std::string default_root() {
+    const char *env = std::getenv("HPRLP_TPU_ROOT");
+    if (env) return env;
+    return HPRLP_TPU_DEFAULT_ROOT;
+}
+
+bool worker_alive() {
+    if (g_worker.pid <= 0) return false;
+    int status = 0;
+    return waitpid(g_worker.pid, &status, WNOHANG) == 0;
+}
+
+void worker_stop() {
+    if (g_worker.pid > 0) {
+        if (g_worker.to) {
+            fputs("{\"op\":\"shutdown\"}\n", g_worker.to);
+            fflush(g_worker.to);
+        }
+        if (g_worker.to) fclose(g_worker.to);
+        if (g_worker.from) fclose(g_worker.from);
+        int status = 0;
+        waitpid(g_worker.pid, &status, 0);
+    }
+    g_worker = Worker();
+}
+
+bool worker_start() {
+    if (worker_alive()) return true;
+    if (g_worker.pid > 0) worker_stop();
+
+    int in_pipe[2], out_pipe[2];
+    if (pipe(in_pipe) || pipe(out_pipe)) {
+        g_last_error = "pipe() failed";
+        return false;
+    }
+
+    /* Build argv/envp BEFORE fork: the host process may be multithreaded
+     * (JAX), and any allocation between fork and exec can deadlock the
+     * child on a malloc lock another thread held at fork time. */
+    std::string root = default_root();
+    const char *old_pp = std::getenv("PYTHONPATH");
+    std::string pp = "PYTHONPATH=" +
+                     (old_pp ? root + ":" + old_pp : root);
+    const char *py = std::getenv("HPRLP_TPU_PYTHON");
+    if (!py) py = "python";
+    std::string py_s = py;
+    std::vector<std::string> env_store;
+    for (char **e = environ; *e; ++e) {
+        if (std::strncmp(*e, "PYTHONPATH=", 11) != 0)
+            env_store.emplace_back(*e);
+    }
+    env_store.push_back(pp);
+    std::vector<char *> envp;
+    for (auto &s : env_store) envp.push_back(const_cast<char *>(s.c_str()));
+    envp.push_back(nullptr);
+    char *argv[] = {const_cast<char *>(py_s.c_str()),
+                    const_cast<char *>("-m"),
+                    const_cast<char *>("hprlp_tpu.server"), nullptr};
+
+    pid_t pid = fork();
+    if (pid < 0) {
+        g_last_error = "fork() failed";
+        return false;
+    }
+    if (pid == 0) {
+        /* child: stdin <- in_pipe, stdout -> out_pipe; async-signal-safe
+         * calls only (dup2/close/execvpe). */
+        dup2(in_pipe[0], 0);
+        dup2(out_pipe[1], 1);
+        close(in_pipe[0]);
+        close(in_pipe[1]);
+        close(out_pipe[0]);
+        close(out_pipe[1]);
+        execvpe(argv[0], argv, envp.data());
+        _exit(127);
+    }
+    close(in_pipe[0]);
+    close(out_pipe[1]);
+    g_worker.pid = pid;
+    g_worker.to = fdopen(in_pipe[1], "w");
+    g_worker.from = fdopen(out_pipe[0], "r");
+    if (!g_worker.to || !g_worker.from) {
+        g_last_error = "fdopen() failed";
+        worker_stop();
+        return false;
+    }
+    return true;
+}
+
+bool worker_rpc(const std::string &request, JsonValue &response) {
+    if (!worker_start()) return false;
+    fputs(request.c_str(), g_worker.to);
+    fputc('\n', g_worker.to);
+    if (fflush(g_worker.to) != 0) {
+        g_last_error = "write to solver worker failed";
+        return false;
+    }
+    std::string line;
+    int c;
+    while ((c = fgetc(g_worker.from)) != EOF && c != '\n')
+        line.push_back((char)c);
+    if (line.empty()) {
+        g_last_error = "solver worker closed the connection";
+        worker_stop();
+        return false;
+    }
+    JsonParser parser{line.c_str(), line.c_str() + line.size()};
+    response = parser.value();
+    if (!parser.ok || response.kind != JsonValue::Obj) {
+        g_last_error = "malformed response from solver worker";
+        return false;
+    }
+    return true;
+}
+
+/* ---- model ------------------------------------------------------------ */
+
+}  // namespace
+
+struct hprlp_model {
+    /* either an MPS path ... */
+    std::string mps_path;
+    /* ... or array data (CSR) */
+    int64_t m = 0, n = 0;
+    std::vector<int64_t> Ap;
+    std::vector<int64_t> Ai; /* widened to i64 for the wire */
+    std::vector<double> Ax, AL, AU, l, u, c;
+    double obj_constant = 0.0;
+};
+
+extern "C" {
+
+void hprlp_parameters_default(hprlp_parameters *p) {
+    p->stop_tol = 1e-4;
+    p->time_limit = 3600.0;
+    p->max_iter = INT32_MAX;
+    p->check_iter = 150;
+    p->use_CR_scaling = 1;
+    p->use_Ruiz_scaling = 1;
+    p->use_Pock_Chambolle_scaling = 1;
+    p->use_bc_scaling = 1;
+    p->use_presolve = 1;
+    std::snprintf(p->precision, sizeof(p->precision), "auto");
+}
+
+hprlp_model *hprlp_create_model_from_arrays(
+    int64_t m, int64_t n, const int64_t *Ap, const int32_t *Ai,
+    const double *Ax, const double *AL, const double *AU, const double *l,
+    const double *u, const double *c, double obj_constant) {
+    auto *mod = new (std::nothrow) hprlp_model();
+    if (!mod) return nullptr;
+    mod->m = m;
+    mod->n = n;
+    const int64_t nnz = Ap[m];
+    mod->Ap.assign(Ap, Ap + m + 1);
+    mod->Ai.assign(Ai, Ai + nnz);
+    mod->Ax.assign(Ax, Ax + nnz);
+    mod->AL.assign(AL, AL + m);
+    mod->AU.assign(AU, AU + m);
+    mod->l.assign(l, l + n);
+    mod->u.assign(u, u + n);
+    mod->c.assign(c, c + n);
+    mod->obj_constant = obj_constant;
+    /* Clamp infinities to the solver's numerical-infinity convention so
+     * they survive JSON/base64 (binary f64 keeps Inf anyway; clamping
+     * guards against non-IEEE callers). */
+    for (double *v : {mod->AL.data(), mod->AU.data()}) (void)v;
+    return mod;
+}
+
+hprlp_model *hprlp_create_model_from_mps(const char *path) {
+    auto *mod = new (std::nothrow) hprlp_model();
+    if (!mod) return nullptr;
+    mod->mps_path = path;
+    return mod;
+}
+
+const char *hprlp_last_error(void) { return g_last_error.c_str(); }
+
+static void append_params(std::string &req, const hprlp_parameters *p) {
+    hprlp_parameters def;
+    if (!p) {
+        hprlp_parameters_default(&def);
+        p = &def;
+    }
+    char buf[512];
+    std::snprintf(
+        buf, sizeof(buf),
+        "\"params\":{\"stop_tol\":%.17g,\"time_limit\":%.17g,"
+        "\"max_iter\":%lld,\"check_iter\":%d,"
+        "\"use_CR_scaling\":%s,\"use_Ruiz_scaling\":%s,"
+        "\"use_Pock_Chambolle_scaling\":%s,\"use_bc_scaling\":%s,"
+        "\"use_presolve\":%s,\"precision\":\"%s\"}",
+        p->stop_tol, p->time_limit, (long long)p->max_iter, p->check_iter,
+        p->use_CR_scaling ? "true" : "false",
+        p->use_Ruiz_scaling ? "true" : "false",
+        p->use_Pock_Chambolle_scaling ? "true" : "false",
+        p->use_bc_scaling ? "true" : "false",
+        p->use_presolve ? "true" : "false", p->precision);
+    req += buf;
+}
+
+hprlp_results *hprlp_solve(hprlp_model *model,
+                           const hprlp_parameters *params) {
+    std::string req;
+    if (!model->mps_path.empty()) {
+        req = "{\"op\":\"solve_mps\",\"path\":\"" +
+              json_escape(model->mps_path) + "\",";
+    } else {
+        req = "{\"op\":\"solve\",";
+        char dims[128];
+        std::snprintf(dims, sizeof(dims),
+                      "\"m\":%lld,\"n\":%lld,\"obj_constant\":%.17g,",
+                      (long long)model->m, (long long)model->n,
+                      model->obj_constant);
+        req += dims;
+        req += "\"Ap\":\"" + b64_of(model->Ap.data(), model->m + 1) + "\",";
+        req += "\"Ai\":\"" + b64_of(model->Ai.data(),
+                                    (int64_t)model->Ai.size()) + "\",";
+        req += "\"Ax\":\"" + b64_of(model->Ax.data(),
+                                    (int64_t)model->Ax.size()) + "\",";
+        req += "\"AL\":\"" + b64_of(model->AL.data(), model->m) + "\",";
+        req += "\"AU\":\"" + b64_of(model->AU.data(), model->m) + "\",";
+        req += "\"l\":\"" + b64_of(model->l.data(), model->n) + "\",";
+        req += "\"u\":\"" + b64_of(model->u.data(), model->n) + "\",";
+        req += "\"c\":\"" + b64_of(model->c.data(), model->n) + "\",";
+    }
+    append_params(req, params);
+    req += "}";
+
+    JsonValue resp;
+    if (!worker_rpc(req, resp)) return nullptr;
+    const JsonValue *okv = resp.get("ok");
+    auto *r = new (std::nothrow) hprlp_results();
+    if (!r) return nullptr;
+    std::memset(r, 0, sizeof(*r));
+    if (!okv || okv->kind != JsonValue::Bool || !okv->b) {
+        g_last_error = resp.str_or("error", "unknown solver error");
+        std::snprintf(r->status, sizeof(r->status), "ERROR");
+        return r;
+    }
+    const JsonValue *res = resp.get("result");
+    if (!res) {
+        std::snprintf(r->status, sizeof(r->status), "ERROR");
+        return r;
+    }
+    std::snprintf(r->status, sizeof(r->status), "%s",
+                  res->str_or("status", "ERROR").c_str());
+    r->iter = (int64_t)res->num_or("iter", 0);
+    r->time = res->num_or("time", 0);
+    r->primal_obj = res->num_or("primal_obj", 0);
+    r->dual_obj = res->num_or("dual_obj", 0);
+    r->gap = res->num_or("gap", 0);
+    r->residuals = res->num_or("residuals", 0);
+    r->iter4 = (int64_t)res->num_or("iter4", 0);
+    r->iter6 = (int64_t)res->num_or("iter6", 0);
+    r->iter8 = (int64_t)res->num_or("iter8", 0);
+    r->time4 = res->num_or("time4", 0);
+    r->time6 = res->num_or("time6", 0);
+    r->time8 = res->num_or("time8", 0);
+    auto vec = [&](const char *key, int64_t *len_out) -> double * {
+        const JsonValue *v = res->get(key);
+        if (!v || v->kind != JsonValue::Str || v->str.empty()) {
+            *len_out = 0;
+            return nullptr;
+        }
+        std::vector<double> d = f64_of_b64(v->str);
+        *len_out = (int64_t)d.size();
+        double *out = (double *)std::malloc(d.size() * sizeof(double));
+        if (out) std::memcpy(out, d.data(), d.size() * sizeof(double));
+        return out;
+    };
+    r->x = vec("x", &r->n);
+    int64_t nz = 0;
+    r->z = vec("z", &nz);
+    r->y = vec("y", &r->m);
+    return r;
+}
+
+void hprlp_free_results(hprlp_results *r) {
+    if (!r) return;
+    std::free(r->x);
+    std::free(r->y);
+    std::free(r->z);
+    delete r;
+}
+
+void hprlp_free_model(hprlp_model *m) { delete m; }
+
+void hprlp_shutdown(void) { worker_stop(); }
+
+}  /* extern "C" */

@@ -33,9 +33,9 @@ def _check(A, m_pad, n_pad, interpret=True):
     # Pallas kernel in interpreter mode.
     packed = pack_tiles(tiles, n_pad, np.float32)
     y = np.asarray(lane_spmv(jnp.asarray(x), packed["idx1t"], packed["idx2"],
-                             packed["vals"], packed["rank"],
-                             packed["gbase"], packed["wid"],
-                             packed["G"], interpret=interpret))
+                             packed["vals"], packed["gbase"],
+                             packed["wid"], packed["G"],
+                             interpret=interpret))
     np.testing.assert_allclose(y, y_ref, atol=1e-5 * scale)
     return tiles
 
@@ -64,15 +64,18 @@ class TestScheduler:
                 # Phase-2 index points at the column's residue lane.
                 assert np.array_equal(idx2[s][live].astype(np.int64), res)
 
-    def test_gid_sorted_within_chunk(self):
+    def test_gid_aligned_within_subblocks(self):
+        # Aligned layout: sub-block j covers groups [gbase, gbase+128) with
+        # the sublane for group g at position g - gbase.
         A, _ = _random_coo(4, 1000, 3000, 0.01)
         tiles = schedule_lane_ell(A.row.astype(np.int64),
                                   A.col.astype(np.int64), A.data, 1024, 3072)
-        for c in range(tiles["idx2"].shape[0]):
-            gid = tiles["gid"][c]
-            live = (tiles["cols"][c] >= 0).any(axis=1)
-            g_live = gid[live]
-            assert np.all(np.diff(g_live) >= 0)
+        C = tiles["idx2"].shape[0]
+        for c in range(C):
+            gid = tiles["gid"][c].reshape(-1, 128)
+            for j in range(gid.shape[0]):
+                gb = tiles["gbase"][c, j]
+                assert np.array_equal(gid[j], gb + np.arange(128))
 
     def test_slot_overhead_reasonable(self):
         A, _ = _random_coo(5, 2000, 4000, 0.005)
