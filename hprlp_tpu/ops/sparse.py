@@ -158,9 +158,11 @@ def attach_lane(A: EllMatrix) -> EllMatrix:
             packed["gbase"] = jnp.concatenate(
                 [packed["gbase"],
                  jnp.zeros(pad * SUBBLOCKS, packed["gbase"].dtype)])
+        from ..parallel.distributed import global_put
+
         shard = NamedSharding(A.mesh, P(A.mesh_axis))
         for k in ("idx1t", "idx2", "vals", "wid", "gbase"):
-            packed[k] = jax.device_put(packed[k], shard)
+            packed[k] = global_put(np.asarray(packed[k]), shard)
 
     return dataclasses.replace(
         A, backend="lane", dense=None, lane_idx1t=packed["idx1t"],

@@ -28,6 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.device_problem import LpDevice
 from ..ops.sparse import EllBucket, EllMatrix
+from .distributed import global_put
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
@@ -56,9 +57,9 @@ def _shard_ell(A: EllMatrix, mesh: Mesh, axis: str) -> EllMatrix:
                 f"bucket rows {b.vals.shape[0]} not divisible by mesh size "
                 f"{n}; build the problem with row_multiple=8*n_devices")
         buckets.append(EllBucket(
-            vals=jax.device_put(b.vals, row_sharding),
-            cols=jax.device_put(b.cols, row_sharding),
-            valid=jax.device_put(b.valid, row_sharding),
+            vals=global_put(b.vals, row_sharding),
+            cols=global_put(b.cols, row_sharding),
+            valid=global_put(b.valid, row_sharding),
             row_start=b.row_start, width=b.width))
     return dataclasses.replace(A, buckets=tuple(buckets), mesh=mesh,
                                mesh_axis=axis)
@@ -75,9 +76,9 @@ def shard_problem(lp: LpDevice, mesh: Mesh, axis: str = "d") -> LpDevice:
     return LpDevice(
         A=_shard_ell(lp.A, mesh, axis),
         AT=_shard_ell(lp.AT, mesh, axis),
-        AL=jax.device_put(lp.AL, rep),
-        AU=jax.device_put(lp.AU, rep),
-        c=jax.device_put(lp.c, rep),
-        l=jax.device_put(lp.l, rep),
-        u=jax.device_put(lp.u, rep),
+        AL=global_put(lp.AL, rep),
+        AU=global_put(lp.AU, rep),
+        c=global_put(lp.c, rep),
+        l=global_put(lp.l, rep),
+        u=global_put(lp.u, rep),
     )
