@@ -91,6 +91,10 @@ void hpres_stats(const hpres_handle *h, int64_t *rows_removed,
                  int64_t *cols_removed, int64_t *nnz_removed,
                  int64_t *rounds);
 
+/* Per-explorer wall-time report (parity: PSLP's per-explorer stats).
+ * Writes "name seconds" lines into buf; returns the full length. */
+int64_t hpres_report(const hpres_handle *h, char *buf, int64_t buflen);
+
 void hpres_free(hpres_handle *h);
 
 #ifdef __cplusplus

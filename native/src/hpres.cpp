@@ -15,8 +15,10 @@
 #include <algorithm>
 #include <chrono>
 #include <cmath>
+#include <cstdio>
 #include <cstring>
 #include <limits>
+#include <string>
 #include <unordered_map>
 #include <vector>
 
@@ -91,6 +93,17 @@ struct Stats {
     int64_t rows_removed = 0, cols_removed = 0, nnz_removed = 0, rounds = 0;
     int64_t bounds_tightened = 0;
     double time_s = 0.0;
+    // Per-explorer wall time (parity: PSLP keeps per-explorer stats,
+    // third_party/PSLP/include/PSLP/PSLP_stats.h:46-56).
+    static constexpr int N_EXPLORERS = 9;
+    double explorer_s[N_EXPLORERS] = {};
+    static const char *explorer_name(int i) {
+        static const char *names[N_EXPLORERS] = {
+            "singleton_rows", "fixed_cols", "free_ston_cols",
+            "doubleton_eq", "dual_fix", "activity_rows", "propagation",
+            "parallel_rows", "parallel_cols"};
+        return names[i];
+    }
 };
 
 class Presolver {
@@ -904,32 +917,61 @@ class Presolver {
     // wall-clock budget ends the run.  Unlike the reference's fixed 60 s
     // the budget is a parameter (hpres_presolve_ex), defaulting to 60 s.
 
+    template <typename F>
+    bool timed_pass(int idx, F &&fn) {
+        const auto t0 = std::chrono::steady_clock::now();
+        const bool ch = fn();
+        stats.explorer_s[idx] += std::chrono::duration<double>(
+            std::chrono::steady_clock::now() - t0).count();
+        return ch;
+    }
+
     bool run_fast_phase() {
         bool ch = false;
-        ch |= pass_empty_and_singleton_rows();
+        ch |= timed_pass(0, [&] { return pass_empty_and_singleton_rows(); });
         if (check_failed("singleton_rows")) return ch;
-        ch |= pass_fixed_and_empty_cols();
+        ch |= timed_pass(1, [&] { return pass_fixed_and_empty_cols(); });
         if (check_failed("fixed_cols")) return ch;
-        ch |= pass_free_singleton_cols();
+        ch |= timed_pass(2, [&] { return pass_free_singleton_cols(); });
         if (check_failed("free_ston_cols")) return ch;
-        ch |= pass_doubleton_eq();
+        ch |= timed_pass(3, [&] { return pass_doubleton_eq(); });
         if (check_failed("doubleton_eq")) return ch;
-        ch |= pass_dual_fix();
+        ch |= timed_pass(4, [&] { return pass_dual_fix(); });
         check_failed("dual_fix");
         return ch;
     }
 
     bool run_medium_phase() {
         bool ch = false;
-        ch |= pass_activity_rows();
+        ch |= timed_pass(5, [&] { return pass_activity_rows(); });
         if (check_failed("activity_rows")) return ch;
-        ch |= pass_primal_propagation();
+        ch |= timed_pass(6, [&] { return pass_primal_propagation(); });
         if (check_failed("propagation")) return ch;
-        ch |= pass_parallel_rows();
+        ch |= timed_pass(7, [&] { return pass_parallel_rows(); });
         if (check_failed("parallel_rows")) return ch;
-        ch |= pass_parallel_cols();
+        ch |= timed_pass(8, [&] { return pass_parallel_cols(); });
         check_failed("parallel_cols");
         return ch;
+    }
+
+    // Compact the entry storage when dead entries dominate: the in-place
+    // reduction style leaves killed entries in rowe/cole (round-1 weak
+    // spot for 10M+-nnz problems — every pass scans the dead ones too).
+    void maybe_compact() {
+        const int64_t total = (int64_t)P.ents.size();
+        if (total < 100000 || P.live_entries * 2 > total) return;
+        std::vector<Ent> ents;
+        ents.reserve(P.live_entries);
+        for (auto &rv : P.rowe) rv.clear();
+        for (auto &cv : P.cole) cv.clear();
+        for (const Ent &e : P.ents) {
+            if (!e.alive) continue;
+            int64_t id = (int64_t)ents.size();
+            ents.push_back(e);
+            P.rowe[e.r].push_back(id);
+            P.cole[e.c].push_back(id);
+        }
+        P.ents.swap(ents);
     }
 
     void run(int max_rounds, double max_time, bool debug) {
@@ -965,6 +1007,7 @@ class Presolver {
             if (round >= 2 &&
                 cut < (int64_t)(0.05 * (double)std::max<int64_t>(cycle0, 1)))
                 break;
+            maybe_compact();
         }
         stats.time_s = elapsed();
         compact();
@@ -1307,6 +1350,33 @@ void hpres_stats(const hpres_handle *h, int64_t *rows_removed,
     *cols_removed = h->ps.stats.cols_removed;
     *nnz_removed = h->ps.stats.nnz_removed;
     *rounds = h->ps.stats.rounds;
+}
+
+/* Per-explorer wall-time report + bound-tightening count (parity:
+ * PSLP per-explorer stats, PSLP_stats.h:46-56).  Writes a
+ * newline-separated "name seconds" table into buf (truncated to
+ * buflen); returns the number of bytes that would have been written. */
+int64_t hpres_report(const hpres_handle *h, char *buf, int64_t buflen) {
+    std::string out;
+    char line[96];
+    const Stats &st = h->ps.stats;
+    for (int i = 0; i < Stats::N_EXPLORERS; ++i) {
+        std::snprintf(line, sizeof(line), "%s %.6f\n",
+                      Stats::explorer_name(i), st.explorer_s[i]);
+        out += line;
+    }
+    std::snprintf(line, sizeof(line), "bounds_tightened %lld\n",
+                  (long long)st.bounds_tightened);
+    out += line;
+    std::snprintf(line, sizeof(line), "total_time %.6f\n", st.time_s);
+    out += line;
+    if (buf && buflen > 0) {
+        const int64_t n = std::min<int64_t>((int64_t)out.size(),
+                                            buflen - 1);
+        std::memcpy(buf, out.data(), (size_t)n);
+        buf[n] = '\0';
+    }
+    return (int64_t)out.size();
 }
 
 void hpres_free(hpres_handle *h) { delete h; }
