@@ -106,17 +106,128 @@ def lane_spmv(x_pad: jax.Array, idx1t: jax.Array, idx2: jax.Array,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((CHUNK_SUB, LANES), x_pad.dtype)],
     )
-    y2 = pl.pallas_call(
-        _lane_kernel,
-        grid_spec=grid_spec,
-        interpret=interpret,
-        out_shape=jax.ShapeDtypeStruct((g_alloc, LANES), x_pad.dtype),
-    )(wid, gbase, x3, idx1t, idx2, vals)
+    # Everything in the kernel (and its index maps) is 32-bit; trace the
+    # whole pallas_call with x64 off so neither jnp index helpers nor the
+    # index-map literals introduce int64, which Mosaic rejects (f64
+    # solves enable x64 globally).
+    with jax.enable_x64(False):
+        y2 = pl.pallas_call(
+            _lane_kernel,
+            grid_spec=grid_spec,
+            interpret=interpret,
+            out_shape=jax.ShapeDtypeStruct((g_alloc, LANES), x_pad.dtype),
+        )(wid, gbase, x3, idx1t, idx2, vals)
     return y2[:g_real].reshape(-1)
 
 
+def _lane_kernel_df64(wid_ref, gbase_ref, x3h_ref, x3l_ref, i1t_ref,
+                      i2_ref, vh_ref, vl_ref, y2h_ref, y2l_ref, ph_ref,
+                      pl_ref):
+    """Double-f32 ("df64") variant: every operand is an (hi, lo) f32 pair
+    and the accumulation is compensated, giving ~2^-48 relative accuracy
+    — the TPU has no native f64 (Mosaic refuses it outright), so this is
+    the fast high-precision SpMV (SURVEY §7.0 design stance / §7.2 hard
+    part 1).  Products use Dekker splitting for the exact x_hi*v_hi error
+    term; the flush runs TwoSum into the (y2h, y2l) accumulator pair."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        y2h_ref[:] = jnp.zeros_like(y2h_ref)
+        y2l_ref[:] = jnp.zeros_like(y2l_ref)
+
+    SPLIT = jnp.float32(4097.0)  # 2^12 + 1: Dekker split for f32
+    wth = x3h_ref[0].T
+    wtl = x3l_ref[0].T
+    for j in range(SUBBLOCKS):
+        sl = slice(j * LANES, (j + 1) * LANES)
+        i1 = i1t_ref[0][:, sl].astype(jnp.int32)
+        i2 = i2_ref[0][sl, :].astype(jnp.int32)
+        xh = jnp.take_along_axis(jnp.take_along_axis(wth, i1, axis=1).T,
+                                 i2, axis=1)
+        xl = jnp.take_along_axis(jnp.take_along_axis(wtl, i1, axis=1).T,
+                                 i2, axis=1)
+        vh = vh_ref[0][sl, :]
+        vl = vl_ref[0][sl, :]
+        # TwoProd(xh, vh) via Dekker splitting (no exact-fma primitive).
+        p = xh * vh
+        cx = xh * SPLIT
+        xh_hi = cx - (cx - xh)
+        xh_lo = xh - xh_hi
+        cv = vh * SPLIT
+        vh_hi = cv - (cv - vh)
+        vh_lo = vh - vh_hi
+        err = ((xh_hi * vh_hi - p) + xh_hi * vh_lo + xh_lo * vh_hi) \
+            + xh_lo * vh_lo
+        ph_ref[sl, :] = p
+        pl_ref[sl, :] = err + xh * vl + xl * vh
+    for j in range(SUBBLOCKS):
+        gb = gbase_ref[c * SUBBLOCKS + j]
+        sl = slice(j * LANES, (j + 1) * LANES)
+        acc_h = y2h_ref[pl.ds(gb, LANES), :]
+        p = ph_ref[sl, :]
+        # TwoSum(acc_h, p): exact error of the high-part add.
+        s = acc_h + p
+        bb = s - acc_h
+        e = (acc_h - (s - bb)) + (p - bb)
+        y2h_ref[pl.ds(gb, LANES), :] = s
+        y2l_ref[pl.ds(gb, LANES), :] += e + pl_ref[sl, :]
+
+
+@functools.partial(jax.jit, static_argnames=("g_real", "interpret"))
+def lane_spmv_df64(xh: jax.Array, xl: jax.Array, idx1t, idx2, vals_hi,
+                   vals_lo, gbase, wid, g_real: int,
+                   interpret: bool = False):
+    """(y_hi, y_lo) = A @ (xh + xl) in double-f32, same tiles as
+    lane_spmv plus the values' low parts."""
+    C = idx2.shape[0]
+    n_pad = xh.shape[0]
+    n_win = -(-n_pad // WINDOW)
+    if n_win * WINDOW != n_pad:
+        pad = n_win * WINDOW - n_pad
+        xh = jnp.pad(xh, (0, pad))
+        xl = jnp.pad(xl, (0, pad))
+    x3h = xh.reshape(n_win, LANES, LANES)
+    x3l = xl.reshape(n_win, LANES, LANES)
+    g_alloc = -(-max(g_real, LANES) // LANES) * LANES
+
+    win_spec = pl.BlockSpec((1, LANES, LANES),
+                            lambda c, wid, gb: (wid[c], 0, 0),
+                            memory_space=pltpu.VMEM)
+    tile_spec_t = pl.BlockSpec((1, LANES, CHUNK_SUB),
+                               lambda c, wid, gb: (c, 0, 0),
+                               memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((1, CHUNK_SUB, LANES),
+                             lambda c, wid, gb: (c, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((g_alloc, LANES), lambda c, wid, gb: (0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(C,),
+        in_specs=[win_spec, win_spec, tile_spec_t, tile_spec, tile_spec,
+                  tile_spec],
+        out_specs=(out_spec, out_spec),
+        scratch_shapes=[pltpu.VMEM((CHUNK_SUB, LANES), jnp.float32),
+                        pltpu.VMEM((CHUNK_SUB, LANES), jnp.float32)],
+    )
+    with jax.enable_x64(False):
+        y2h, y2l = pl.pallas_call(
+            _lane_kernel_df64,
+            grid_spec=grid_spec,
+            interpret=interpret,
+            out_shape=(jax.ShapeDtypeStruct((g_alloc, LANES), jnp.float32),
+                       jax.ShapeDtypeStruct((g_alloc, LANES), jnp.float32)),
+        )(wid, gbase, x3h, x3l, idx1t, idx2, vals_hi, vals_lo)
+    return y2h[:g_real].reshape(-1), y2l[:g_real].reshape(-1)
+
+
 def pack_tiles(tiles: dict, n_pad: int, dtype) -> dict:
-    """Upload scheduler output as device tiles for lane_spmv."""
+    """Upload scheduler output as device tiles for lane_spmv.
+
+    f64 problems get DOUBLE-F32 value tiles (hi = f32 rounding, lo = the
+    f32 residual) consumed by lane_spmv_df64 — Mosaic has no f64, and the
+    compensated kernel keeps ~2^-48 relative accuracy."""
     gbase = tiles["gbase"].astype(np.int64)           # (C, SUBBLOCKS)
     G = tiles["G"]
     g_alloc = -(-max(G, LANES) // LANES) * LANES
@@ -124,11 +235,19 @@ def pack_tiles(tiles: dict, n_pad: int, dtype) -> dict:
                        or gbase.max() + LANES > g_alloc):
         raise AssertionError("lane scheduler emitted an out-of-range gbase")
 
-    return {
+    out = {
         "idx1t": jnp.asarray(tiles["idx1t"].astype(np.int8)),
         "idx2": jnp.asarray(tiles["idx2"].astype(np.int8)),
-        "vals": jnp.asarray(tiles["vals"].astype(np.dtype(dtype))),
         "gbase": jnp.asarray(gbase.reshape(-1).astype(np.int32)),
         "wid": jnp.asarray(tiles["wid"]),
         "G": G,
     }
+    if np.dtype(dtype) == np.float64:
+        v64 = tiles["vals"].astype(np.float64)
+        vh = v64.astype(np.float32)
+        out["vals"] = jnp.asarray(vh)
+        out["vals_lo"] = jnp.asarray((v64 - vh).astype(np.float32))
+    else:
+        out["vals"] = jnp.asarray(tiles["vals"].astype(np.dtype(dtype)))
+        out["vals_lo"] = None
+    return out

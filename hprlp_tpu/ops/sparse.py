@@ -79,7 +79,8 @@ class EllMatrix:
     # LaneELL tiles (backend == "lane"); see ops/lane_ell.py.
     lane_idx1t: jax.Array | None = None  # (C, 128, CHUNK_SUB) int8
     lane_idx2: jax.Array | None = None   # (C, CHUNK_SUB, 128) int8
-    lane_vals: jax.Array | None = None   # (C, CHUNK_SUB, 128) dtype
+    lane_vals: jax.Array | None = None   # (C, CHUNK_SUB, 128) f32 (hi)
+    lane_vals_lo: jax.Array | None = None  # f32 low parts (f64 problems)
     lane_gbase: jax.Array | None = None  # (C*SUBBLOCKS,) int32
     lane_wid: jax.Array | None = None    # (C,) int32
 
@@ -154,6 +155,8 @@ def attach_lane(A: EllMatrix) -> EllMatrix:
             packed["idx1t"] = padc(packed["idx1t"])
             packed["idx2"] = padc(packed["idx2"])
             packed["vals"] = padc(packed["vals"])
+            if packed.get("vals_lo") is not None:
+                packed["vals_lo"] = padc(packed["vals_lo"])
             packed["wid"] = padc(packed["wid"])
             packed["gbase"] = jnp.concatenate(
                 [packed["gbase"],
@@ -161,13 +164,15 @@ def attach_lane(A: EllMatrix) -> EllMatrix:
         from ..parallel.distributed import global_put
 
         shard = NamedSharding(A.mesh, P(A.mesh_axis))
-        for k in ("idx1t", "idx2", "vals", "wid", "gbase"):
-            packed[k] = global_put(np.asarray(packed[k]), shard)
+        for k in ("idx1t", "idx2", "vals", "vals_lo", "wid", "gbase"):
+            if packed.get(k) is not None:
+                packed[k] = global_put(np.asarray(packed[k]), shard)
 
     return dataclasses.replace(
         A, backend="lane", dense=None, lane_idx1t=packed["idx1t"],
         lane_idx2=packed["idx2"], lane_vals=packed["vals"],
-        lane_gbase=packed["gbase"], lane_wid=packed["wid"])
+        lane_vals_lo=packed["vals_lo"], lane_gbase=packed["gbase"],
+        lane_wid=packed["wid"])
 
 
 def with_backend(A: EllMatrix, backend: str) -> EllMatrix:
@@ -180,7 +185,7 @@ def with_backend(A: EllMatrix, backend: str) -> EllMatrix:
         return attach_lane(A)
     return dataclasses.replace(A, backend=backend, dense=None,
                                lane_idx1t=None, lane_idx2=None,
-                               lane_vals=None,
+                               lane_vals=None, lane_vals_lo=None,
                                lane_gbase=None, lane_wid=None)
 
 
@@ -196,15 +201,30 @@ def spmv(A: EllMatrix, x: jax.Array) -> jax.Array:
         return jnp.dot(A.dense, x, preferred_element_type=x.dtype,
                        precision=jax.lax.Precision.HIGHEST)
     if A.backend == "lane":
-        from .pallas_spmv import lane_spmv
+        from .pallas_spmv import lane_spmv, lane_spmv_df64
 
         # Interpreter mode on CPU backends (tests / virtual meshes).
         interp = jax.default_backend() == "cpu"
         g_real = A.nrows // 128
+        df64 = A.lane_vals_lo is not None
+
+        def one_dev(x_loc, i1t, i2, v, vlo, gbase, wid):
+            if not df64:
+                return lane_spmv(x_loc, i1t, i2, v, gbase, wid, g_real,
+                                 interpret=interp)
+            # f64 solve: split x into a double-f32 pair, run the
+            # compensated kernel, recombine — Mosaic has no f64 and the
+            # gather fallback is ~100x slower (round-1 weak spot: 1e-8
+            # solves ran at gather speed).
+            xh = x_loc.astype(jnp.float32)
+            xl = (x_loc - xh.astype(x_loc.dtype)).astype(jnp.float32)
+            yh, yl = lane_spmv_df64(xh, xl, i1t, i2, v, vlo, gbase, wid,
+                                    g_real, interpret=interp)
+            return yh.astype(x_loc.dtype) + yl.astype(x_loc.dtype)
+
         if A.mesh is None:
-            return lane_spmv(x, A.lane_idx1t, A.lane_idx2, A.lane_vals,
-                             A.lane_gbase, A.lane_wid, g_real,
-                             interpret=interp)
+            return one_dev(x, A.lane_idx1t, A.lane_idx2, A.lane_vals,
+                           A.lane_vals_lo, A.lane_gbase, A.lane_wid)
         # Multi-chip: each device runs the kernel over ITS chunk shard
         # against the replicated x, producing a partial y; one psum over
         # ICI completes the SpMV.  (nnz-partition — any device may touch
@@ -213,18 +233,20 @@ def spmv(A: EllMatrix, x: jax.Array) -> jax.Array:
         from jax.sharding import PartitionSpec as P
 
         ax = A.mesh_axis
+        vlo = (A.lane_vals_lo if df64
+               else jnp.zeros((0,), jnp.float32))
 
-        def body(x_loc, i1t, i2, v, gbase, wid):
-            y_part = lane_spmv(x_loc, i1t, i2, v, gbase, wid,
-                               g_real, interpret=interp)
+        def body(x_loc, i1t, i2, v, vlo, gbase, wid):
+            y_part = one_dev(x_loc, i1t, i2, v,
+                             vlo if df64 else None, gbase, wid)
             return jax.lax.psum(y_part, ax)
 
         return shard_map(
             body, mesh=A.mesh,
-            in_specs=(P(), P(ax), P(ax), P(ax), P(ax), P(ax)),
+            in_specs=(P(), P(ax), P(ax), P(ax), P(ax), P(ax), P(ax)),
             out_specs=P(),
             check_vma=False)(x, A.lane_idx1t, A.lane_idx2, A.lane_vals,
-                             A.lane_gbase, A.lane_wid)
+                             vlo, A.lane_gbase, A.lane_wid)
     parts = [jnp.sum(b.vals * x[b.cols], axis=1) for b in A.buckets]
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
@@ -271,7 +293,7 @@ def scale_rows(A: EllMatrix, s: jax.Array) -> EllMatrix:
         for b in A.buckets)
     return dataclasses.replace(A, buckets=buckets, backend="gather",
                                dense=None, lane_idx1t=None, lane_idx2=None,
-                               lane_vals=None,
+                               lane_vals=None, lane_vals_lo=None,
                                lane_gbase=None, lane_wid=None)
 
 
@@ -282,7 +304,7 @@ def scale_cols(A: EllMatrix, s: jax.Array) -> EllMatrix:
         dataclasses.replace(b, vals=b.vals * s[b.cols]) for b in A.buckets)
     return dataclasses.replace(A, buckets=buckets, backend="gather",
                                dense=None, lane_idx1t=None, lane_idx2=None,
-                               lane_vals=None,
+                               lane_vals=None, lane_vals_lo=None,
                                lane_gbase=None, lane_wid=None)
 
 

@@ -67,10 +67,9 @@ def autotune_backends(run: Callable, lp: LpDevice, probe_args,
         return lp
     dense_ok = (lp.A.nrows * lp.A.ncols * jnp.dtype(lp.c.dtype).itemsize
                 <= DENSE_BYTES_LIMIT)
-    # Lane kernel: TPU-only (interpret mode is too slow on CPU) and
-    # f32-only (Mosaic has no f64).
-    lane_ok = (jax.default_backend() != "cpu"
-               and lp.c.dtype == jnp.float32)
+    # Lane kernel: TPU-only (interpret mode is too slow on CPU).  f64
+    # problems use the compensated double-f32 kernel (lane_spmv_df64).
+    lane_ok = jax.default_backend() != "cpu"
     if lane_ok:
         # A dense matvec reads nrows*ncols*4 bytes per SpMV vs LaneELL's
         # ~30 bytes/nnz; below ~1% density dense cannot win — skip the

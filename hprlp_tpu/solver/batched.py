@@ -263,24 +263,24 @@ def solve_batched(A, C, AL, AU, l, u, obj_constants=None,
         params.use_Pock_Chambolle_scaling)
 
     # Batched SpMM backend: a dense MXU matmul amortises the matrix read
-    # over the batch columns, so prefer it whenever the dense matrix fits
-    # (the gather path pays XLA's slow TPU gather per member).
+    # over the batch columns, so it usually wins whenever the dense matrix
+    # fits (the gather path pays XLA's slow TPU gather per member).  With
+    # spmv_backend="auto" a timed probe decides below (batched autotune,
+    # reference protocol parity: src/main_iterate.cu:517-595).
     from ..ops.sparse import with_backend
     from .autotune import DENSE_BYTES_LIMIT
 
     want = params.spmv_backend
     dense_ok = (m_pad * n_pad * jnp.dtype(dtype).itemsize
                 <= DENSE_BYTES_LIMIT)
-    if want == "dense" or (want in ("auto", "lane") and dense_ok
-                           and jax.default_backend() != "cpu"):
+    if want == "dense" and dense_ok:
         A_s = with_backend(A_s, "dense")
         AT_s = with_backend(AT_s, "dense")
     elif want == "lane":
         import sys as _sys
 
-        print("[solve_batched] no lane SpMM lowering yet and the dense "
-              "matrix exceeds the size limit; falling back to the gather "
-              "SpMM (slow on TPU)", file=_sys.stderr)
+        print("[solve_batched] no lane SpMM lowering; the batched "
+              "backends are gather/dense (autotuned)", file=_sys.stderr)
     row_norm = np.asarray(jax.device_get(row_norm_d), np.float64)
     col_norm = np.asarray(jax.device_get(col_norm_d), np.float64)
 
@@ -377,6 +377,44 @@ def solve_batched(A, C, AL, AU, l, u, obj_constants=None,
     state = BatchedState(x=zn, y=zm, last_x=zn, last_y=zm, x_bar=zn,
                          y_bar=zm, z_bar=zn, y_obj=zm,
                          inner=jnp.zeros(B, jnp.int32))
+
+    # Batched backend autotune (reference protocol: >= 5% speedup + merit
+    # within 1%, src/main_iterate.cu:517-595) between the gather SpMM and
+    # the dense-MXU SpMM on the real matrix.
+    if (want == "auto" and dense_ok and jax.default_backend() != "cpu"
+        and params.mesh_shape is None
+            and lp.A.nnz >= 10_000):
+        probe = (jnp.asarray(sigma, dtype), jnp.asarray(lam, dtype),
+                 jnp.zeros(B, bool), jnp.ones(B, bool),
+                 jnp.asarray(20, jnp.int32))
+
+        def time_cand(cand):
+            st, mm = run_batched_chunk(cand, row_norm_d, col_norm_d,
+                                       state, *probe)
+            float(mm["nrm_Rp"][0])
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                st, mm = run_batched_chunk(cand, row_norm_d, col_norm_d,
+                                           state, *probe)
+                float(mm["nrm_Rp"][0])
+                best = min(best, time.perf_counter() - t0)
+            return best, np.asarray(jax.device_get(mm["nrm_Rp"]))
+
+        try:
+            t_g, rp_g = time_cand(lp)
+            dense_lp = dataclasses.replace(
+                lp, A=with_backend(lp.A, "dense"),
+                AT=with_backend(lp.AT, "dense"))
+            t_d, rp_d = time_cand(dense_lp)
+            merit_ok = np.allclose(rp_d, rp_g, rtol=0.01, atol=1e-30)
+            log(f"[autotune] batched gather: {t_g * 1e3:.2f} ms, "
+                f"dense: {t_d * 1e3:.2f} ms"
+                f"{'' if merit_ok else ' (merit mismatch)'}")
+            if merit_ok and t_d * 1.05 < t_g:
+                lp = dense_lp
+        except Exception as e:  # keep the gather baseline on any failure
+            log(f"[autotune] batched dense probe failed ({e})")
 
     # Device-resident superchunk driver (solver/batched_device_loop.py):
     # per-member restart/sigma/stopping decisions all run inside jit; one

@@ -218,13 +218,8 @@ def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
         from ..ops.sparse import with_backend
 
         b = params.spmv_backend
-        if b == "lane" and dtype == jnp.float64:
-            # Mosaic has no f64; fall back rather than fail at compile.
-            print("[solver] spmv_backend='lane' is f32-only; using "
-                  "'gather' for the f64 solve", file=__import__("sys").stderr)
-        else:
-            lp = dataclasses.replace(lp, A=with_backend(lp.A, b),
-                                     AT=with_backend(lp.AT, b))
+        lp = dataclasses.replace(lp, A=with_backend(lp.A, b),
+                                 AT=with_backend(lp.AT, b))
     out.autotune_time = time.perf_counter() - t_tune
 
     t_pm = time.perf_counter()

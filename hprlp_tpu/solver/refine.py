@@ -158,6 +158,11 @@ def solve_refined(problem: LpProblem, params: Parameters,
             tail_params.use_presolve = False
             tail_params.stall_window = None
             tail_params.time_limit = budget
+            # Reuse the stage's tuned backend: the df64 lane kernel keeps
+            # the tail at lane speed instead of re-probing (or worse,
+            # falling back to gather).
+            if stage_params.spmv_backend != "auto":
+                tail_params.spmv_backend = stage_params.spmv_backend
             log(f"[refine] f64 tail from kkt={kkt:.3e}")
             res_t = solve_problem(problem, tail_params, x0=x, y0=y)
             if res_t.x is not None:

@@ -114,3 +114,68 @@ class TestKernel:
             (np.array([1.0, 2.0, 3.0]),
              (np.array([0, 0, 1]), np.array([0, 1, 0]))), shape=(130, 130))
         _check(A, 256, 256)
+
+
+class TestDf64Kernel:
+    """Double-f32 lane SpMV (lane_spmv_df64): compensated products and
+    accumulation must beat plain f32 by many orders of magnitude — the
+    fast path for f64 solves (Mosaic has no f64)."""
+
+    def test_df64_accuracy(self):
+        from hprlp_tpu.ops.pallas_spmv import lane_spmv_df64
+
+        rng = np.random.default_rng(3)
+        A, _ = _random_coo(3, 900, 1100, 0.01)
+        tiles = schedule_lane_ell(A.row.astype(np.int64),
+                                  A.col.astype(np.int64), A.data,
+                                  1024, 1280)
+        packed = pack_tiles(tiles, 1280, np.float64)
+        x64 = rng.normal(size=1280)
+        xh = x64.astype(np.float32)
+        xl = (x64 - xh.astype(np.float64)).astype(np.float32)
+        yh, yl = lane_spmv_df64(jnp.asarray(xh), jnp.asarray(xl),
+                                packed["idx1t"], packed["idx2"],
+                                packed["vals"], packed["vals_lo"],
+                                packed["gbase"], packed["wid"],
+                                packed["G"], interpret=True)
+        y = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+        y_ref = np.zeros(1024)
+        y_ref[:900] = A.tocsr() @ x64[:1100]
+        scale = max(1.0, np.abs(y_ref).max())
+        err = np.abs(y - y_ref).max() / scale
+        assert err < 1e-13, err
+
+        # Plain f32 on the same problem is orders of magnitude worse.
+        packed32 = pack_tiles(tiles, 1280, np.float32)
+        from hprlp_tpu.ops.pallas_spmv import lane_spmv
+        y32 = np.asarray(lane_spmv(jnp.asarray(xh), packed32["idx1t"],
+                                   packed32["idx2"], packed32["vals"],
+                                   packed32["gbase"], packed32["wid"],
+                                   packed32["G"], interpret=True),
+                         np.float64)
+        err32 = np.abs(y32 - y_ref).max() / scale
+        assert err32 > 10 * err
+
+    def test_f64_solve_uses_lane_via_spmv(self):
+        # spmv() dispatch: an f64 EllMatrix with lane backend routes to
+        # the df64 kernel and matches the gather backend to ~1e-12.
+        import scipy.sparse as sp
+
+        from hprlp_tpu.ops.device_problem import build_device_problem
+        from hprlp_tpu.ops.sparse import spmv, with_backend
+        from hprlp_tpu.problem import LpProblem
+
+        rng = np.random.default_rng(5)
+        A = sp.random(300, 400, density=0.03, random_state=rng,
+                      data_rvs=lambda k: rng.normal(size=k)).tocsr()
+        x0 = rng.uniform(-1, 1, 400)
+        prob = LpProblem.from_arrays(A, A @ x0 - 1, A @ x0 + 1,
+                                     x0 - 1, x0 + 1, rng.normal(size=400))
+        lp, _ = build_device_problem(prob, dtype=np.float64)
+        x = jnp.asarray(rng.normal(size=lp.A.ncols), jnp.float64)
+        y_gather = np.asarray(spmv(lp.A, x))
+        A_lane = with_backend(lp.A, "lane")
+        assert A_lane.lane_vals_lo is not None
+        y_lane = np.asarray(spmv(A_lane, x))
+        scale = max(1.0, np.abs(y_gather).max())
+        assert np.abs(y_lane - y_gather).max() / scale < 1e-12
