@@ -268,11 +268,17 @@ def solve_batched(A, C, AL, AU, l, u, obj_constants=None,
     # spmv_backend="auto" a timed probe decides below (batched autotune,
     # reference protocol parity: src/main_iterate.cu:517-595).
     from ..ops.sparse import with_backend
-    from .autotune import DENSE_BYTES_LIMIT
 
+    # Dense budget is larger than the single-LP autotuner's: the matrix
+    # read amortises over B batch columns, so dense-MXU SpMM beats a
+    # bandwidth-bound sparse kernel for any density above ~0.2% once
+    # B >= 128 (MXU flops are ~100x cheaper than HBM bytes); a LaneELL
+    # SpMM would only win for super-sparse shared-A matrices too big to
+    # densify, which the gather path still covers.
+    BATCHED_DENSE_BYTES = 6 * 1024 * 1024 * 1024
     want = params.spmv_backend
     dense_ok = (m_pad * n_pad * jnp.dtype(dtype).itemsize
-                <= DENSE_BYTES_LIMIT)
+                <= BATCHED_DENSE_BYTES)
     if want == "dense" and dense_ok:
         A_s = with_backend(A_s, "dense")
         AT_s = with_backend(AT_s, "dense")
