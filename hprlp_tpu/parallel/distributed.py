@@ -35,9 +35,17 @@ def initialize(coordinator_address: str | None = None,
 
     On TPU pods the arguments are auto-detected from the environment and
     may all be None; on CPU/GPU fleets pass them explicitly
-    (coordinator "host:port", total process count, this process's id)."""
-    if jax.process_count() > 1:
-        return  # already initialised
+    (coordinator "host:port", total process count, this process's id).
+
+    NOTE: must run before ANY other JAX call — even jax.devices() or
+    jax.process_count() bring the backend up, after which distributed
+    init is impossible (this function then becomes a warned no-op)."""
+    # Cross-process CPU collectives need the gloo implementation selected
+    # BEFORE the backend comes up (multi-process CPU fleets / tests).
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
     kw = {}
     if coordinator_address is not None:
         kw["coordinator_address"] = coordinator_address
@@ -85,3 +93,18 @@ def global_put(arr: np.ndarray, sharding) -> jax.Array:
     arr = np.asarray(arr)
     return jax.make_array_from_callback(
         arr.shape, sharding, lambda idx: arr[idx])
+
+
+def host_fetch(arr) -> np.ndarray:
+    """Fetch a device array to host numpy, multi-process safe: arrays
+    whose shards span other processes are allgathered first (fetching a
+    non-addressable array raises under jax.distributed)."""
+    if (jax.process_count() > 1
+            and hasattr(arr, "is_fully_addressable")
+            and not arr.is_fully_addressable
+            and not arr.sharding.is_fully_replicated):
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(arr,
+                                                            tiled=True))
+    return np.asarray(jax.device_get(arr))

@@ -269,7 +269,10 @@ def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
             out.iter6, out.time6 = out.iter, out.time
         if out.time8 == 0.0 and first[1e-8]:
             out.iter8, out.time8 = out.iter, out.time
-        x_s, y_s, z_s = jax.device_get(unscale_solution(scal, state))
+        from ..parallel.distributed import host_fetch
+
+        x_s, y_s, z_s = (host_fetch(v)
+                         for v in unscale_solution(scal, state))
         out.x = np.asarray(x_s, np.float64)[maps.col_pos]
         out.y = np.asarray(y_s, np.float64)[maps.row_pos]
         out.z = np.asarray(z_s, np.float64)[maps.col_pos]
