@@ -80,7 +80,7 @@ def main():
         C = M.lane_idx2.shape[0]
         slots = C * M.lane_idx2.shape[1]
         bytes_tiles = (M.lane_idx1t.size + M.lane_idx2.size
-                       + M.lane_vals.size * 4 + M.lane_rank.size * 4)
+                       + M.lane_vals.size * 4)
         print(f"{name}: nnz={M.nnz} chunks={C} slot_sublanes={slots} "
               f"slot_overhead={slots * 128 / max(M.nnz, 1):.2f}x "
               f"tile_bytes={bytes_tiles / 1e6:.1f}MB "
