@@ -78,12 +78,14 @@ def random_lp(m, n, nnz_per_row, seed=0, name=""):
                                  name=name or f"random{m}x{n}")
 
 
-def run_single(problem, tol, time_limit, max_iter=500_000):
-    # Tolerances beyond f32 reach use the emulated-f64 mode on TPU
-    # (precision="auto" resolves to f32 there; see Parameters.precision).
+def run_single(problem, tol, time_limit, max_iter=500_000,
+               precision=None):
+    # precision "auto" resolves per-backend: f32 fast mode at 1e-4-grade
+    # tolerances, mixed (f32 refinement + df64-lane f64 tail) below 1e-5.
+    if precision is None:
+        precision = "auto"
     p = Parameters(verbose=False, stop_tol=tol, time_limit=time_limit,
-                   max_iter=max_iter,
-                   precision="f64" if tol < 1e-6 else "auto")
+                   max_iter=max_iter, precision=precision)
     t0 = time.perf_counter()
     res = Model(problem).solve(p)
     wall = time.perf_counter() - t0
@@ -146,8 +148,15 @@ def main():
     record("assignment64_1e-4",
            lambda: run_single(assignment_problem(64), 1e-4, tl))
     if not args.quick:
-        record("assignment64_1e-8",
-               lambda: run_single(assignment_problem(64), 1e-8, tl))
+        record("assignment64_1e-8_f64",
+               lambda: run_single(assignment_problem(64), 1e-8, tl,
+                                  precision="f64"))
+        record("assignment64_1e-8_mixed",
+               lambda: run_single(assignment_problem(64), 1e-8, tl,
+                                  precision="mixed"))
+        record("random_mid_1e-8_mixed",
+               lambda: run_single(random_lp(8192, 16384, 20, 1), 1e-8, tl,
+                                  precision="mixed"))
         record("random_mid_1e-4",
                lambda: run_single(random_lp(8192, 16384, 20, 1), 1e-4, tl))
         record("sparse_large_1e-4",

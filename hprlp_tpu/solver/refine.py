@@ -145,6 +145,19 @@ def solve_refined(problem: LpProblem, params: Parameters,
         if best[0] < F32_CERT_FLOOR:
             break  # below what f32 stages can certify; tail decides
 
+    if best is None:
+        # Time budget expired before the first stage finished.
+        out.status = "TIME_LIMIT" if res is None else res.status
+        out.time = time.perf_counter() - t_start
+        if res is not None and res.x is not None:
+            out.x, out.y, out.z = res.x, res.y, res.z
+            out.iter = res.iter
+            out.residuals = res.residuals
+            out.primal_obj = res.primal_obj
+            out.dual_obj = res.dual_obj
+            out.gap = res.gap
+        return out
+
     kkt, x, y, z, metrics = best
     status = "OPTIMAL" if kkt < target else res.status
 
