@@ -40,8 +40,10 @@ compile on v5e.  LaneELL routes arbitrary sparse gathers through it:
 The greedy scheduler assigns each entry a (window-local) depth sublane;
 by König's theorem a perfect schedule needs max(row nnz in window,
 distinct-cols-per-residue) depths and greedy stays close in practice.
-Slot overhead (scheduled slots / nnz) is typically 2-3.5x; the payoff is
-that every data-movement op in the kernel is a full-width vector op.
+Slot overhead (scheduled slots / nnz) is typically 3-5x with the aligned
+placement (range-max depth padding included); the payoff is that every
+data-movement op in the kernel is a full-width vector op and the flush
+has no reduction at all.
 """
 
 from __future__ import annotations
@@ -126,8 +128,8 @@ def schedule_lane_ell(rows_p: np.ndarray, cols_p: np.ndarray,
              (lane-major) for the gather on the transposed window;
       idx2:  (C, CHUNK_SUB, 128) int32 — phase-2 source residue per lane;
       vals:  (C, CHUNK_SUB, 128) in the input values' dtype;
-      gid:   (C, CHUNK_SUB) int32 — output group per sublane (sorted,
-             span < 128 within each 128-sublane sub-block);
+      gid:   (C, CHUNK_SUB) int32 — output group per sublane; ALIGNED:
+             within sub-block j, gid[j*128 + s] == gbase[c, j] + s;
       gbase: (C, SUBBLOCKS) int32 — first output group per sub-block;
       wid:   (C,) int32 — window per chunk;
       cols:  (C, CHUNK_SUB, 128) int64 — padded col per slot, -1 empty

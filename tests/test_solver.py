@@ -238,3 +238,29 @@ class TestMixedPrecisionRefinement:
         # Either it hit the iteration limit or its true f64-measured KKT
         # is above 1e-8.
         assert res.status != "OPTIMAL" or m["kkt"] >= 1e-8 or True
+
+
+class TestInfeasibleUnbounded:
+    """End-to-end infeasible/unbounded detection through Model.solve
+    (via the presolver; the reference never detects either — it iterates
+    to its limits, src/HPRLP.cu)."""
+
+    def test_infeasible_model(self):
+        import scipy.sparse as sp
+
+        # x0 + x1 <= 1 with l = (1, 1): provably infeasible.
+        prob = h.LpProblem.from_arrays(
+            sp.csr_matrix(np.array([[1.0, 1.0]])), [-np.inf], [1.0],
+            [1.0, 1.0], [5.0, 5.0], [1.0, 1.0])
+        res = h.Model(prob).solve(h.Parameters(verbose=False))
+        assert res.status == "INFEASIBLE"
+
+    def test_unbounded_model(self):
+        import scipy.sparse as sp
+
+        # min -x0, x0 free above, only a lower-bounding row: unbounded.
+        prob = h.LpProblem.from_arrays(
+            sp.csr_matrix(np.array([[1.0, 0.0]])), [0.0], [np.inf],
+            [0.0, 0.0], [np.inf, 1.0], [-1.0, 0.0])
+        res = h.Model(prob).solve(h.Parameters(verbose=False))
+        assert res.status == "UNBOUNDED"
