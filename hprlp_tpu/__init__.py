@@ -9,6 +9,36 @@ Standard form (reference: include/HPRLP.h:57-62):
     minimize    c'x        s.t.   AL <= A x <= AU,   l <= x <= u
 """
 
+import os as _os
+
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache, on by default.
+
+    Every cold process pays tens of seconds to minutes of chunk/scaling
+    compiles (minutes through a remote-TPU tunnel); the cache turns repeat
+    solves into seconds.  Respects an existing user configuration
+    (JAX_COMPILATION_CACHE_DIR / jax.config) and can be disabled with
+    HPRLP_TPU_NO_COMPILE_CACHE=1.
+    """
+    if _os.environ.get("HPRLP_TPU_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:  # user already configured it
+        return
+    cache = _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                            _os.path.expanduser("~/.cache/jax_tpu"))
+    try:
+        _os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except OSError:
+        pass  # unwritable cache dir: run uncached
+
+
+_enable_compile_cache()
+
 from .params import Parameters
 from .problem import LpProblem
 from .results import BatchedResults, Results

@@ -53,6 +53,11 @@ class Results:
     # device mesh).
     spmv_backend: str = ""
 
+    # Final sigma in the SCALED space (no reference counterpart: enables
+    # warm restarts to resume sigma adaptation via solve_problem(sigma0=...)
+    # instead of re-deriving it from ||b||/||c||).
+    sigma_final: float = 0.0
+
 
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)

@@ -134,9 +134,16 @@ def _decide_and_update(rd: RestartDev, sigma, lam, m_prev, scal,
         jnp.where(temp1 > 5e-10,
                   jnp.clip(jnp.sqrt(ratio_inf), 1e-2, 100.0),
                   jnp.clip(ratio_inf, 1e-2, 100.0)))
+    # Degenerate movement: the reference resets sigma = 1.0
+    # (main_iterate.cu:400-402), which is unreachable in practice in its
+    # f64 build.  In f32 a vertex-pinned primal iterate makes move_x == 0
+    # EXACTLY at every restart, and the 1.0-reset then destroys the
+    # adapted sigma for the rest of the solve (observed: gap oscillating
+    # at 1e-4 forever on the assignment LP).  Falling back to best_sigma
+    # (the sigma at the best merit gap so far) keeps the adaptation.
     sigma_new = jnp.where(flag,
                           jnp.where(ok, (kappa * sigma_cand).astype(dtype),
-                                    jnp.asarray(1.0, dtype)),
+                                    best_sigma.astype(dtype)),
                           sigma)
 
     rd_new = RestartDev(

@@ -99,7 +99,8 @@ def resolve_dtype(params: Parameters):
 
 
 def solve_problem(problem: LpProblem, params: Parameters | None = None,
-                  _device_data=None, x0=None, y0=None) -> Results:
+                  _device_data=None, x0=None, y0=None,
+                  sigma0=None) -> Results:
     """Full solve: upload -> scale -> power method -> HPR loop -> unscale.
 
     Parity: solve() + HPRLP_main_solve() (reference: src/HPRLP.cu:116-310,
@@ -129,14 +130,15 @@ def solve_problem(problem: LpProblem, params: Parameters | None = None,
 
     prior_x64 = bool(jax.config.jax_enable_x64)
     try:
-        return _solve_problem_impl(problem, params, _device_data, x0, y0)
+        return _solve_problem_impl(problem, params, _device_data, x0, y0,
+                                   sigma0)
     finally:
         if bool(jax.config.jax_enable_x64) != prior_x64:
             jax.config.update("jax_enable_x64", prior_x64)
 
 
 def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
-                        _device_data, x0, y0) -> Results:
+                        _device_data, x0, y0, sigma0=None) -> Results:
     params = params or Parameters()
     params.validate()
     dtype = resolve_dtype(params)
@@ -176,7 +178,12 @@ def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
     out.scaling_time = time.perf_counter() - t_scale
     log(f"Scaling time = {out.scaling_time:.2f} seconds")
 
-    if scal_host["norm_b"] > 1e-8 and scal_host["norm_c"] > 1e-8:
+    if sigma0 is not None:
+        # Warm restart: resume sigma adaptation from a prior solve of the
+        # SAME problem (the scaling pipeline is deterministic, so scaled
+        # sigmas transfer between solves).
+        sigma = float(sigma0)
+    elif scal_host["norm_b"] > 1e-8 and scal_host["norm_c"] > 1e-8:
         sigma = scal_host["norm_b"] / scal_host["norm_c"]
     else:
         sigma = 1.0
@@ -263,6 +270,7 @@ def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
         out.dual_obj = res.dual_obj
         out.time = elapsed()
         out.restarts = restarts
+        out.sigma_final = float(sigma_val)
         if out.time4 == 0.0 and first[1e-4]:
             out.iter4, out.time4 = out.iter, out.time
         if out.time6 == 0.0 and first[1e-6]:

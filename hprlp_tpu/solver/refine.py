@@ -107,6 +107,7 @@ def solve_refined(problem: LpProblem, params: Parameters,
             if res.x is None:
                 return res  # ERROR surface unchanged
             x, y, z = res.x, res.y, res.z
+            sigma_main = res.sigma_final  # same problem/scaling as the tail
             zoom = 1.0
         else:
             kkt_prev = best[0]
@@ -158,8 +159,18 @@ def solve_refined(problem: LpProblem, params: Parameters,
             out.gap = res.gap
         return out
 
+    def terminal_status(last_status):
+        """Status when the TARGET tolerance was not met: a stage's own
+        OPTIMAL (it only certifies the stage tolerance) must not leak to
+        the caller as OPTIMAL-at-target."""
+        if time.perf_counter() - t_start >= params.time_limit:
+            return "TIME_LIMIT"
+        if last_status in ("OPTIMAL", "STALLED"):
+            return "STALLED"
+        return last_status  # ITER_LIMIT / TIME_LIMIT / ERROR
+
     kkt, x, y, z, metrics = best
-    status = "OPTIMAL" if kkt < target else res.status
+    status = "OPTIMAL" if kkt < target else terminal_status(res.status)
 
     if kkt >= target:
         # f64 tail: warm-started emulated-f64 solve for the final stretch
@@ -177,7 +188,12 @@ def solve_refined(problem: LpProblem, params: Parameters,
             if stage_params.spmv_backend != "auto":
                 tail_params.spmv_backend = stage_params.spmv_backend
             log(f"[refine] f64 tail from kkt={kkt:.3e}")
-            res_t = solve_problem(problem, tail_params, x0=x, y0=y)
+            # Resume sigma from the f32 solve of the SAME problem: the
+            # default ||b||/||c|| init throws away the adaptation and the
+            # near-optimal warm point gives the sigma heuristic almost no
+            # movement signal to recover it from.
+            res_t = solve_problem(problem, tail_params, x0=x, y0=y,
+                                  sigma0=sigma_main or None)
             if res_t.x is not None:
                 total_iter += res_t.iter
                 restarts += res_t.restarts
@@ -186,7 +202,8 @@ def solve_refined(problem: LpProblem, params: Parameters,
                 note_milestones(mt["kkt"], time.perf_counter() - t_start)
                 if mt["kkt"] < kkt:
                     kkt, x, y, z, metrics = (mt["kkt"], res_t.x, yt, zt, mt)
-                status = ("OPTIMAL" if kkt < target else res_t.status)
+                status = ("OPTIMAL" if kkt < target
+                          else terminal_status(res_t.status))
 
     out.status = status
     out.iter = total_iter

@@ -119,7 +119,9 @@ def host_decide(ri: HostRestart, sigma, lam, m_prev, scal, obj_constant,
                 kappa = max(min(r_inf, 100.0), 1e-2)
             sigma = kappa * sigma_cand
         else:
-            sigma = 1.0
+            # Degenerate movement keeps the best-merit sigma (deviation
+            # from the reference's 1.0-reset; see device_loop.py).
+            sigma = ri.best_sigma
         ri.save_gap = math.inf
         ri.inner = 0.0
         ri.times += 1
@@ -150,7 +152,10 @@ def random_metrics(rng, decaying_scale, tiny_residuals=False):
         "gap_dot": dot,
         "gap_dy2": dy2,
         "gap_dx2": dx2,
-        "move_x": float(rng.lognormal(0, 2)) * s,
+        # move_x occasionally EXACTLY zero: a vertex-pinned f32 primal
+        # iterate produces this at every restart (degenerate-sigma branch).
+        "move_x": (0.0 if rng.random() < 0.15
+                   else float(rng.lognormal(0, 2)) * s),
         "move_y": float(rng.lognormal(0, 2)) * s,
         "nrm_lu_viol": float(rng.lognormal(0, 1)) * res_scale,
         "fs_dot": dot * 0.5,

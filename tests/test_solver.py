@@ -239,6 +239,39 @@ class TestMixedPrecisionRefinement:
         # is above 1e-8.
         assert res.status != "OPTIMAL" or m["kkt"] >= 1e-8 or True
 
+    def test_stage_optimal_does_not_leak_to_caller(self, monkeypatch):
+        # A stage solve reports OPTIMAL at its own (looser) stage
+        # tolerance; if the TARGET tolerance is never met, solve_refined
+        # must not surface that OPTIMAL (regression: refine returned
+        # status=OPTIMAL with kkt 4e-7 at a 1e-8 target after the time
+        # budget expired mid-pipeline).
+        import numpy as np
+
+        from tests.conftest import random_lp
+        from hprlp_tpu.solver import loop as loop_mod
+        from hprlp_tpu.solver import refine
+        from hprlp_tpu.results import Results
+
+        prob = random_lp(43, m=20, n=30, density=0.4)
+
+        def fake_solve(problem, params, x0=None, y0=None, sigma0=None):
+            r = Results()
+            r.status = "OPTIMAL"  # the stage's own tolerance, not ours
+            r.x = np.zeros(problem.n)
+            r.y = np.zeros(problem.m)
+            r.z = np.zeros(problem.n)
+            r.iter = 10
+            r.spmv_backend = "gather"
+            return r
+
+        # refine imports solve_problem lazily from .loop — patch it there.
+        monkeypatch.setattr(loop_mod, "solve_problem", fake_solve)
+        p = Parameters(verbose=False, stop_tol=1e-8, precision="mixed",
+                       use_presolve=False)
+        res = refine.solve_refined(prob, p)
+        assert res.status == "STALLED"
+        assert res.residuals >= 1e-8
+
 
 class TestInfeasibleUnbounded:
     """End-to-end infeasible/unbounded detection through Model.solve
