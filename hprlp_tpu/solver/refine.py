@@ -173,37 +173,50 @@ def solve_refined(problem: LpProblem, params: Parameters,
     status = "OPTIMAL" if kkt < target else terminal_status(res.status)
 
     if kkt >= target:
-        # f64 tail: warm-started emulated-f64 solve for the final stretch
-        # (typically a few hundred iterations from a ~1e-6 point).
-        budget = params.time_limit - (time.perf_counter() - t_start)
-        if budget > 0:
-            tail_params = copy.copy(params)
-            tail_params.precision = "f64"
-            tail_params.use_presolve = False
-            tail_params.stall_window = None
+        # f64 tail.  Attempt 1 warm-starts at the refined point with the
+        # stage's sigma — on well-behaved instances the tail then needs a
+        # few hundred iterations.  On DEGENERATE instances the warm start
+        # is actively harmful (measured on the assignment-128 LP: warm
+        # tail stalls at 6.5e-8 for 500k iterations while a cold f64
+        # solve converges in 1350), so the warm attempt runs with stall
+        # detection and a stalled/failed tail falls back to a COLD f64
+        # solve.  The two attempts share compiled programs (same shapes).
+        tail_params = copy.copy(params)
+        tail_params.precision = "f64"
+        tail_params.use_presolve = False
+        # A PRODUCTIVE warm tail converges within a few hundred
+        # iterations; a tail that has made no new best for 10 checkpoints
+        # is the degenerate-stall case and should fall back to cold.
+        tail_params.stall_window = max(1500, 10 * params.check_iter)
+        # Reuse the stage's tuned backend: the df64 lane kernel keeps
+        # the tail at lane speed instead of re-probing (or worse,
+        # falling back to gather).
+        if stage_params.spmv_backend != "auto":
+            tail_params.spmv_backend = stage_params.spmv_backend
+        for attempt, (xw, yw) in enumerate(((x, y), (None, None))):
+            budget = params.time_limit - (time.perf_counter() - t_start)
+            if budget <= 0:
+                break
             tail_params.time_limit = budget
-            # Reuse the stage's tuned backend: the df64 lane kernel keeps
-            # the tail at lane speed instead of re-probing (or worse,
-            # falling back to gather).
-            if stage_params.spmv_backend != "auto":
-                tail_params.spmv_backend = stage_params.spmv_backend
-            log(f"[refine] f64 tail from kkt={kkt:.3e}")
-            # Resume sigma from the f32 solve of the SAME problem: the
-            # default ||b||/||c|| init throws away the adaptation and the
-            # near-optimal warm point gives the sigma heuristic almost no
-            # movement signal to recover it from.
-            res_t = solve_problem(problem, tail_params, x0=x, y0=y,
+            if attempt == 1:
+                tail_params.stall_window = None
+            log(f"[refine] f64 tail ({'warm' if attempt == 0 else 'cold'})"
+                f" from kkt={kkt:.3e}")
+            res_t = solve_problem(problem, tail_params, x0=xw, y0=yw,
                                   sigma0=sigma_main or None)
-            if res_t.x is not None:
-                total_iter += res_t.iter
-                restarts += res_t.restarts
-                yt, zt = _project_duals(problem, A, res_t.y, res_t.z)
-                mt = problem.kkt_error(res_t.x, yt, zt)
-                note_milestones(mt["kkt"], time.perf_counter() - t_start)
-                if mt["kkt"] < kkt:
-                    kkt, x, y, z, metrics = (mt["kkt"], res_t.x, yt, zt, mt)
-                status = ("OPTIMAL" if kkt < target
-                          else terminal_status(res_t.status))
+            if res_t.x is None:
+                break
+            total_iter += res_t.iter
+            restarts += res_t.restarts
+            yt, zt = _project_duals(problem, A, res_t.y, res_t.z)
+            mt = problem.kkt_error(res_t.x, yt, zt)
+            note_milestones(mt["kkt"], time.perf_counter() - t_start)
+            if mt["kkt"] < kkt:
+                kkt, x, y, z, metrics = (mt["kkt"], res_t.x, yt, zt, mt)
+            status = ("OPTIMAL" if kkt < target
+                      else terminal_status(res_t.status))
+            if kkt < target:
+                break
 
     out.status = status
     out.iter = total_iter
