@@ -5,15 +5,16 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 The workload is a fixed synthetic LP (seeded, ~20 nnz/row) in the
 HBM-resident regime, solved through the production path: bucketed-ELL
 layout -> scaling -> power method -> SpMV backend autotune (gather /
-dense-MXU / windowed-LaneELL Pallas) -> jitted 150-iteration chunks, i.e.
-exactly what solve() executes per checkpoint (reference hot loop parity:
-src/HPRLP.cu:178-310).
+dense-MXU / windowed-LaneELL Pallas) -> the device-resident superchunk
+(N_CHUNKS jitted 150-iteration chunks with on-device restart/sigma and
+stopping per dispatch), i.e. exactly what a quiet solve() executes
+(reference hot loop parity: src/HPRLP.cu:178-310; solver/loop.py:316).
 
-Timing forces a host fetch per chunk; the measured per-iteration time
-therefore INCLUDES the host dispatch overhead amortised over check_iter
-iterations, like a real solve.  (On the axon-tunnelled dev TPU that
-dispatch costs ~27 ms per call; on directly-attached hardware it is
-microseconds.)
+Timing forces a host fetch per superchunk; the measured per-iteration
+time therefore INCLUDES the host dispatch overhead amortised over
+N_CHUNKS * check_iter iterations, like a real solve.  (On the
+axon-tunnelled dev TPU that dispatch costs ~27 ms per call; on
+directly-attached hardware it is microseconds.)
 
 vs_baseline is measured against BASELINE_ITERS_PER_SEC, a provisional
 estimate of the reference HPR-LP-C hot loop on an A100 for this size
@@ -29,7 +30,8 @@ import scipy.sparse as sp
 
 M, N, NNZ_PER_ROW, SEED = 65536, 131072, 20, 0
 CHUNK_ITERS = 150
-REPEATS = 5
+N_CHUNKS = 16  # chunks per superchunk dispatch (production quiet-solve size)
+REPEATS = 3
 BASELINE_ITERS_PER_SEC = 4000.0  # provisional A100 estimate for this size
 
 
@@ -68,7 +70,8 @@ def main():
 
     from hprlp_tpu.ops.device_problem import build_device_problem
     from hprlp_tpu.solver.autotune import autotune_backends
-    from hprlp_tpu.solver.chunk import init_state, run_chunk
+    from hprlp_tpu.solver.chunk import init_state, initial_metrics, run_chunk
+    from hprlp_tpu.solver.device_loop import init_restart_dev, run_superchunk
     from hprlp_tpu.solver.power_iteration import power_method
     from hprlp_tpu.solver.scaling import scale_problem
 
@@ -84,20 +87,39 @@ def main():
     probe_args = (scal, state, sigma, lam, flag, n_iters)
     lp = autotune_backends(run_chunk, lp, probe_args, verbose=False)
 
-    # Warm-up: compile + one chunk.  A host fetch per chunk forces real
+    # The production quiet-solve dispatch: one superchunk = N_CHUNKS
+    # device-resident chunks with on-device restart/sigma/stopping
+    # (solver/loop.py:316-330).  stop_tol=0 so the synthetic LP never
+    # converges mid-dispatch and every superchunk runs all N_CHUNKS.
+    dtype = lp.c.dtype
+    rd = init_restart_dev(1.0, dtype)
+    m_prev = initial_metrics(lp, scal, state)
+    obj_c = jnp.asarray(0.0, dtype)
+
+    def superchunk(state, rd, sigma, lam, m_prev, it):
+        return run_superchunk(lp, scal, state, rd, sigma, lam, m_prev,
+                              it, obj_c, 0.0, N_CHUNKS, CHUNK_ITERS)
+
+    # Warm-up: compile + one superchunk.  A host fetch forces real
     # completion (block_until_ready can return early on experimental PJRT
     # platforms).
-    state, metrics = run_chunk(lp, scal, state, sigma, lam, flag, n_iters)
-    float(metrics["nrm_Rp"])
+    it = 0
+    state, rd, sigma, lam, m_prev, stacked, k_done = superchunk(
+        state, rd, sigma, lam, m_prev, it)
+    it += int(k_done) * CHUNK_ITERS
+    float(stacked["nrm_Rp"][-1])
 
     t0 = time.perf_counter()
+    done = 0
     for _ in range(REPEATS):
-        state, metrics = run_chunk(lp, scal, state, sigma, lam, flag,
-                                   n_iters)
-        float(metrics["nrm_Rp"])
+        state, rd, sigma, lam, m_prev, stacked, k_done = superchunk(
+            state, rd, sigma, lam, m_prev, it)
+        float(stacked["nrm_Rp"][-1])
+        done += int(k_done) * CHUNK_ITERS
+        it += int(k_done) * CHUNK_ITERS
     dt = time.perf_counter() - t0
 
-    its_per_sec = REPEATS * CHUNK_ITERS / dt
+    its_per_sec = done / dt
     print(json.dumps({
         "metric": (f"hpr_iterations_per_sec[m={M},n={N},"
                    f"nnz={problem.nnz},backend={lp.A.backend}]"),

@@ -319,7 +319,7 @@ def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
         # never overshoot convergence — quiet solves always use the
         # maximum (ONE compiled superchunk variant, fewest dispatches);
         # verbose solves use single chunks for per-checkpoint printing.
-        n_chunks = 1 if params.verbose else 8
+        n_chunks = 1 if params.verbose else 16
         n_chunks = max(1, min(n_chunks,
                               (params.max_iter - it + check - 1) // check))
 
