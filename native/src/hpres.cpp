@@ -70,12 +70,31 @@ struct Problem {
     double obj_shift = 0.0;
     int64_t live_entries = 0;  // live nnz (fill-in counted, kills deducted)
 
+    // Incremental row activities (parity: PSLP Activity.h:44-70, lazily
+    // EXACT instead of drift-prone deltas: any mutation that can change a
+    // row's activity marks it dirty; readers recompute dirty rows only.
+    // After round 1 most rows are untouched per pass, so the activity
+    // passes drop from O(nnz) to O(changed) per sweep.
+    std::vector<double> act_min, act_max;
+    std::vector<int32_t> act_ninf_min, act_ninf_max;
+    std::vector<char> act_ok;
+
+    void touch_row(int64_t i) { if (!act_ok.empty()) act_ok[i] = 0; }
+
+    // Call when x_j's bounds change: every live row through j goes stale.
+    void touch_col(int64_t j) {
+        if (act_ok.empty()) return;
+        for (int64_t e : cole[j])
+            if (ents[e].alive) act_ok[ents[e].r] = 0;
+    }
+
     void kill_entry(int64_t e) {
         if (!ents[e].alive) return;
         ents[e].alive = false;
         rlen[ents[e].r]--;
         clen[ents[e].c]--;
         live_entries--;
+        touch_row(ents[e].r);
     }
 
     void add_entry(int64_t r, int64_t c, double v) {
@@ -86,6 +105,7 @@ struct Problem {
         rlen[r]++;
         clen[c]++;
         live_entries++;
+        touch_row(r);
     }
 };
 
@@ -202,6 +222,7 @@ class Presolver {
                 uint8_t lo_from_row = 0, up_from_row = 0;
                 if (lo > P.l[j]) { P.l[j] = lo; lo_from_row = 1; }
                 if (up < P.u[j]) { P.u[j] = up; up_from_row = 1; }
+                if (lo_from_row || up_from_row) P.touch_col(j);
                 r.flag = (uint8_t)(lo_from_row | (up_from_row << 1));
                 if (infeas(P.l[j] > P.u[j] + tol)) return changed;
                 log.push_back(std::move(r));
@@ -375,25 +396,39 @@ class Presolver {
         return changed;
     }
 
+    // Recompute row i's cached activity (the only writer of the cache).
+    void ensure_activity(int64_t i) {
+        if (P.act_ok[i]) return;
+        double amin = 0.0, amax = 0.0;
+        int32_t inf_min = 0, inf_max = 0;
+        for (int64_t e : P.rowe[i]) {
+            const Ent &en = P.ents[e];
+            if (!en.alive) continue;
+            const double lo = P.l[en.c], up = P.u[en.c];
+            if (en.v > 0) {
+                if (lo == -INF) inf_min++; else amin += en.v * lo;
+                if (up == INF) inf_max++; else amax += en.v * up;
+            } else {
+                if (up == INF) inf_min++; else amin += en.v * up;
+                if (lo == -INF) inf_max++; else amax += en.v * lo;
+            }
+        }
+        P.act_min[i] = amin;
+        P.act_max[i] = amax;
+        P.act_ninf_min[i] = inf_min;
+        P.act_ninf_max[i] = inf_max;
+        P.act_ok[i] = 1;
+    }
+
     // Row activity bounds -> redundant / forcing / infeasible rows.
     bool pass_activity_rows() {
         bool changed = false;
         for (int64_t i = 0; i < P.m; ++i) {
             if (!P.ralive[i] || P.rlen[i] == 0) continue;
-            double amin = 0.0, amax = 0.0;
-            int inf_min = 0, inf_max = 0;
-            for (int64_t e : P.rowe[i]) {
-                const Ent &en = P.ents[e];
-                if (!en.alive) continue;
-                const double lo = P.l[en.c], up = P.u[en.c];
-                if (en.v > 0) {
-                    if (lo == -INF) inf_min++; else amin += en.v * lo;
-                    if (up == INF) inf_max++; else amax += en.v * up;
-                } else {
-                    if (up == INF) inf_min++; else amin += en.v * up;
-                    if (lo == -INF) inf_max++; else amax += en.v * lo;
-                }
-            }
+            ensure_activity(i);
+            const double amin = P.act_min[i], amax = P.act_max[i];
+            const int32_t inf_min = P.act_ninf_min[i];
+            const int32_t inf_max = P.act_ninf_max[i];
             const double act_min = inf_min ? -INF : amin;
             const double act_max = inf_max ? INF : amax;
             if (infeas(act_min > P.AU[i] + tol || act_max < P.AL[i] - tol))
@@ -491,6 +526,7 @@ class Presolver {
             const double lo_t = std::min(t1, t2), up_t = std::max(t1, t2);
             if (lo_t > P.l[k]) P.l[k] = lo_t;
             if (up_t < P.u[k]) P.u[k] = up_t;
+            P.touch_col(k);
             if (infeas(P.l[k] > P.u[k] + tol)) return changed;
 
             // Substitute into the other rows of column j (fill-in at k):
@@ -515,6 +551,7 @@ class Presolver {
                 }
                 if (hit >= 0) {
                     P.ents[hit].v += delta;
+                    P.touch_row(rr);
                     if (std::fabs(P.ents[hit].v) < 1e-14) {
                         P.kill_entry(hit);
                         stats.nnz_removed++;
@@ -655,6 +692,7 @@ class Presolver {
         }
         log.push_back(std::move(r));
         (upper_side ? P.u[k] : P.l[k]) = newb;
+        P.touch_col(k);
         stats.bounds_tightened++;
     }
 
@@ -670,20 +708,13 @@ class Presolver {
         bool changed = false;
         for (int64_t i = 0; i < P.m; ++i) {
             if (!P.ralive[i] || P.rlen[i] < 2) continue;
-            double amin = 0.0, amax = 0.0;
-            int inf_min = 0, inf_max = 0;
-            for (int64_t e : P.rowe[i]) {
-                const Ent &en = P.ents[e];
-                if (!en.alive) continue;
-                const double lo = P.l[en.c], up = P.u[en.c];
-                if (en.v > 0) {
-                    if (lo == -INF) inf_min++; else amin += en.v * lo;
-                    if (up == INF) inf_max++; else amax += en.v * up;
-                } else {
-                    if (up == INF) inf_min++; else amin += en.v * up;
-                    if (lo == -INF) inf_max++; else amax += en.v * lo;
-                }
-            }
+            ensure_activity(i);
+            // Snapshot: installs from this row leave the snapshot stale
+            // within the row, exactly as the recompute-per-row original
+            // (the cache itself is invalidated by touch_col).
+            const double amin = P.act_min[i], amax = P.act_max[i];
+            const int32_t inf_min = P.act_ninf_min[i];
+            const int32_t inf_max = P.act_ninf_max[i];
             for (int64_t e : P.rowe[i]) {
                 const Ent &en = P.ents[e];
                 if (!en.alive) continue;
@@ -826,6 +857,7 @@ class Presolver {
             const double up_k = s > 0 ? s * P.u[k] : s * P.l[k];
             P.l[j] = P.l[j] + lo_k;
             P.u[j] = P.u[j] + up_k;
+            P.touch_col(j);
             log.push_back(std::move(r));
             for (int64_t e : P.cole[k]) {
                 if (P.ents[e].alive) {
@@ -885,6 +917,30 @@ class Presolver {
                 if (P.l[j] > P.u[j] + tol)
                     return "crossed column bounds without INFEASIBLE";
             }
+        }
+        for (int64_t i = 0; i < P.m; ++i) {
+            if (P.act_ok.empty() || !P.act_ok[i] || !P.ralive[i]) continue;
+            double amin = 0.0, amax = 0.0;
+            int32_t inf_min = 0, inf_max = 0;
+            for (int64_t e : P.rowe[i]) {
+                const Ent &en = P.ents[e];
+                if (!en.alive) continue;
+                const double lo = P.l[en.c], up = P.u[en.c];
+                if (en.v > 0) {
+                    if (lo == -INF) inf_min++; else amin += en.v * lo;
+                    if (up == INF) inf_max++; else amax += en.v * up;
+                } else {
+                    if (up == INF) inf_min++; else amin += en.v * up;
+                    if (lo == -INF) inf_max++; else amax += en.v * lo;
+                }
+            }
+            if (inf_min != P.act_ninf_min[i] || inf_max != P.act_ninf_max[i])
+                return "cached activity inf-count stale without dirty mark";
+            const double sc = std::max({1.0, std::fabs(amin),
+                                        std::fabs(amax)});
+            if (std::fabs(amin - P.act_min[i]) > 1e-9 * sc ||
+                std::fabs(amax - P.act_max[i]) > 1e-9 * sc)
+                return "cached activity value stale without dirty mark";
         }
         for (const Rec &r : log) {
             if (r.i >= (int32_t)P.m || r.j >= (int32_t)P.n)
@@ -976,6 +1032,11 @@ class Presolver {
 
     void run(int max_rounds, double max_time, bool debug) {
         debug_checks = debug;
+        P.act_min.assign(P.m, 0.0);
+        P.act_max.assign(P.m, 0.0);
+        P.act_ninf_min.assign(P.m, 0);
+        P.act_ninf_max.assign(P.m, 0);
+        P.act_ok.assign(P.m, 0);
         if (max_rounds <= 0) max_rounds = 16;
         if (max_time <= 0.0) max_time = 60.0;
         const auto t0 = std::chrono::steady_clock::now();
