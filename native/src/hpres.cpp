@@ -49,6 +49,15 @@ enum class RecType : uint8_t {
                     // y_i (parity: PSLP BOUND_CHANGE_THE_ROW,
                     // include/core/Postsolver.h:50-51, retrieve_bound_change
                     // src/core/Postsolver.c:350-414)
+    EqToIneq,       // j (removed singleton col), i (equality row relaxed to
+                    // a one-sided inequality), a = a_ij, b = c_j, d0 = rhs:
+                    // x_j implied free from ONE side only; its remaining
+                    // explicit bound turns the equality into an inequality.
+                    // Replay: x_j from the original row equation,
+                    // z_j = -a * y_i (reduced dual), then y_i += c_j / a
+                    // (parity: PSLP EQ_TO_INEQ + SUB_COL pair,
+                    // src/explorers/StonCols.c:34-222,
+                    // src/core/Postsolver.c:476-480, :133-157)
 };
 
 struct Rec {
@@ -300,11 +309,16 @@ class Presolver {
         return changed;
     }
 
-    // True iff x_j's bounds can never be active given row i's other
-    // variables at their bounds (implied free; parity: PSLP StonCols
-    // implied-free eq->ineq conversion, include/explorers/StonCols.h:27-52).
-    bool implied_free(int64_t j, int64_t i, double a) {
-        if (P.l[j] == -INF && P.u[j] == INF) return true;
+    // Per-side implied-freeness of x_j given row i's other variables at
+    // their bounds (parity: PSLP StonCols implied-free tests,
+    // include/explorers/StonCols.h:27-52).  lo_ok: the explicit lower
+    // bound can never be active; up_ok: same for the upper bound.
+    void implied_free_sides(int64_t j, int64_t i, double a,
+                            bool &lo_ok, bool &up_ok) {
+        if (P.l[j] == -INF && P.u[j] == INF) {
+            lo_ok = up_ok = true;
+            return;
+        }
         double rest_min = 0.0, rest_max = 0.0;
         for (int64_t e : P.rowe[i]) {
             const Ent &en = P.ents[e];
@@ -331,11 +345,54 @@ class Presolver {
                              : (up_num == INF ? -INF : up_num / a);
         const double ij_up = a > 0 ? up_num / a
                              : (lo_num == -INF ? INF : lo_num / a);
-        const bool lo_ok = P.l[j] == -INF ||
-                           (ij_lo != -INF && ij_lo >= P.l[j] - tol);
-        const bool up_ok = P.u[j] == INF ||
-                           (ij_up != INF && ij_up <= P.u[j] + tol);
-        return lo_ok && up_ok;
+        lo_ok = P.l[j] == -INF ||
+                (ij_lo != -INF && ij_lo >= P.l[j] - tol);
+        up_ok = P.u[j] == INF ||
+                (ij_up != INF && ij_up <= P.u[j] + tol);
+    }
+
+    // Singleton column j (only entry a in equality row i) implied free
+    // from ONE side: substitute x_j out via the row equation and relax
+    // the equality to the inequality that enforces x_j's surviving
+    // explicit bound (parity: PSLP handle_impl_free_from_{above,below}_eq,
+    // src/explorers/StonCols.c:34-222).
+    void eq_to_ineq(int64_t j, int64_t i, int64_t e, double a, bool up_ok) {
+        const double R = P.AL[i];  // == P.AU[i]
+        const double ca = P.c[j] / a;
+        Rec r;
+        r.type = RecType::EqToIneq;
+        r.j = (int32_t)j;
+        r.i = (int32_t)i;
+        r.a = a;
+        r.b = P.c[j];
+        r.d0 = R;
+        for (int64_t k : P.rowe[i]) {
+            const Ent &en = P.ents[k];
+            if (!en.alive || en.c == j) continue;
+            r.idx.push_back(en.c);
+            r.val.push_back(en.v);
+            P.c[en.c] -= ca * en.v;
+        }
+        P.obj_shift += ca * R;
+        log.push_back(std::move(r));
+        P.kill_entry(e);
+        stats.nnz_removed++;
+        if (up_ok) {
+            // Upper bound implied: the explicit l_j survives as
+            //   (R - sum) / a >= l_j.
+            const double s = R - a * P.l[j];
+            if (a > 0) { P.AL[i] = -INF; P.AU[i] = s; }
+            else       { P.AL[i] = s;    P.AU[i] = INF; }
+        } else {
+            // Lower bound implied: the explicit u_j survives as
+            //   (R - sum) / a <= u_j.
+            const double s = R - a * P.u[j];
+            if (a > 0) { P.AL[i] = s;    P.AU[i] = INF; }
+            else       { P.AL[i] = -INF; P.AU[i] = s; }
+        }
+        P.touch_row(i);
+        P.calive[j] = 0;
+        stats.cols_removed++;
     }
 
     bool pass_free_singleton_cols() {
@@ -348,7 +405,19 @@ class Presolver {
             const int64_t i = P.ents[e].r;
             const double a = P.ents[e].v;
             if (std::fabs(a) < 1e-10) continue;
-            if (!implied_free(j, i, a)) continue;
+            bool lo_ok = false, up_ok = false;
+            implied_free_sides(j, i, a, lo_ok, up_ok);
+            if (!(lo_ok && up_ok)) {
+                // One-sided implied freeness reduces only EQUALITY rows
+                // (with other live entries; a pure singleton row is the
+                // singleton-row explorer's case).
+                if ((lo_ok || up_ok) && P.rlen[i] >= 2 &&
+                    std::isfinite(P.AL[i]) && P.AL[i] == P.AU[i]) {
+                    eq_to_ineq(j, i, e, a, up_ok);
+                    changed = true;
+                }
+                continue;
+            }
             const double ca = P.c[j] / a;
             // Row value r* the optimum drives the row to.
             double rstar;
@@ -1314,6 +1383,22 @@ class Presolver {
                     x[r.j] = s / r.a;
                     y[r.i] = r.b / r.a;
                     z[r.j] = 0.0;
+                    break;
+                }
+                case RecType::EqToIneq: {
+                    // x_j from the original equality; z_j from the REDUCED
+                    // inequality dual, then shift y_i by c_j/a — original
+                    // stationarity for every other row-i column follows
+                    // because their costs absorbed -(c_j/a) a_ik at
+                    // reduction time (parity: PSLP retrieve_sub_col with
+                    // ck=0 + retrieve_eq_to_ineq,
+                    // src/core/Postsolver.c:133-157, :476-480).
+                    double s = r.d0;
+                    for (size_t k = 0; k < r.idx.size(); ++k)
+                        s -= r.val[k] * x[r.idx[k]];
+                    x[r.j] = s / r.a;
+                    z[r.j] = -r.a * y[r.i];
+                    y[r.i] += r.b / r.a;
                     break;
                 }
             }

@@ -437,8 +437,11 @@ class TestImpliedFreeSingleton:
         assert x[0] + x[1] == pytest.approx(4.0, abs=1e-6)
         assert 0.0 - 1e-6 <= x[1] <= 10.0 + 1e-6
 
-    def test_not_implied_free_kept(self):
-        # Implied range [1, 4] NOT within x1's bounds [0, 2] -> no sub.
+    def test_one_sided_goes_eq_to_ineq(self):
+        # Implied range [1, 4] covers x1's lower bound but NOT its upper
+        # bound [0, 2]: the full substitution is invalid, but the one-sided
+        # eq->ineq conversion still removes x1 (the equality becomes
+        # x0 >= 2, enforcing x1 <= 2 through the equation).
         prob = _pp([[1.0, 1.0]],
                    [4.0], [4.0],
                    [0.0, 0.0], [3.0, 2.0], [1.0, 2.0])
@@ -446,6 +449,98 @@ class TestImpliedFreeSingleton:
         assert status == "OK"
         x, y, z, m = _check_postsolve(prob, red, h, tol=1e-5)
         assert x[1] <= 2.0 + 1e-6
+        assert x[0] + x[1] == pytest.approx(4.0, abs=1e-6)
+
+
+class TestEqToIneq:
+    """One-sided implied-free singleton columns in equality rows relax the
+    equality to an inequality (parity: PSLP process_colston_eq +
+    EQ_TO_INEQ postsolve, src/explorers/StonCols.c:34-222,
+    src/core/Postsolver.c:476-480)."""
+
+    def test_lower_bound_survives(self):
+        # x1 in [0, inf) only in row 0: x0 + x1 = 2, x0 in [-3, 3] implies
+        # x1 in [-1, 5]: free from above only.  Conversion: x0 <= 2.
+        # Optimum of min(-x0 + x1): x0 = 2, x1 = 0, y0 = -1, z1 = 2.
+        prob = _pp([[1.0, 1.0], [1.0, 0.0]],
+                   [2.0, -3.0], [2.0, 3.0],
+                   [-np.inf, 0.0], [np.inf, np.inf], [-1.0, 1.0])
+        status, red, h = presolve_problem(prob, debug_checks=True)
+        assert status == "OK"
+        assert h.stats()["cols_removed"] >= 1
+        x, y, z, m = _check_postsolve(prob, red, h, tol=1e-5)
+        assert x[0] == pytest.approx(2.0, abs=1e-5)
+        assert x[1] == pytest.approx(0.0, abs=1e-5)
+        assert y[0] == pytest.approx(-1.0, abs=1e-4)
+        assert z[1] == pytest.approx(2.0, abs=1e-4)
+
+    def test_upper_bound_survives(self):
+        # x1 in (-inf, 1] only in row 0: same row implies x1 in [-1, 5]:
+        # free from below only.  Conversion: x0 >= 1 (from (2-x0) <= 1).
+        prob = _pp([[1.0, 1.0], [1.0, 0.0]],
+                   [2.0, -3.0], [2.0, 3.0],
+                   [-np.inf, -np.inf], [np.inf, 1.0], [1.0, -1.0])
+        status, red, h = presolve_problem(prob, debug_checks=True)
+        assert status == "OK"
+        assert h.stats()["cols_removed"] >= 1
+        x, y, z, m = _check_postsolve(prob, red, h, tol=1e-5)
+        # min x0 - x1 = min x0 - (2 - x0) = 2 x0 - 2 over x0 >= 1: x0 = 1.
+        assert x[0] == pytest.approx(1.0, abs=1e-5)
+        assert x[1] == pytest.approx(1.0, abs=1e-5)
+
+    def test_negative_coefficient(self):
+        # a_01 = -2: x0 - 2 x1 = 2 with x1 in [0, inf), x0 in [-3, 3]
+        # implies x1 = (x0 - 2)/2 in [-2.5, 0.5]: free from above only.
+        # Conversion: x0 - 2*0 >= ... sign flip: AL = 2, AU = inf.
+        prob = _pp([[1.0, -2.0], [1.0, 0.0]],
+                   [2.0, -3.0], [2.0, 3.0],
+                   [-np.inf, 0.0], [np.inf, np.inf], [1.0, 1.0])
+        status, red, h = presolve_problem(prob, debug_checks=True)
+        assert status == "OK"
+        assert h.stats()["cols_removed"] >= 1
+        x, y, z, m = _check_postsolve(prob, red, h, tol=1e-5)
+        # min x0 + x1 with x1 = (x0-2)/2 >= 0 -> x0 >= 2 -> x0 = 2, x1 = 0.
+        assert x[0] == pytest.approx(2.0, abs=1e-5)
+        assert x[1] == pytest.approx(0.0, abs=1e-5)
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_random_equality_singletons_duals(self, seed):
+        # Random LPs seeded with slack-like singleton columns in equality
+        # rows, one-sided bounds: postsolve duals must satisfy original
+        # KKT under debug_checks.
+        from tests.test_batched import reference_solve
+
+        rng = np.random.default_rng(seed)
+        m, n = 12, 18
+        A = sp.random(m, n, density=0.4, random_state=rng,
+                      data_rvs=lambda k: rng.uniform(0.5, 2.0, k)).tocsr()
+        A = A + sp.eye(m, n)  # no empty rows/cols in the core block
+        # Append singleton slack columns with one-sided bounds on EQ rows.
+        n_slack = 6
+        S = sp.lil_matrix((m, n_slack))
+        for t in range(n_slack):
+            S[t % m, t] = rng.choice([-1.5, 1.0, 2.0])
+        A_full = sp.hstack([A.tocsc(), S.tocsc()]).tocsr()
+        x_feas = rng.uniform(0.0, 1.0, n + n_slack)
+        b = A_full @ x_feas
+        AL = b.copy()
+        AU = b.copy()
+        l = np.full(n + n_slack, -5.0)
+        u = np.full(n + n_slack, 6.0)
+        # One-sided wide bounds on the slack cols so exactly one side is
+        # implied free.
+        l[n:] = x_feas[n:] - 100.0
+        u[n:] = np.inf
+        c = rng.normal(size=n + n_slack)
+        prob = LpProblem.from_arrays(A_full, AL, AU, l, u, c)
+        ref = reference_solve(prob.A, prob.AL, prob.AU, prob.l, prob.u,
+                              prob.c)
+        if ref.status != 0:
+            pytest.skip("degenerate random instance")
+        status, red, h = presolve_problem(prob, debug_checks=True)
+        assert status == "OK"
+        x, y, z, m_ = _check_postsolve(prob, red, h, tol=2e-5)
+        assert prob.c @ x == pytest.approx(ref.fun, rel=1e-4, abs=1e-4)
 
 
 class TestBoundChangeInstall:
