@@ -54,12 +54,11 @@ class Model:
 
     def solve(self, parameters: Optional[Parameters] = None,
               x0=None, y0=None) -> Results:
-        """Solve; x0/y0 warm-start in the original space (bypasses
-        presolve — the reduction maps would invalidate the point)."""
-        if x0 is not None or y0 is not None:
-            res = solve_problem(self._problem, parameters, x0=x0, y0=y0)
-        else:
-            res = solve_with_presolve(self._problem, parameters)
+        """Solve; x0/y0 warm-start in the original space.  With presolve
+        on, the point is projected onto the reduced problem through the
+        row/column maps (dropped coordinates are simply omitted; the HPR
+        iteration tolerates any starting point)."""
+        res = solve_with_presolve(self._problem, parameters, x0=x0, y0=y0)
         return _apply_sense(res, self._problem.objective_sense)
 
     def __enter__(self):
@@ -70,13 +69,15 @@ class Model:
 
 
 def solve_with_presolve(problem: LpProblem,
-                        parameters: Optional[Parameters] = None) -> Results:
+                        parameters: Optional[Parameters] = None,
+                        x0=None, y0=None) -> Results:
     """Presolve -> core solve -> postsolve -> original-space KKT validation.
 
     Orchestration parity with the reference's solve() (reference:
     src/HPRLP.cu:493-524): presolve failures of ANY kind fall back to
     solving the unreduced model with a warning (pslp_integration.cpp:
-    677-700).
+    677-700).  An original-space warm start (x0, y0) is projected onto the
+    reduced problem via the presolver's index maps.
     """
     import time as _time
 
@@ -123,7 +124,14 @@ def solve_with_presolve(problem: LpProblem,
                 res.residuals = metrics["kkt"]
                 res.time = t_pre
                 return res
-            res = solve_problem(reduced, params)
+            x0_red = y0_red = None
+            if x0 is not None or y0 is not None:
+                row_map, col_map = handle.maps()
+                if x0 is not None:
+                    x0_red = np.asarray(x0, float)[col_map]
+                if y0 is not None:
+                    y0_red = np.asarray(y0, float)[row_map]
+            res = solve_problem(reduced, params, x0=x0_red, y0=y0_red)
             if res.x is not None:
                 x, y, z = handle.postsolve(res.x, res.y, res.z)
                 res.x, res.y, res.z = x, y, z
@@ -136,7 +144,7 @@ def solve_with_presolve(problem: LpProblem,
                 res.residuals = metrics["kkt"]
             return res
 
-    return solve_problem(problem, params)
+    return solve_problem(problem, params, x0=x0, y0=y0)
 
 
 def solve(A, AL, AU, l, u, c, parameters: Optional[Parameters] = None,

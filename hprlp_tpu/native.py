@@ -69,6 +69,8 @@ def _configure(lib):
     lib.hpres_get_reduced.restype = None
     lib.hpres_get_reduced.argtypes = [h, _i64p, _i32p, _f64p, _f64p, _f64p,
                                       _f64p, _f64p, _f64p]
+    lib.hpres_get_maps.restype = None
+    lib.hpres_get_maps.argtypes = [h, _i64p, _i64p]
     lib.hpres_postsolve.restype = None
     lib.hpres_postsolve.argtypes = [h, _f64p, _f64p, _f64p, _f64p, _f64p,
                                     _f64p]

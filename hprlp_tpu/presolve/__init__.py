@@ -57,6 +57,15 @@ class PresolveHandle:
             out[k] = float(v)
         return out
 
+    def maps(self):
+        """(row_map, col_map): reduced position -> original index.  Lets a
+        caller project an original-space warm start onto the reduced
+        problem (x_red = x0[col_map], y_red = y0[row_map])."""
+        row_map = np.zeros(self.reduced_m, np.int64)
+        col_map = np.zeros(self.reduced_n, np.int64)
+        self._lib.hpres_get_maps(self._ptr, row_map, col_map)
+        return row_map, col_map
+
     def postsolve(self, x_red: np.ndarray, y_red: np.ndarray,
                   z_red: np.ndarray):
         """Map a reduced solution back to the original space."""

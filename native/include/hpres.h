@@ -79,6 +79,13 @@ void hpres_get_reduced(const hpres_handle *h,
                        double *AL, double *AU,
                        double *l, double *u, double *c);
 
+/* Copy the reduced->original index maps out (row_map has reduced_m
+ * entries, col_map reduced_n): reduced position k corresponds to original
+ * row/column row_map[k] / col_map[k].  Used to project an original-space
+ * warm start onto the reduced problem. */
+void hpres_get_maps(const hpres_handle *h, int64_t *row_map,
+                    int64_t *col_map);
+
 /* Map a reduced-space solution back to the original space.
  * x/y/z are original-sized outputs; x_red/y_red/z_red reduced-sized. */
 void hpres_postsolve(const hpres_handle *h,

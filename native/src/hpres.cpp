@@ -1483,6 +1483,13 @@ void hpres_get_reduced(const hpres_handle *h, int64_t *Ap, int32_t *Ai,
     std::memcpy(c, ps.red_c.data(), sizeof(double) * ps.red_n);
 }
 
+void hpres_get_maps(const hpres_handle *h, int64_t *row_map,
+                    int64_t *col_map) {
+    const auto &ps = h->ps;
+    std::copy(ps.row_map.begin(), ps.row_map.end(), row_map);
+    std::copy(ps.col_map.begin(), ps.col_map.end(), col_map);
+}
+
 void hpres_postsolve(const hpres_handle *h, const double *x_red,
                      const double *y_red, const double *z_red, double *x,
                      double *y, double *z) {

@@ -153,6 +153,25 @@ class TestWarmStart:
         assert warm.primal_obj == __import__("pytest").approx(
             cold.primal_obj, rel=1e-5, abs=1e-5)
 
+    def test_warm_start_through_presolve(self):
+        """Warm starts are projected onto the reduced problem via the
+        presolver maps (previously they bypassed presolve entirely)."""
+        from tests.conftest import random_lp
+        from hprlp_tpu import Model, Parameters
+        from hprlp_tpu.presolve import is_available
+
+        if not is_available():
+            __import__("pytest").skip("native presolver unavailable")
+        prob = random_lp(33, m=30, n=45, density=0.25)
+        p = Parameters(verbose=False, stop_tol=1e-7, use_presolve=True)
+        cold = Model(prob).solve(p)
+        assert cold.status == "OPTIMAL"
+        warm = Model(prob).solve(p, x0=cold.x, y0=cold.y)
+        assert warm.status == "OPTIMAL"
+        assert warm.iter <= cold.iter
+        assert warm.primal_obj == __import__("pytest").approx(
+            cold.primal_obj, rel=1e-5, abs=1e-5)
+
     def test_bad_warm_start_still_converges(self):
         from tests.conftest import random_lp
         from hprlp_tpu import Model, Parameters
