@@ -93,6 +93,30 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
     plan_AT = plan_buckets(col_nnz, min_width, min_bucket_rows,
                            locality_key(col_nnz, AT.indices))
 
+    # Window-balance both spaces for the LaneELL kernel: the kernel's cost
+    # is sum over (window, 16384-row block) of the block's max per-row
+    # count, so spreading each row's entries evenly across the OTHER
+    # space's windows cuts scheduled sublanes (and kernel time) by the
+    # Poisson max/mean ratio (~2-3x on random matrices).  Reorders
+    # members only within buckets, so the gather-ELL layout is unchanged.
+    plan_A = _balance_plan_windows(plan_A, A.indptr, A.indices, n,
+                                   row_multiple)
+    plan_AT = _balance_plan_windows(plan_AT, AT.indptr, AT.indices, m,
+                                    row_multiple)
+
+    # Residue pass: with windows balanced, the binding LaneELL constraint
+    # becomes residue collisions (distinct columns sharing pos%128 within
+    # an output group need separate depths).  Permute members WITHIN their
+    # 128-position block so each group's columns spread across residue
+    # classes.  Blocks never change, so the n-pass can use the m-blocks
+    # and vice versa without circularity.
+    row_pos_prov = _positions_from_plan(plan_A, m, row_multiple)
+    plan_AT = _balance_plan_residues(plan_AT, AT.indptr, AT.indices,
+                                     row_pos_prov, row_multiple)
+    col_pos_prov = _positions_from_plan(plan_AT, n, row_multiple)
+    plan_A = _balance_plan_residues(plan_A, A.indptr, A.indices,
+                                    col_pos_prov, row_multiple)
+
     m_pad = padded_size(bucketed_row_total(plan_A, row_multiple), vec_multiple)
     n_pad = padded_size(bucketed_row_total(plan_AT, row_multiple), vec_multiple)
 
@@ -128,6 +152,165 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
                     obj_constant=float(problem.obj_constant),
                     objective_sense=problem.objective_sense)
     return dev, maps
+
+
+def _balance_plan_windows(plan, indptr, indices, n_partners: int,
+                          row_multiple: int):
+    """Reorder bucket members so each partner's entries spread evenly
+    across this space's 16384-position LaneELL windows.
+
+    plan: [(width, rows)] bucket plan for the space being laid out;
+    indptr/indices: CSR adjacency item -> partner ids (e.g. A's CSR when
+    items are A's rows and partners its columns).  Greedy assignment runs
+    in native code (native/src/window_balance.cpp); items move only within
+    their bucket's position range, preserving the gather-ELL layout.
+    Falls back to the unbalanced plan when the native library is missing
+    or the space fits in one window.
+    """
+    from .lane_ell import WINDOW
+
+    try:
+        from ..native import get_lib
+
+        lib = get_lib()
+    except Exception:
+        lib = None
+    if lib is None:
+        return plan
+
+    n_items = len(indptr) - 1
+    item_lo = np.zeros(n_items, np.int32)
+    item_hi = np.zeros(n_items, np.int32)
+    cells_window: list[int] = []
+    cells_cap: list[int] = []
+    bucket_cells = []
+    cursor = 0
+    for _, rows in plan:
+        r_real = len(rows)
+        start, end = cursor, cursor + r_real
+        lo = len(cells_window)
+        for w in range(start // WINDOW, max(start, end - 1) // WINDOW + 1):
+            cells_window.append(w)
+            cells_cap.append(min(end, (w + 1) * WINDOW)
+                             - max(start, w * WINDOW))
+        hi = len(cells_window) - 1
+        item_lo[rows] = lo
+        item_hi[rows] = hi
+        bucket_cells.append((lo, hi))
+        cursor += -(-max(r_real, 1) // row_multiple) * row_multiple
+    if cursor <= WINDOW:
+        return plan  # single window: nothing to balance
+
+    deg = np.diff(indptr).astype(np.int64)
+    order = np.argsort(-deg, kind="stable").astype(np.int64)
+    item_cell = np.zeros(n_items, np.int32)
+    rc = lib.hpres_balance_cells(
+        n_items, np.ascontiguousarray(indptr, dtype=np.int64),
+        np.ascontiguousarray(indices, dtype=np.int32), n_partners,
+        np.ascontiguousarray(order), item_lo, item_hi,
+        np.asarray(cells_window, np.int32),
+        np.asarray(cells_cap, np.int64), len(cells_window),
+        (cursor + WINDOW - 1) // WINDOW, 1, item_cell)
+    if rc != 0:
+        return plan
+    # Stable sort by assigned cell keeps the locality order within cells.
+    return [(w, rows[np.argsort(item_cell[rows], kind="stable")])
+            for (w, rows) in plan]
+
+
+def _balance_plan_residues(plan, indptr, indices, partner_pos: np.ndarray,
+                           row_multiple: int):
+    """Permute bucket members within their 128-position block so the
+    partner groups (partner_pos // 128) they touch spread across residue
+    classes (pos % 128) — the LaneELL phase-1 constraint is one DISTINCT
+    column per (sublane, residue), so collisions cost extra depth
+    sublanes (ops/lane_ell.py).  Native greedy per window; identity on
+    fallback."""
+    from .lane_ell import LANES, WINDOW
+
+    try:
+        from ..native import get_lib
+
+        lib = get_lib()
+    except Exception:
+        lib = None
+    n_items = len(indptr) - 1
+    if lib is None or n_items <= LANES:
+        return plan
+
+    # Dedup adjacency item -> partner blocks (a column repeated in the
+    # same group costs nothing: phase-2 fans out).
+    indptr = np.asarray(indptr, np.int64)
+    indices = np.asarray(indices)
+    n_blocks = int(partner_pos.max() // LANES) + 1 if len(partner_pos) else 1
+    item_of = np.repeat(np.arange(n_items, dtype=np.int64),
+                        np.diff(indptr))
+    pair = np.unique(item_of * n_blocks + partner_pos[indices] // LANES)
+    d_item = pair // n_blocks
+    d_blk = (pair % n_blocks).astype(np.int32)
+    d_indptr = np.zeros(n_items + 1, np.int64)
+    np.cumsum(np.bincount(d_item, minlength=n_items), out=d_indptr[1:])
+
+    # Provisional positions; runs = member ranges clipped to (bucket,
+    # 128-block) so the permutation never crosses a block or bucket.
+    pos = np.zeros(n_items, np.int64)
+    cursor = 0
+    for _, rows in plan:
+        pos[rows] = cursor + np.arange(len(rows))
+        cursor += -(-max(len(rows), 1) // row_multiple) * row_multiple
+    items_sorted = np.argsort(pos)
+    pos_sorted = pos[items_sorted]
+    run_id = np.zeros(n_items, np.int64)
+    if n_items > 1:
+        brk = ((pos_sorted[1:] // LANES != pos_sorted[:-1] // LANES)
+               | (np.diff(pos_sorted) != 1))
+        run_id[1:] = np.cumsum(brk)
+
+    new_pos = pos.copy()
+    win_sorted = pos_sorted // WINDOW
+    w_starts = np.concatenate(
+        [[0], np.nonzero(np.diff(win_sorted))[0] + 1, [n_items]])
+    for a, b in zip(w_starts[:-1], w_starts[1:]):
+        sub = items_sorted[a:b]          # items of this window, pos order
+        k = b - a
+        if k <= 1:
+            continue
+        # Cells = the k member positions; window field = residue class.
+        cell_res = (pos_sorted[a:b] % LANES).astype(np.int32)
+        cell_cap = np.ones(k, np.int64)
+        # Item candidate range = its run (contiguous in this ordering).
+        rid = run_id[a:b] - run_id[a]
+        first = np.full(rid[-1] + 1, k, np.int64)
+        np.minimum.at(first, rid, np.arange(k))
+        last = np.zeros(rid[-1] + 1, np.int64)
+        np.maximum.at(last, rid, np.arange(k))
+        item_lo = first[rid].astype(np.int32)
+        item_hi = last[rid].astype(np.int32)
+        # Local adjacency slices (vectorized ragged gather).
+        cnts = (d_indptr[sub + 1] - d_indptr[sub])
+        l_indptr = np.zeros(k + 1, np.int64)
+        np.cumsum(cnts, out=l_indptr[1:])
+        total = int(l_indptr[-1])
+        if total:
+            within = np.arange(total) - np.repeat(l_indptr[:-1], cnts)
+            gather = np.repeat(d_indptr[sub], cnts) + within
+            l_blk = np.ascontiguousarray(d_blk[gather])
+        else:
+            l_blk = np.zeros(0, np.int32)
+        order = np.argsort(-cnts, kind="stable").astype(np.int64)
+        item_cell = np.zeros(k, np.int32)
+        rc = lib.hpres_balance_cells(
+            k, l_indptr, l_blk, n_blocks, order, item_lo, item_hi,
+            cell_res, cell_cap, k, LANES, 1, item_cell)
+        if rc != 0:
+            continue
+        new_pos[sub] = pos_sorted[a:b][item_cell]
+
+    order_of = np.argsort(new_pos)
+    rank = np.zeros(n_items, np.int64)
+    rank[order_of] = np.arange(n_items)
+    return [(w, rows[np.argsort(rank[rows], kind="stable")])
+            for (w, rows) in plan]
 
 
 def _positions_from_plan(plan, n_orig: int, row_multiple: int) -> np.ndarray:
