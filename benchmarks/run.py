@@ -127,6 +127,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="small sizes, 1e-4 only")
+    ap.add_argument("--huge", action="store_true",
+                    help="add the 10M-nnz HBM-scale config (slow setup)")
     ap.add_argument("--out", default=os.path.join(HERE, "report.json"))
     ap.add_argument("--time-limit", type=float, default=600.0)
     args = ap.parse_args()
@@ -167,6 +169,13 @@ def main():
                lambda: run_single(random_lp(65536, 131072, 20, 2), 1e-4, tl))
         record("batched_256",
                lambda: run_batched(128, 256, 256, 3, 1e-4, tl))
+        if args.huge:
+            # BASELINE.md config 4 scale stand-in (Mittelmann-class nnz):
+            # exercises presolve, window/residue balancing and the lane
+            # scheduler at the 10M-nnz HBM-resident regime.
+            record("sparse_huge_1e-4",
+                   lambda: run_single(random_lp(262144, 524288, 40, 4),
+                                      1e-4, tl))
     else:
         record("batched_64",
                lambda: run_batched(64, 96, 64, 3, 1e-4, tl))
