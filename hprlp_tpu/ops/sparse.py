@@ -251,6 +251,25 @@ def spmv(A: EllMatrix, x: jax.Array) -> jax.Array:
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
 
+def spmv_pair(A: EllMatrix, xp):
+    """y = A @ x on an (hi, lo) double-f32 pair, returning a pair.
+
+    The f64 hot loop keeps its iterates as pairs (ops/df64.py); the lane
+    backend feeds them straight into the compensated kernel with no
+    f64 round-trip.  Other backends fall back to the f64 spmv."""
+    if (A.backend == "lane" and A.mesh is None
+            and A.lane_vals_lo is not None):
+        from .pallas_spmv import lane_spmv_df64
+
+        interp = jax.default_backend() == "cpu"
+        return lane_spmv_df64(xp[0], xp[1], A.lane_idx1t, A.lane_idx2,
+                              A.lane_vals, A.lane_vals_lo, A.lane_gbase,
+                              A.lane_wid, A.nrows // 128, interpret=interp)
+    from . import df64 as dd
+
+    return dd.from64(spmv(A, dd.to64(xp)))
+
+
 def spmm(A: EllMatrix, X: jax.Array) -> jax.Array:
     """Y = A @ X for batched solves.  X: (ncols, B) -> Y: (nrows, B).
 

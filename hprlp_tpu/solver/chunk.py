@@ -126,6 +126,56 @@ def _residual_metrics(lp: LpDevice, scal: ScalingInfo, x_bar, y_bar, z_bar,
     }
 
 
+def _df64_middle_iters(lp, x1, y1, last_x, last_y, sigma, lam_sigma,
+                       inner, n_iters):
+    """The normal-iteration stretch in double-f32 pair arithmetic.
+
+    Same update equations as _x_half/_y_half; all vector ops compensated
+    (~2^-48 relative), SpMVs via the compensated lane kernel with no
+    per-iteration f64 round-trip.  Scalar work (Halpern factors) stays
+    f64 — a handful of emulated scalar ops per iteration."""
+    from ..ops import df64 as dd
+    from ..ops.sparse import spmv_pair
+
+    f64 = jnp.float64
+    c_p = dd.from64(lp.c)
+    l_p = dd.from64(lp.l)
+    u_p = dd.from64(lp.u)
+    AL_p = dd.from64(lp.AL)
+    AU_p = dd.from64(lp.AU)
+    lastx_p = dd.from64(last_x)
+    lasty_p = dd.from64(last_y)
+    sigma_p = dd.from64(sigma)
+    lamsig_p = dd.from64(lam_sigma)
+    inv_lamsig_p = dd.from64(1.0 / lam_sigma)
+    zero_p = (jnp.float32(0.0), jnp.float32(0.0))
+
+    def body(_, carry):
+        xp, yp, inner = carry
+        f1 = 1.0 / (inner.astype(f64) + 2.0)
+        f1p = dd.from64(f1)
+        f2p = dd.from64(1.0 - f1)
+        # x/z half.
+        ATy = spmv_pair(lp.AT, yp)
+        z = dd.add(xp, dd.mul(dd.sub(ATy, c_p), sigma_p))
+        xb = dd.clip(z, l_p, u_p)
+        xhat = dd.sub(dd.scale2(xb), xp)
+        x_new = dd.add(dd.mul(xhat, f2p), dd.mul(lastx_p, f1p))
+        # y half.
+        Ax = spmv_pair(lp.A, xhat)
+        v = dd.sub(Ax, dd.mul(yp, lamsig_p))
+        d = dd.maximum(dd.sub(AL_p, v),
+                       dd.minimum(dd.sub(AU_p, v), zero_p))
+        yb = dd.mul(d, inv_lamsig_p)
+        yhat = dd.sub(dd.scale2(yb), yp)
+        y_new = dd.add(dd.mul(yhat, f2p), dd.mul(lasty_p, f1p))
+        return x_new, y_new, inner + 1
+
+    xp, yp, inner = jax.lax.fori_loop(
+        1, n_iters - 1, body, (dd.from64(x1), dd.from64(y1), inner))
+    return dd.to64(xp), dd.to64(yp), inner
+
+
 @jax.jit
 def run_chunk(lp: LpDevice, scal: ScalingInfo, state: SolverState,
               sigma, lambda_max, restart_flag, n_iters):
@@ -159,14 +209,31 @@ def run_chunk(lp: LpDevice, scal: ScalingInfo, state: SolverState,
     inner = inner + 1
 
     # --- middle iterations: pure normal updates, zero host involvement ---
-    def body(_, carry):
-        x, y, inner = carry
-        f1, f2 = _halpern_factors(inner, dtype)
-        x_new, x_hat, _, _ = _x_half(lp, x, y, last_x, sigma, f1, f2)
-        y_new, _, _ = _y_half(lp, y, x_hat, last_y, lam_sigma, f1, f2)
-        return x_new, y_new, inner + 1
+    # f64 on the lane backend: the loop body runs in double-f32 pairs
+    # (ops/df64.py) — XLA's f64 emulation is slow and the compensated
+    # lane kernel wants pairs anyway.  Check-style iterations (first/last)
+    # and all per-chunk reductions stay in plain f64.  NOT on CPU: there
+    # f64 is native (faster than pairs), and XLA:CPU's codegen
+    # reassociates through the error-free transformations (measured:
+    # quick_two_sum's hi output is not fl(s+e) under jit on CPU, breaking
+    # the compensation at f32 level; the TPU backend compiles the same
+    # HLO faithfully — equivalence verified to 1e-14 on-device).
+    use_df64 = (dtype == jnp.float64 and lp.A.backend == "lane"
+                and lp.A.mesh is None and lp.A.lane_vals_lo is not None
+                and jax.default_backend() != "cpu")
+    if use_df64:
+        x2, y2, inner = _df64_middle_iters(lp, x1, y1, last_x, last_y,
+                                           sigma, lam_sigma, inner, n_iters)
+    else:
+        def body(_, carry):
+            x, y, inner = carry
+            f1, f2 = _halpern_factors(inner, dtype)
+            x_new, x_hat, _, _ = _x_half(lp, x, y, last_x, sigma, f1, f2)
+            y_new, _, _ = _y_half(lp, y, x_hat, last_y, lam_sigma, f1, f2)
+            return x_new, y_new, inner + 1
 
-    x2, y2, inner = jax.lax.fori_loop(1, n_iters - 1, body, (x1, y1, inner))
+        x2, y2, inner = jax.lax.fori_loop(1, n_iters - 1, body,
+                                          (x1, y1, inner))
 
     # --- final iteration (check-style) + residuals ---
     f1, f2 = _halpern_factors(inner, dtype)

@@ -179,3 +179,71 @@ class TestDf64Kernel:
         y_lane = np.asarray(spmv(A_lane, x))
         scale = max(1.0, np.abs(y_gather).max())
         assert np.abs(y_lane - y_gather).max() / scale < 1e-12
+
+
+class TestDf64Chunk:
+    """The f64 middle-iteration loop runs in double-f32 pairs on TPU
+    (solver/chunk.py::_df64_middle_iters + ops/df64.py).  On CPU the path
+    is gated OFF for production (native f64 is faster AND XLA:CPU codegen
+    reassociates through the error-free transformations), so equivalence
+    is checked EAGERLY (jax.disable_jit): op-by-op dispatch rounds every
+    f32 op exactly, which is also what the TPU backend's compiler does."""
+
+    def test_df64_middle_iters_matches_f64(self):
+        import dataclasses
+
+        import jax
+
+        from hprlp_tpu.ops.device_problem import build_device_problem
+        from hprlp_tpu.ops.sparse import with_backend
+        from hprlp_tpu.problem import LpProblem
+        from hprlp_tpu.solver.chunk import (_df64_middle_iters,
+                                            _halpern_factors, _x_half,
+                                            _y_half)
+        from hprlp_tpu.solver.scaling import scale_problem
+
+        prev = jax.config.jax_enable_x64
+        jax.config.update("jax_enable_x64", True)
+        try:
+            rng = np.random.default_rng(7)
+            A = sp.random(200, 300, density=0.04, random_state=rng,
+                          data_rvs=lambda k: rng.normal(size=k)).tocsr()
+            x0 = rng.uniform(-1, 1, 300)
+            prob = LpProblem.from_arrays(A, A @ x0 - 1, A @ x0 + 1,
+                                         x0 - 1, x0 + 1,
+                                         rng.normal(size=300))
+            lp, _ = build_device_problem(prob, dtype=np.float64)
+            lp, scal = scale_problem(lp)
+            lp_lane = dataclasses.replace(lp, A=with_backend(lp.A, "lane"),
+                                          AT=with_backend(lp.AT, "lane"))
+            assert lp_lane.A.lane_vals_lo is not None
+
+            sigma = jnp.asarray(1.3, jnp.float64)
+            lam_sigma = jnp.asarray(2.1 * 1.3, jnp.float64)
+            x1 = jnp.asarray(rng.normal(size=lp.n) * 0.1)
+            y1 = jnp.asarray(rng.normal(size=lp.m) * 0.1)
+            last_x = jnp.zeros(lp.n)
+            last_y = jnp.zeros(lp.m)
+            inner = jnp.asarray(1, jnp.int32)
+            n_iters = jnp.asarray(30, jnp.int32)
+
+            # Plain f64 reference (gather backend).
+            x, y = x1, y1
+            for _ in range(1, 29):
+                f1, f2 = _halpern_factors(inner, jnp.float64)
+                x, x_hat, _, _ = _x_half(lp, x, y, last_x, sigma, f1, f2)
+                y, _, _ = _y_half(lp, y, x_hat, last_y, lam_sigma, f1, f2)
+                inner = inner + 1
+
+            with jax.disable_jit():
+                x_df, y_df, inner_df = _df64_middle_iters(
+                    lp_lane, x1, y1, last_x, last_y, sigma, lam_sigma,
+                    jnp.asarray(1, jnp.int32), n_iters)
+
+            assert int(inner_df) == int(inner)
+            for name, a, b in (("x", x, x_df), ("y", y, y_df)):
+                a, b = np.asarray(a), np.asarray(b)
+                scale = max(1.0, np.abs(a).max())
+                assert np.abs(a - b).max() / scale < 1e-11, name
+        finally:
+            jax.config.update("jax_enable_x64", prev)
