@@ -81,7 +81,7 @@ def random_lp(m, n, nnz_per_row, seed=0, name=""):
 def run_single(problem, tol, time_limit, max_iter=500_000,
                precision=None):
     # precision "auto" resolves per-backend: f32 fast mode at 1e-4-grade
-    # tolerances, mixed (f32 refinement + df64-lane f64 tail) below 1e-5.
+    # tolerances, f64 (double-f32 compensated hot loop) below 1e-5.
     if precision is None:
         precision = "auto"
     p = Parameters(verbose=False, stop_tol=tol, time_limit=time_limit,

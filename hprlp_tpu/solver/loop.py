@@ -116,13 +116,18 @@ def solve_problem(problem: LpProblem, params: Parameters | None = None,
     """
     params = params or Parameters()
     params.validate()
-    # Mixed precision = f32 LaneELL-speed stages + f64 host refinement
-    # (solver/refine.py).  "auto" below 1e-5 on accelerators routes here:
-    # plain f32 stalls before 1e-8 and emulated f64 loses the fast kernel.
+    # "auto" below 1e-5 on accelerators: plain f32 stalls before 1e-8,
+    # so route to f64 — the compensated double-f32 hot loop
+    # (chunk._df64_middle_iters + the df64 lane kernel) runs it at ~2.15x
+    # the f32 per-iteration cost, which beats the mixed refinement
+    # driver's extra stage iterations on every instance measured
+    # (assignment128 1e-8: f64 1350 iters / 0.27 s vs mixed 13350 iters /
+    # 27.9 s).  precision="mixed" (solver/refine.py) remains available
+    # explicitly.
     precision = params.precision
     if precision == "auto" and jax.default_backend() != "cpu" \
             and params.stop_tol < 1e-5:
-        precision = "mixed"
+        precision = "f64"
     if precision == "mixed" and _device_data is None:
         from .refine import solve_refined
 
