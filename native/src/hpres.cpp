@@ -49,6 +49,17 @@ enum class RecType : uint8_t {
                     // y_i (parity: PSLP BOUND_CHANGE_THE_ROW,
                     // include/core/Postsolver.h:50-51, retrieve_bound_change
                     // src/core/Postsolver.c:350-414)
+    FixColInf,      // j: zero-cost column with zero locks on an INFINITE
+                    // bound side — "fixed at infinity": every row through
+                    // it becomes redundant and is deleted (dual 0); the
+                    // log snapshots the rows with a finite side, and the
+                    // replay recovers the least-extreme finite x_j that
+                    // satisfies them all (parity: PSLP FIXED_COL_INF,
+                    // src/explorers/Simple_dual_fix.c:78-106,
+                    // src/core/Postsolver.c retrieve_fix_col_inf).
+                    // Encoding: flag = 1 for +inf; d0 = own finite bound
+                    // or +/-inf; idx = [nrows, (len, cols...)*];
+                    // val = [(side, vals...)*].
     EqToIneq,       // j (removed singleton col), i (equality row relaxed to
                     // a one-sided inequality), a = a_ij, b = c_j, d0 = rhs:
                     // x_j implied free from ONE side only; its remaining
@@ -288,11 +299,17 @@ class Presolver {
             }
         }
         bool changed = false;
+        // Zero-cost columns whose lock-free bound side is INFINITE are
+        // "fixed at infinity" AFTER the main sweep (deleting their rows
+        // can only remove locks, so the snapshot stays valid — same
+        // deferral as PSLP, Simple_dual_fix.c:145-170).
+        std::vector<std::pair<int64_t, bool>> to_inf;  // (col, positive)
         for (int64_t j = 0; j < P.n; ++j) {
             if (!P.calive[j] || P.clen[j] == 0) continue;
             if (P.c[j] >= 0.0 && down[j] == 0) {
                 if (P.l[j] == -INF) {
                     if (P.c[j] > tol) { status = HPRES_UNBOUNDED; return changed; }
+                    if (P.c[j] == 0.0) to_inf.emplace_back(j, false);
                     continue;
                 }
                 fix_col(j, P.l[j]);
@@ -300,13 +317,69 @@ class Presolver {
             } else if (P.c[j] <= 0.0 && up[j] == 0) {
                 if (P.u[j] == INF) {
                     if (P.c[j] < -tol) { status = HPRES_UNBOUNDED; return changed; }
+                    if (P.c[j] == 0.0) to_inf.emplace_back(j, true);
                     continue;
                 }
                 fix_col(j, P.u[j]);
                 changed = true;
             }
         }
+        for (auto [j, pos] : to_inf) {
+            if (!P.calive[j]) continue;  // a prior inf-fix emptied it
+            fix_col_inf(j, pos);
+            changed = true;
+        }
         return changed;
+    }
+
+    // "Fix at infinity": delete every row through j (their duals are 0 —
+    // each is strictly slack or tight-with-zero-multiplier at the
+    // recovered point) and log the finite-side rows so postsolve can
+    // choose the least-extreme feasible x_j.
+    void fix_col_inf(int64_t j, bool pos) {
+        Rec r;
+        r.type = RecType::FixColInf;
+        r.j = (int32_t)j;
+        r.flag = pos ? 1 : 0;
+        r.d0 = pos ? P.l[j] : P.u[j];
+        r.idx.push_back(0);  // nrows, patched below
+        int32_t nrows = 0;
+        for (int64_t e : P.cole[j]) {
+            if (!P.ents[e].alive) continue;
+            const int64_t i = P.ents[e].r;
+            // Exactly one side can be finite (the blocking side is open
+            // by the zero-lock condition); fully free rows impose
+            // nothing but are deleted all the same.
+            const double side = std::isfinite(P.AL[i]) ? P.AL[i]
+                                : (std::isfinite(P.AU[i]) ? P.AU[i] : INF);
+            if (std::isfinite(side)) {
+                const size_t lenpos = r.idx.size();
+                r.idx.push_back(0);
+                r.val.push_back(side);
+                int32_t len = 0;
+                for (int64_t e2 : P.rowe[i]) {
+                    const Ent &en = P.ents[e2];
+                    if (!en.alive) continue;
+                    r.idx.push_back(en.c);
+                    r.val.push_back(en.v);
+                    len++;
+                }
+                r.idx[lenpos] = len;
+                nrows++;
+            }
+            for (int64_t e2 : P.rowe[i]) {
+                if (P.ents[e2].alive) {
+                    P.kill_entry(e2);
+                    stats.nnz_removed++;
+                }
+            }
+            P.ralive[i] = 0;
+            stats.rows_removed++;
+        }
+        r.idx[0] = nrows;
+        log.push_back(std::move(r));
+        P.calive[j] = 0;
+        stats.cols_removed++;
     }
 
     // Per-side implied-freeness of x_j given row i's other variables at
@@ -1382,6 +1455,36 @@ class Presolver {
                         s -= r.val[k] * x[r.idx[k]];
                     x[r.j] = s / r.a;
                     y[r.i] = r.b / r.a;
+                    z[r.j] = 0.0;
+                    break;
+                }
+                case RecType::FixColInf: {
+                    // Least-extreme x_j satisfying the deleted rows'
+                    // finite sides (their duals stay 0; z_j = 0 since
+                    // c_j == 0 and no dual contributions remain).
+                    const bool pos = r.flag != 0;
+                    double ext = r.d0;
+                    size_t ii = 1, vi = 0;
+                    const int32_t nrows = r.idx[0];
+                    for (int32_t t = 0; t < nrows; ++t) {
+                        const int32_t len = r.idx[ii];
+                        const double side = r.val[vi];
+                        double rest = 0.0, coeff = 0.0;
+                        for (int32_t k = 0; k < len; ++k) {
+                            const int32_t cidx = r.idx[ii + 1 + k];
+                            const double v = r.val[vi + 1 + k];
+                            if (cidx == r.j) coeff = v;
+                            else rest += v * x[cidx];
+                        }
+                        if (coeff != 0.0) {
+                            const double val = (side - rest) / coeff;
+                            ext = pos ? std::max(ext, val)
+                                      : std::min(ext, val);
+                        }
+                        ii += len + 1;
+                        vi += len + 1;
+                    }
+                    x[r.j] = std::isfinite(ext) ? ext : 0.0;
                     z[r.j] = 0.0;
                     break;
                 }

@@ -633,3 +633,73 @@ class TestDebugChecker:
         # unreduced) problem quickly.
         assert time.time() - t0 < 10.0
         assert status in ("OK", "INFEASIBLE", "UNBOUNDED")
+
+
+class TestFixColInf:
+    """Zero-cost columns with zero locks on an infinite bound side are
+    'fixed at infinity': rows through them are deleted with zero duals and
+    postsolve recovers the least-extreme feasible value (parity: PSLP
+    FIXED_COL_INF, src/explorers/Simple_dual_fix.c:78-106)."""
+
+    def test_negative_inf_direction(self):
+        # min x0 s.t. x0 - x1 >= 1, x0 in [0, 10], x1 free with c1 = 0:
+        # x1's only row has AU = inf so down-locks are 0 -> fix x1 -> -inf,
+        # row deleted; x0 then fixes at its lower bound 0.
+        prob = _pp([[1.0, -1.0]], [1.0], [np.inf],
+                   [0.0, -np.inf], [10.0, np.inf], [1.0, 0.0])
+        status, red, h = presolve_problem(prob, debug_checks=True)
+        assert status == "OK"
+        assert red.n == 0 and red.m == 0
+        x, y, z, m = _check_postsolve(prob, red, h, tol=1e-9)
+        assert x[0] == pytest.approx(0.0)
+        # Least-extreme recovery: x0 - x1 = 1 tight -> x1 = -1.
+        assert x[1] == pytest.approx(-1.0)
+        assert y[0] == pytest.approx(0.0)
+        assert z[1] == pytest.approx(0.0)
+
+    def test_positive_inf_direction(self):
+        # min -x0 s.t. x0 + x1 <= 5, x0 in [0, 2], x1 in [0, inf) c1 = 0:
+        # x1's row has AL = -inf -> up-locks 0 -> fix x1 -> +inf, row
+        # deleted; x0 empty-col fixes at u = 2 (c0 < 0).
+        prob = _pp([[1.0, 1.0]], [-np.inf], [5.0],
+                   [0.0, 0.0], [2.0, np.inf], [-1.0, 0.0])
+        status, red, h = presolve_problem(prob, debug_checks=True)
+        assert status == "OK"
+        assert red.n == 0
+        x, y, z, m = _check_postsolve(prob, red, h, tol=1e-9)
+        assert x[0] == pytest.approx(2.0)
+        # x1 >= l = 0 and x0 + x1 <= 5 -> least-extreme = max(0, ...) = 0
+        # from its own bound (the row imposes x1 <= 3, not a lower req).
+        assert 0.0 <= x[1] <= 3.0 + 1e-9
+        assert prob.AU[0] - (x[0] + x[1]) >= -1e-9
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_random_with_free_zero_cost_cols(self, seed):
+        from tests.test_batched import reference_solve
+
+        rng = np.random.default_rng(seed)
+        m, n = 10, 14
+        A = (sp.random(m, n, density=0.4, random_state=rng,
+                       data_rvs=lambda k: rng.uniform(0.5, 2.0, k))
+             + sp.eye(m, n)).tocsr()
+        x_feas = rng.uniform(0.0, 1.0, n)
+        b = A @ x_feas
+        AL = b - rng.uniform(0.1, 1.0, m)
+        AU = np.full(m, np.inf)  # one-sided rows: slack-like cols get locks 0
+        l = np.full(n, -2.0)
+        u = np.full(n, 3.0)
+        c = np.abs(rng.normal(size=n)) + 0.1
+        # Two zero-cost columns, one-sided bounds, appearing in >= 1 row.
+        c[3] = 0.0
+        u[3] = np.inf
+        c[7] = 0.0
+        u[7] = np.inf
+        prob = LpProblem.from_arrays(sp.csr_matrix(A), AL, AU, l, u, c)
+        ref = reference_solve(prob.A, prob.AL, prob.AU, prob.l, prob.u,
+                              prob.c)
+        if ref.status != 0:
+            pytest.skip("degenerate random instance")
+        status, red, h = presolve_problem(prob, debug_checks=True)
+        assert status == "OK"
+        x, y, z, m_ = _check_postsolve(prob, red, h, tol=2e-5)
+        assert prob.c @ x == pytest.approx(ref.fun, rel=1e-4, abs=1e-4)
