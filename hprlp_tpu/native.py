@@ -88,7 +88,7 @@ def _configure(lib):
     lib.hpres_balance_cells.restype = ct.c_int64
     lib.hpres_balance_cells.argtypes = [
         ct.c_int64, _i64p, _i32p, ct.c_int64, _i64p, _i32p, _i32p, _i32p,
-        _i64p, ct.c_int64, ct.c_int32, ct.c_int32, _i32p]
+        _i64p, _f64p, ct.c_int64, ct.c_int32, ct.c_int32, _i32p]
 
     lib.hpmps_read.restype = h
     lib.hpmps_read.argtypes = [ct.c_char_p, ct.c_int]

@@ -23,7 +23,7 @@ import scipy.sparse as sp
 from .. import constants
 from ..problem import LpProblem
 from .sparse import (EllMatrix, build_ell_from_csr, bucketed_row_total,
-                     padded_size, plan_buckets)
+                     padded_size, plan_buckets, plan_entry_total)
 
 
 @jax.tree_util.register_dataclass
@@ -97,12 +97,12 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
     # is sum over (window, 16384-row block) of the block's max per-row
     # count, so spreading each row's entries evenly across the OTHER
     # space's windows cuts scheduled sublanes (and kernel time) by the
-    # Poisson max/mean ratio (~2-3x on random matrices).  Reorders
-    # members only within buckets, so the gather-ELL layout is unchanged.
-    plan_A = _balance_plan_windows(plan_A, A.indptr, A.indices, n,
-                                   row_multiple)
-    plan_AT = _balance_plan_windows(plan_AT, AT.indptr, AT.indices, m,
-                                    row_multiple)
+    # Poisson max/mean ratio (~2-3x on random matrices).  The plan is
+    # rebuilt window-major (sub-buckets per width x window), so every
+    # item may land in any window.
+    plan_A = _layout_windows(plan_A, A.indptr, A.indices, n, row_multiple)
+    plan_AT = _layout_windows(plan_AT, AT.indptr, AT.indices, m,
+                              row_multiple)
 
     # Residue pass: with windows balanced, the binding LaneELL constraint
     # becomes residue collisions (distinct columns sharing pos%128 within
@@ -154,18 +154,21 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
     return dev, maps
 
 
-def _balance_plan_windows(plan, indptr, indices, n_partners: int,
-                          row_multiple: int):
-    """Reorder bucket members so each partner's entries spread evenly
-    across this space's 16384-position LaneELL windows.
+def _layout_windows(plan, indptr, indices, n_partners: int,
+                    row_multiple: int):
+    """Window-major layout: assign every item to ANY 16384-position
+    LaneELL window (greedy exponential-penalty balance over partner
+    counts, native/src/window_balance.cpp), then rebuild the plan as
+    window-major sub-buckets — per window, the width buckets ascending,
+    each padded to row_multiple, with a filler entry closing every
+    non-final window exactly at a WINDOW boundary.
 
-    plan: [(width, rows)] bucket plan for the space being laid out;
-    indptr/indices: CSR adjacency item -> partner ids (e.g. A's CSR when
-    items are A's rows and partners its columns).  Greedy assignment runs
-    in native code (native/src/window_balance.cpp); items move only within
-    their bucket's position range, preserving the gather-ELL layout.
-    Falls back to the unbalanced plan when the native library is missing
-    or the space fits in one window.
+    The kernel's sublane count is sum over (window, 16384-row block) of
+    the block's max per-row count; free assignment measures ~35% below
+    the earlier within-bucket-range balancing on the bench matrix (the
+    bucket-range restriction, not capacity, was the binding constraint).
+    Falls back to the input plan when the native library is missing, the
+    space fits in one window, or row_multiple does not divide WINDOW.
     """
     from .lane_ell import WINDOW
 
@@ -175,47 +178,67 @@ def _balance_plan_windows(plan, indptr, indices, n_partners: int,
         lib = get_lib()
     except Exception:
         lib = None
-    if lib is None:
+    total = sum(plan_entry_total(e, row_multiple) for e in plan)
+    if lib is None or total <= WINDOW or WINDOW % row_multiple != 0:
         return plan
 
     n_items = len(indptr) - 1
-    item_lo = np.zeros(n_items, np.int32)
-    item_hi = np.zeros(n_items, np.int32)
-    cells_window: list[int] = []
-    cells_cap: list[int] = []
-    bucket_cells = []
-    cursor = 0
-    for _, rows in plan:
-        r_real = len(rows)
-        start, end = cursor, cursor + r_real
-        lo = len(cells_window)
-        for w in range(start // WINDOW, max(start, end - 1) // WINDOW + 1):
-            cells_window.append(w)
-            cells_cap.append(min(end, (w + 1) * WINDOW)
-                             - max(start, w * WINDOW))
-        hi = len(cells_window) - 1
-        item_lo[rows] = lo
-        item_hi[rows] = hi
-        bucket_cells.append((lo, hi))
-        cursor += -(-max(r_real, 1) // row_multiple) * row_multiple
-    if cursor <= WINDOW:
-        return plan  # single window: nothing to balance
+    n_buckets = len(plan)
+    # Sub-buckets are EXACT-sized on single-chip layouts (row_multiple
+    # <= 8): a spilled extra window multiplies the (window, block) pairs
+    # the kernel pays max-depth for, so spaces that divide evenly into
+    # windows must get zero spill.  Mesh layouts keep row_multiple
+    # rounding (shard divisibility) and pay the reserve.
+    exact = row_multiple <= 8
+    reserve = 0 if exact else n_buckets * row_multiple
+    n_full = max(1, n_items // WINDOW)  # windows that must be used anyway
+    n_win = n_full
+    while n_win * (WINDOW - reserve) < n_items:
+        n_win += 1
+    caps = np.full(n_win, WINDOW - reserve, np.int64)
+    # Spill windows (beyond the minimum count) carry a huge score bias:
+    # spreading counts across MORE windows than necessary INCREASES the
+    # sum-of-block-max cost, so they should absorb only the capacity
+    # overflow (the lowest-degree items, placed last).
+    bias = np.zeros(n_win, np.float64)
+    bias[n_full:] = 1e300
 
     deg = np.diff(indptr).astype(np.int64)
     order = np.argsort(-deg, kind="stable").astype(np.int64)
+    item_lo = np.zeros(n_items, np.int32)
+    item_hi = np.full(n_items, n_win - 1, np.int32)
     item_cell = np.zeros(n_items, np.int32)
     rc = lib.hpres_balance_cells(
         n_items, np.ascontiguousarray(indptr, dtype=np.int64),
         np.ascontiguousarray(indices, dtype=np.int32), n_partners,
         np.ascontiguousarray(order), item_lo, item_hi,
-        np.asarray(cells_window, np.int32),
-        np.asarray(cells_cap, np.int64), len(cells_window),
-        (cursor + WINDOW - 1) // WINDOW, 1, item_cell)
+        np.arange(n_win, dtype=np.int32), caps, bias, n_win, n_win, 2,
+        item_cell)
     if rc != 0:
         return plan
-    # Stable sort by assigned cell keeps the locality order within cells.
-    return [(w, rows[np.argsort(item_cell[rows], kind="stable")])
-            for (w, rows) in plan]
+
+    new_plan = []
+    cursor = 0
+    for v in range(n_win):
+        win_start = cursor
+        for entry in plan:
+            w, rows = entry[0], entry[1]
+            members = rows[item_cell[rows] == v]
+            if len(members):
+                if exact:
+                    new_plan.append((w, members, len(members)))
+                    cursor += len(members)
+                else:
+                    new_plan.append((w, members))
+                    cursor += plan_entry_total((w, members), row_multiple)
+        used = cursor - win_start
+        if used > WINDOW:
+            return plan  # capacity accounting failed: keep the safe path
+        if v < n_win - 1 and used < WINDOW:
+            new_plan.append((plan[0][0], np.zeros(0, np.int64),
+                             WINDOW - used))
+            cursor += WINDOW - used
+    return new_plan
 
 
 def _balance_plan_residues(plan, indptr, indices, partner_pos: np.ndarray,
@@ -256,10 +279,11 @@ def _balance_plan_residues(plan, indptr, indices, partner_pos: np.ndarray,
     pos = np.zeros(n_items, np.int64)
     bucket_of = np.zeros(n_items, np.int64)
     cursor = 0
-    for bi, (_, rows) in enumerate(plan):
+    for bi, entry in enumerate(plan):
+        rows = entry[1]
         pos[rows] = cursor + np.arange(len(rows))
         bucket_of[rows] = bi
-        cursor += -(-max(len(rows), 1) // row_multiple) * row_multiple
+        cursor += plan_entry_total(entry, row_multiple)
     items_sorted = np.argsort(pos)
     pos_sorted = pos[items_sorted]
     run_id = np.zeros(n_items, np.int64)
@@ -305,7 +329,8 @@ def _balance_plan_residues(plan, indptr, indices, partner_pos: np.ndarray,
         item_cell = np.zeros(k, np.int32)
         rc = lib.hpres_balance_cells(
             k, l_indptr, l_blk, n_blocks, order, item_lo, item_hi,
-            cell_res, cell_cap, k, LANES, 1, item_cell)
+            cell_res, cell_cap, np.zeros(k, np.float64), k, LANES, 2,
+            item_cell)
         if rc != 0:
             continue
         new_pos[sub] = pos_sorted[a:b][item_cell]
@@ -313,16 +338,17 @@ def _balance_plan_residues(plan, indptr, indices, partner_pos: np.ndarray,
     order_of = np.argsort(new_pos)
     rank = np.zeros(n_items, np.int64)
     rank[order_of] = np.arange(n_items)
-    return [(w, rows[np.argsort(rank[rows], kind="stable")])
-            for (w, rows) in plan]
+    return [(e[0], e[1][np.argsort(rank[e[1]], kind="stable")], *e[2:])
+            for e in plan]
 
 
 def _positions_from_plan(plan, n_orig: int, row_multiple: int) -> np.ndarray:
     pos = np.full(n_orig, -1, dtype=np.int64)
     cursor = 0
-    for _, rows in plan:
+    for entry in plan:
+        rows = entry[1]
         pos[rows] = cursor + np.arange(len(rows))
-        cursor += -(-max(len(rows), 1) // row_multiple) * row_multiple
+        cursor += plan_entry_total(entry, row_multiple)
     return pos
 
 

@@ -346,6 +346,17 @@ def _next_pow2(x: int) -> int:
     return 1 << max(0, int(x - 1).bit_length()) if x > 1 else 1
 
 
+def plan_entry_total(entry, row_multiple: int) -> int:
+    """Padded position count of a plan entry.
+
+    Entries are (width, rows) — padded to row_multiple — or
+    (width, rows, total) with an explicit position count (window-major
+    layouts use overrides to align window boundaries)."""
+    if len(entry) == 3:
+        return int(entry[2])
+    return -(-max(len(entry[1]), 1) // row_multiple) * row_multiple
+
+
 def plan_buckets(nnz_per_row: np.ndarray, min_width: int,
                  min_bucket_rows: int,
                  locality_key: np.ndarray | None = None
@@ -420,9 +431,12 @@ def build_ell_from_csr(indptr: np.ndarray, indices: np.ndarray,
 
     buckets = []
     cursor = 0
-    for w, rows in bucket_plan:
+    for entry in bucket_plan:
+        w, rows = entry[0], entry[1]
         r_real = len(rows)
-        r_total = -(-max(r_real, 1) // row_multiple) * row_multiple
+        r_total = plan_entry_total(entry, row_multiple)
+        if r_total == 0:
+            continue
         vals = np.zeros((r_total, w), dtype=dtype)
         cols = np.zeros((r_total, w), dtype=np.int32)
         valid = np.zeros((r_total, w), dtype=bool)
@@ -463,5 +477,4 @@ def padded_size(real_rows_after_bucket_pad: int, vec_multiple: int) -> int:
 
 
 def bucketed_row_total(bucket_plan, row_multiple: int) -> int:
-    return sum(-(-max(len(rows), 1) // row_multiple) * row_multiple
-               for _, rows in bucket_plan)
+    return sum(plan_entry_total(e, row_multiple) for e in bucket_plan)

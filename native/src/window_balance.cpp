@@ -32,6 +32,9 @@ extern "C" {
  *   (the cells of its bucket).
  * cell_window: per cell, the window id (0..n_windows-1).
  * cell_cap: per cell, remaining capacity; CONSUMED by this call.
+ * cell_bias: optional (may be NULL) additive score bias per cell —
+ *   spill cells get a huge bias so they are used only when every
+ *   unbiased candidate is full.
  * item_cell: out, chosen cell per item.
  * n_sweeps: extra remove-and-reinsert refinement passes (the first
  *   placement is order-dependent; one or two sweeps shave the tail).
@@ -42,8 +45,9 @@ int64_t hpres_balance_cells(int64_t n_items, const int64_t *indptr,
                             const int32_t *item_cell_lo,
                             const int32_t *item_cell_hi,
                             const int32_t *cell_window, int64_t *cell_cap,
-                            int64_t n_cells, int32_t n_windows,
-                            int32_t n_sweeps, int32_t *item_cell) {
+                            const double *cell_bias, int64_t n_cells,
+                            int32_t n_windows, int32_t n_sweeps,
+                            int32_t *item_cell) {
     (void)n_cells;
     std::vector<uint16_t> cnt((size_t)n_partners * n_windows, 0);
     // 2^min(v, 40): exponential marginal cost saturating well below
@@ -55,11 +59,13 @@ int64_t hpres_balance_cells(int64_t n_items, const int64_t *indptr,
         for (int32_t c = lo; c <= hi; ++c) {
             if (cell_cap[c] <= 0) continue;
             const int32_t w = cell_window[c];
-            double s = 0.0;
+            double s = cell_bias ? cell_bias[c] : 0.0;
             for (int64_t e = indptr[it]; e < indptr[it + 1]; ++e) {
                 const unsigned v =
                     cnt[(size_t)partners[e] * n_windows + w];
-                s += std::ldexp(1.0, v > 40 ? 40 : (int)v);
+                // 4^count: a steep marginal cost approximates min-max
+                // balancing (2^count measured ~25% worse block maxima).
+                s += std::ldexp(1.0, v > 25 ? 50 : 2 * (int)v);
             }
             if (best < 0 || s < best_s) {
                 best = c;
