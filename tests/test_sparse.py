@@ -107,3 +107,72 @@ def test_scaling_ops():
     S = to_dense(scale_cols(scale_rows(lp.A, r), c))
     ref = np.diag(np.asarray(r)) @ to_dense(lp.A) @ np.diag(np.asarray(c))
     np.testing.assert_allclose(S, ref, rtol=1e-12, atol=1e-12)
+
+
+class TestWindowMajorLayout:
+    """Invariants of the window-major LaneELL layout
+    (device_problem._layout_windows): positions valid and unique, width
+    buckets preserved, window boundaries aligned, SpMV exact."""
+
+    def _mk(self, seed, m, n, nnz_per_row):
+        import scipy.sparse as sp
+
+        from hprlp_tpu.problem import LpProblem
+
+        rng = np.random.default_rng(seed)
+        rows = np.repeat(np.arange(m), nnz_per_row)
+        cols = rng.integers(0, n, size=m * nnz_per_row)
+        vals = rng.normal(size=m * nnz_per_row)
+        A = sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
+        A.sum_duplicates()
+        x = rng.uniform(-1, 1, n)
+        return LpProblem.from_arrays(A, A @ x - 1, A @ x + 1, x - 2,
+                                     x + 2, rng.normal(size=n))
+
+    @pytest.mark.parametrize("row_multiple", [8, 24])
+    def test_multiwindow_layout_invariants(self, row_multiple):
+        from hprlp_tpu.ops.device_problem import build_device_problem
+        from hprlp_tpu.ops.lane_ell import WINDOW
+        from hprlp_tpu.ops.sparse import spmv
+
+        # n spans 3+ windows; m spans 2+ (WINDOW = 16384).
+        prob = self._mk(5, 2 * WINDOW + 1000, 3 * WINDOW + 500, 6)
+        lp, maps = build_device_problem(prob, row_multiple=row_multiple)
+        for pos, size in ((maps.row_pos, lp.A.nrows),
+                          (maps.col_pos, lp.A.ncols)):
+            assert pos.min() >= 0 and pos.max() < size
+            assert len(np.unique(pos)) == len(pos)
+        # Bucket widths still fit every member's nnz.
+        for M, nnz_per in ((lp.A, np.diff(prob.A.indptr)),
+                           (lp.AT, np.diff(prob.A.T.tocsr().indptr))):
+            for b in M.buckets:
+                counts = np.asarray(b.valid).sum(axis=1)
+                assert counts.max() <= b.width
+        # SpMV exact against scipy through the maps.
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=prob.n)
+        xp = np.zeros(lp.A.ncols)
+        xp[maps.col_pos] = x
+        y = np.asarray(spmv(lp.A, jnp.asarray(xp, jnp.float32)))
+        ref = prob.A @ x
+        scale = np.abs(ref).max()
+        assert np.abs(y[maps.row_pos] - ref).max() / scale < 1e-5
+        yv = rng.normal(size=prob.m)
+        yp = np.zeros(lp.AT.ncols)
+        yp[maps.row_pos] = yv
+        z = np.asarray(spmv(lp.AT, jnp.asarray(yp, jnp.float32)))
+        refT = prob.A.T @ yv
+        scale = np.abs(refT).max()
+        assert np.abs(z[maps.col_pos] - refT).max() / scale < 1e-5
+
+    def test_shard_multiple_divisibility_kept_on_mesh_layout(self):
+        """row_multiple > 8 (mesh layouts) keeps every bucket's padded
+        row count divisible by row_multiple."""
+        from hprlp_tpu.ops.device_problem import build_device_problem
+        from hprlp_tpu.ops.lane_ell import WINDOW
+
+        prob = self._mk(6, WINDOW + 700, 2 * WINDOW + 300, 5)
+        lp, _ = build_device_problem(prob, row_multiple=16)
+        for M in (lp.A, lp.AT):
+            for b in M.buckets:
+                assert b.nrows % 16 == 0 or b.row_start + b.nrows == M.nrows
