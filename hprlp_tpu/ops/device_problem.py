@@ -191,6 +191,11 @@ def _layout_windows(plan, indptr, indices, n_partners: int,
     # rounding (shard divisibility) and pay the reserve.
     exact = row_multiple <= 8
     reserve = 0 if exact else n_buckets * row_multiple
+    if reserve >= WINDOW // 2:
+        # Degenerate mesh layout (huge row_multiple x many buckets):
+        # window-major packing would blow up the window count — keep the
+        # plain layout.
+        return plan
     n_full = max(1, n_items // WINDOW)  # windows that must be used anyway
     n_win = n_full
     while n_win * (WINDOW - reserve) < n_items:

@@ -22,16 +22,19 @@ class Parameters:
     TPU-native additions:
       precision: "auto" | "f32" | "f64" | "mixed".  "auto" picks f64 on
         CPU backends and, on accelerators, f32 for stop_tol >= 1e-5 and
-        "mixed" below it.  TPUs have no native f64:
+        "f64" below it.  TPUs have no native f64:
         - "f32": the fast mode (LaneELL/dense MXU backends), reliable to
           ~1e-4..1e-6 KKT;
+        - "f64": the high-accuracy mode.  On TPU the hot loop runs in
+          compensated double-f32 (ops/df64.py elementwise pairs + the
+          df64 lane kernel, ~2^-48 relative accuracy) at ~2.15x the f32
+          per-iteration cost; per-chunk reductions and non-lane backends
+          use XLA-emulated f64.
         - "mixed": f32 iterations + f64 host-side iterative refinement
           (solve, measure the ORIGINAL-space KKT in f64, re-solve the
-          zoomed residual problem warm-started, stitch in f64) — reaches
-          1e-8 at LaneELL per-iteration speed (SURVEY §7.2 hard part 1;
-          same refinement idea PDLP uses for high-accuracy runs);
-        - "f64": XLA-emulated f64 end to end (slow SpMV backends; the
-          bit-faithful reference-semantics mode).
+          zoomed residual problem warm-started, stitch in f64) with a
+          warm-then-cold f64 tail (SURVEY §7.2 hard part 1; same
+          refinement idea PDLP uses for high-accuracy runs).
       spmv_backend: "auto" | "gather" | "dense" ("xla" = alias of
         "gather").  Analogue of the reference's fused-kernel autotuner
         (src/main_iterate.cu:517-595): "auto" benchmarks the backends on

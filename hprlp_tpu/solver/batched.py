@@ -480,18 +480,21 @@ def solve_batched(A, C, AL, AU, l, u, obj_constants=None,
     # Pre-compile the ramp's superchunk variants OUTSIDE the algorithm
     # clock (mirror of solver/loop.py: the reference's loop contains no
     # compilation; power method and autotune above are likewise setup).
-    for nc in (1, 2, 4, 8):
-        if nc > max(1, (params.max_iter + check - 1) // check):
-            break
-        if params.verbose and nc > 1:
-            break
-        try:
-            run_batched_superchunk.lower(
-                lp, row_norm_d, col_norm_d, state, rd, sigma_d, lam_d,
-                active_d, metrics_prev, 0, b_scale_d, c_scale_d, nb_d,
-                nc_d, oc_d, params.stop_tol, nc, check).compile()
-        except Exception:
-            break  # compile inside the loop instead
+    # Only worthwhile with a persistent compile cache for the in-loop
+    # dispatch to hit — otherwise the AOT result is pure double work.
+    if jax.config.jax_compilation_cache_dir:
+        for nc in (1, 2, 4, 8):
+            if nc > max(1, (params.max_iter + check - 1) // check):
+                break
+            if params.verbose and nc > 1:
+                break
+            try:
+                run_batched_superchunk.lower(
+                    lp, row_norm_d, col_norm_d, state, rd, sigma_d, lam_d,
+                    active_d, metrics_prev, 0, b_scale_d, c_scale_d, nb_d,
+                    nc_d, oc_d, params.stop_tol, nc, check).compile()
+            except Exception:
+                break  # compile inside the loop instead
 
     # --- algorithm clock: iteration work only from here on ---
     t_alg = time.perf_counter()

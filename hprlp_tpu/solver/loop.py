@@ -98,6 +98,21 @@ def resolve_dtype(params: Parameters):
     return jnp.float32
 
 
+def _route_precision(params: Parameters, backend: str) -> str:
+    """Resolve precision="auto" to a concrete mode for this backend:
+    below 1e-5 on accelerators plain f32 stalls, so route to f64 — the
+    compensated double-f32 hot loop (chunk._df64_middle_iters + the df64
+    lane kernel) runs at ~2.15x the f32 per-iteration cost, which beats
+    the mixed refinement driver's extra stage iterations on every
+    instance measured (assignment128 1e-8: f64 1350 iters / 0.27 s vs
+    mixed 13350 iters / 27.9 s).  precision="mixed" (solver/refine.py)
+    remains available explicitly."""
+    if params.precision == "auto" and backend != "cpu" \
+            and params.stop_tol < 1e-5:
+        return "f64"
+    return params.precision
+
+
 def solve_problem(problem: LpProblem, params: Parameters | None = None,
                   _device_data=None, x0=None, y0=None,
                   sigma0=None) -> Results:
@@ -116,18 +131,14 @@ def solve_problem(problem: LpProblem, params: Parameters | None = None,
     """
     params = params or Parameters()
     params.validate()
-    # "auto" below 1e-5 on accelerators: plain f32 stalls before 1e-8,
-    # so route to f64 — the compensated double-f32 hot loop
-    # (chunk._df64_middle_iters + the df64 lane kernel) runs it at ~2.15x
-    # the f32 per-iteration cost, which beats the mixed refinement
-    # driver's extra stage iterations on every instance measured
-    # (assignment128 1e-8: f64 1350 iters / 0.27 s vs mixed 13350 iters /
-    # 27.9 s).  precision="mixed" (solver/refine.py) remains available
-    # explicitly.
-    precision = params.precision
-    if precision == "auto" and jax.default_backend() != "cpu" \
-            and params.stop_tol < 1e-5:
-        precision = "f64"
+    precision = _route_precision(params, jax.default_backend())
+    if precision != params.precision:
+        # The resolved precision must reach resolve_dtype (a dead local
+        # here would silently leave "auto" -> f32 on accelerators).
+        import copy
+
+        params = copy.copy(params)
+        params.precision = precision
     if precision == "mixed" and _device_data is None:
         from .refine import solve_refined
 
@@ -250,22 +261,27 @@ def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
     lam_dev = jnp.asarray(lambda_max, dtype)
     check = params.check_iter
 
+    metrics_prev = initial_metrics(lp, scal, state)
+
     # Pre-compile the production superchunk variant OUTSIDE the algorithm
     # clock: the reference's loop contains no compilation (CUDA graphs are
     # captured in setup, src/HPRLP.cu:99-114), so ours belongs to setup
-    # too.  The call below populates the persistent compile cache; the
-    # first in-loop dispatch then deserialises instead of compiling
-    # (measured: an f64 16-chunk superchunk compile costs ~8-15 s through
-    # the remote-compile tunnel and was polluting solve_time).
-    n_main = 1 if params.verbose else 16
-    n_main = max(1, min(n_main, (params.max_iter + check - 1) // check))
-    try:
-        run_superchunk.lower(
-            lp, scal, state, rd, sigma_dev, lam_dev,
-            initial_metrics(lp, scal, state), 0, obj_c_dev,
-            params.stop_tol, n_main, check).compile()
-    except Exception:
-        pass  # compile inside the loop instead (correct, just slower)
+    # too.  The AOT result is discarded but populates the persistent
+    # compile cache, so the first in-loop dispatch deserialises instead
+    # of compiling (measured: an f64 16-chunk superchunk compile costs
+    # ~8-15 s through the remote-compile tunnel and was polluting
+    # solve_time).  Without a persistent cache the AOT compile would be
+    # pure double work — skip it.
+    if jax.config.jax_compilation_cache_dir:
+        n_main = 1 if params.verbose else 16
+        n_main = max(1, min(n_main,
+                            (params.max_iter + check - 1) // check))
+        try:
+            run_superchunk.lower(
+                lp, scal, state, rd, sigma_dev, lam_dev, metrics_prev, 0,
+                obj_c_dev, params.stop_tol, n_main, check).compile()
+        except Exception:
+            pass  # compile inside the loop instead (correct, slower)
 
     # --- algorithm clock starts here, AFTER backend autotune, the power
     # method and superchunk compilation (reference: src/HPRLP.cu:141-167
@@ -273,8 +289,6 @@ def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
     # per-iteration story) ---
     t_alg = time.perf_counter()
     elapsed = lambda: time.perf_counter() - t_alg
-
-    metrics_prev = initial_metrics(lp, scal, state)
 
     first = {1e-4: True, 1e-6: True, 1e-8: True}
     it = 0

@@ -316,3 +316,46 @@ class TestInfeasibleUnbounded:
             [0.0, 0.0], [np.inf, 1.0], [-1.0, 0.0])
         res = h.Model(prob).solve(h.Parameters(verbose=False))
         assert res.status == "UNBOUNDED"
+
+
+class TestPrecisionRouting:
+    """auto-precision resolution (loop._route_precision) and the
+    regression where the routed value must actually reach resolve_dtype
+    through params (a dead local left 'auto' -> f32 on accelerators)."""
+
+    def test_route_precision_matrix(self):
+        from hprlp_tpu import Parameters
+        from hprlp_tpu.solver.loop import _route_precision
+
+        p = Parameters(stop_tol=1e-8, precision="auto")
+        assert _route_precision(p, "tpu") == "f64"
+        assert _route_precision(p, "cpu") == "auto"
+        p4 = Parameters(stop_tol=1e-4, precision="auto")
+        assert _route_precision(p4, "tpu") == "auto"
+        pm = Parameters(stop_tol=1e-8, precision="mixed")
+        assert _route_precision(pm, "tpu") == "mixed"
+
+    def test_routed_precision_reaches_resolve_dtype(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+
+        from hprlp_tpu import Parameters
+        from hprlp_tpu.solver import loop as loop_mod
+
+        # Pretend the backend is an accelerator; capture what
+        # _solve_problem_impl receives.
+        monkeypatch.setattr(loop_mod.jax, "default_backend",
+                            lambda: "tpu")
+        seen = {}
+
+        def fake_impl(problem, params, _device_data, x0, y0, sigma0=None):
+            seen["precision"] = params.precision
+            from hprlp_tpu.results import Results
+            return Results()
+
+        monkeypatch.setattr(loop_mod, "_solve_problem_impl", fake_impl)
+        from tests.conftest import random_lp
+        prob = random_lp(0, m=5, n=8)
+        loop_mod.solve_problem(
+            prob, Parameters(stop_tol=1e-8, precision="auto"))
+        assert seen["precision"] == "f64"
