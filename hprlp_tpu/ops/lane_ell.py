@@ -117,7 +117,8 @@ def _greedy_schedule(rows_s: np.ndarray, cols_s: np.ndarray,
 
 
 def schedule_lane_ell(rows_p: np.ndarray, cols_p: np.ndarray,
-                      vals: np.ndarray, m_pad: int, n_pad: int):
+                      vals: np.ndarray, m_pad: int, n_pad: int,
+                      with_cols: bool = False):
     """Schedule entries into windowed LaneELL chunk tiles.
 
     rows_p/cols_p: PADDED row/col positions per nonzero; vals: values.
@@ -222,7 +223,6 @@ def schedule_lane_ell(rows_p: np.ndarray, cols_p: np.ndarray,
     # Values keep their own dtype; pack_tiles casts to the solve dtype
     # (storing f32 here would silently truncate f64 solves).
     vtile = np.zeros((T_pad, LANES), np.asarray(vals).dtype)
-    ctile = np.full((T_pad, LANES), -1, np.int64)
 
     # Map each entry's scheduled sublane through the chunk padding.
     # (sub_of is indexed by ORIGINAL entry id, as are rho_all/l_all/...)
@@ -230,14 +230,19 @@ def schedule_lane_ell(rows_p: np.ndarray, cols_p: np.ndarray,
     idx1[s_ent, rho_all] = r_all.astype(np.int32)
     idx2[s_ent, l_all] = rho_all.astype(np.int32)
     vtile[s_ent, l_all] = vals
-    ctile[s_ent, l_all] = cols_p
+    if with_cols:  # per-slot column map: tests / oracles only
+        ctile = np.full((T_pad, LANES), -1, np.int64)
+        ctile[s_ent, l_all] = cols_p
+    else:
+        ctile = None
 
     return {
         "idx1t": np.ascontiguousarray(
             idx1.reshape(C, CHUNK_SUB, LANES).transpose(0, 2, 1)),
         "idx2": idx2.reshape(C, CHUNK_SUB, LANES),
         "vals": vtile.reshape(C, CHUNK_SUB, LANES),
-        "cols": ctile.reshape(C, CHUNK_SUB, LANES),
+        "cols": (ctile.reshape(C, CHUNK_SUB, LANES)
+                 if ctile is not None else None),
         "gid": gid_tile.astype(np.int32),
         "gbase": gbase_tile.astype(np.int32),
         "wid": wid_tile,

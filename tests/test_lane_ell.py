@@ -44,7 +44,8 @@ class TestScheduler:
     def test_per_sublane_invariants(self):
         A, _ = _random_coo(3, 700, 900, 0.02)
         tiles = schedule_lane_ell(A.row.astype(np.int64),
-                                  A.col.astype(np.int64), A.data, 768, 1024)
+                                  A.col.astype(np.int64), A.data, 768, 1024,
+                                  with_cols=True)
         C = tiles["idx2"].shape[0]
         for c in range(C):
             cols = tiles["cols"][c]
