@@ -20,15 +20,15 @@ WORKER = r"""
 import json, sys
 import numpy as np
 
-coordinator, pid = sys.argv[1], int(sys.argv[2])
+coordinator, pid, n_proc = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
 
 import hprlp_tpu.parallel.distributed as dist
-dist.initialize(coordinator_address=coordinator, num_processes=2,
+dist.initialize(coordinator_address=coordinator, num_processes=n_proc,
                 process_id=pid)   # sets gloo CPU collectives itself
 
 import jax
-assert jax.process_count() == 2, jax.process_count()
-assert len(jax.devices()) == 4, len(jax.devices())
+assert jax.process_count() == n_proc, jax.process_count()
+assert len(jax.devices()) == 2 * n_proc, len(jax.devices())
 
 import scipy.sparse as sp
 from hprlp_tpu.problem import LpProblem
@@ -44,7 +44,8 @@ Ax = A @ x0
 prob = LpProblem.from_arrays(A, Ax - 1, Ax + 1, x0 - 2, x0 + 2,
                              rng.normal(size=n))
 res = solve_problem(prob, Parameters(verbose=False, stop_tol=1e-6,
-                                     use_presolve=False, mesh_shape=4,
+                                     use_presolve=False,
+                                     mesh_shape=2 * n_proc,
                                      precision="f64"))
 print("RESULT " + json.dumps({"pid": pid, "status": res.status,
                               "obj": res.primal_obj,
@@ -62,7 +63,8 @@ def _free_port():
 
 @pytest.mark.skipif(os.environ.get("HPRLP_SKIP_MULTIHOST") == "1",
                     reason="multihost test disabled")
-def test_two_process_distributed_solve(tmp_path):
+@pytest.mark.parametrize("n_proc", [2, 4])
+def test_multi_process_distributed_solve(tmp_path, n_proc):
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
     port = _free_port()
@@ -73,10 +75,10 @@ def test_two_process_distributed_solve(tmp_path):
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env.pop("JAX_NUM_PROCESSES", None)
 
-    procs = [subprocess.Popen([sys.executable, str(script), coord, str(i)],
-                              env=env, stdout=subprocess.PIPE,
-                              stderr=subprocess.PIPE, text=True)
-             for i in range(2)]
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), coord, str(i), str(n_proc)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+             for i in range(n_proc)]
     outs = []
     for p in procs:
         try:
@@ -95,9 +97,10 @@ def test_two_process_distributed_solve(tmp_path):
         results.append(json.loads(lines[-1][len("RESULT "):]))
 
     assert all(r["status"] == "OPTIMAL" for r in results), results
-    # Both processes run the same SPMD program: identical results.
-    assert results[0]["obj"] == pytest.approx(results[1]["obj"], rel=1e-9)
-    assert results[0]["iter"] == results[1]["iter"]
+    # Every process runs the same SPMD program: identical results.
+    for r in results[1:]:
+        assert r["obj"] == pytest.approx(results[0]["obj"], rel=1e-9)
+        assert r["iter"] == results[0]["iter"]
 
     # And the multi-process objective matches a plain single-process solve.
     import scipy.sparse as sp
