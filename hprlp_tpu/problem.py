@@ -75,6 +75,18 @@ class LpProblem:
         u = _normalize_inf(vec(u, n, "u"))
         c = vec(c, n, "c")
 
+        # Data validation (parity: the reference validates arrays on model
+        # creation, src/mps_reader.cpp:1397-1510): NaNs anywhere, or
+        # non-finite matrix/cost entries, would silently corrupt the
+        # solve.
+        if A.nnz and not np.all(np.isfinite(A.data)):
+            raise ValueError("matrix A contains non-finite entries")
+        if not np.all(np.isfinite(c)):
+            raise ValueError("cost vector c contains non-finite entries")
+        for v, what in ((AL, "AL"), (AU, "AU"), (l, "l"), (u, "u")):
+            if np.any(np.isnan(v)):
+                raise ValueError(f"{what} contains NaN")
+
         if np.any(AL > AU):
             raise ValueError("infeasible constraint bounds: AL > AU")
         if np.any(l > u):

@@ -359,3 +359,33 @@ class TestPrecisionRouting:
         loop_mod.solve_problem(
             prob, Parameters(stop_tol=1e-8, precision="auto"))
         assert seen["precision"] == "f64"
+
+
+class TestInputValidation:
+    """from_arrays rejects malformed data at model creation (parity: the
+    reference validates arrays while building LP_info_cpu,
+    src/mps_reader.cpp:1397-1510) instead of corrupting the solve."""
+
+    def test_nan_matrix_rejected(self):
+        A = sp.csr_matrix(np.array([[1.0, np.nan]]))
+        with pytest.raises(ValueError, match="non-finite"):
+            h.Model.from_arrays(A, [0.], [1.], [0., 0.], [1., 1.],
+                                [1., 1.])
+
+    def test_nan_bound_rejected(self):
+        A = sp.csr_matrix(np.ones((1, 2)))
+        with pytest.raises(ValueError, match="NaN"):
+            h.Model.from_arrays(A, [np.nan], [1.], [0., 0.], [1., 1.],
+                                [1., 1.])
+
+    def test_inf_cost_rejected(self):
+        A = sp.csr_matrix(np.ones((1, 2)))
+        with pytest.raises(ValueError, match="non-finite"):
+            h.Model.from_arrays(A, [0.], [1.], [0., 0.], [1., 1.],
+                                [np.inf, 1.])
+
+    def test_inf_bounds_still_allowed(self):
+        A = sp.csr_matrix(np.ones((1, 2)))
+        m = h.Model.from_arrays(A, [-np.inf], [1.], [0., 0.],
+                                [np.inf, np.inf], [1., 1.])
+        assert m.n == 2
