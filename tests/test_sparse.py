@@ -176,3 +176,39 @@ class TestWindowMajorLayout:
         for M in (lp.A, lp.AT):
             for b in M.buckets:
                 assert b.nrows % 16 == 0 or b.row_start + b.nrows == M.nrows
+
+
+def test_skewed_degree_layout_overhead():
+    """Power-law row/column degrees (realistic LPs) must not blow up the
+    LaneELL schedule: slot overhead stays bounded and SpMV stays exact."""
+    import scipy.sparse as sp
+
+    from hprlp_tpu.ops.device_problem import build_device_problem
+    from hprlp_tpu.ops.lane_ell import WINDOW, schedule_lane_ell
+    from hprlp_tpu.ops.sparse import spmv, to_coo
+    from hprlp_tpu.problem import LpProblem
+
+    rng = np.random.default_rng(11)
+    m, n = 3000, 2 * WINDOW + 500
+    # Zipf-ish degrees: most rows tiny, a few hundreds wide.
+    deg = np.minimum((rng.zipf(1.7, m) * 3), 400)
+    rows = np.repeat(np.arange(m), deg)
+    cols = rng.integers(0, n, size=len(rows))
+    A = sp.coo_matrix((rng.normal(size=len(rows)), (rows, cols)),
+                      shape=(m, n)).tocsr()
+    A.sum_duplicates()
+    x0 = rng.uniform(-1, 1, n)
+    prob = LpProblem.from_arrays(A, A @ x0 - 1, A @ x0 + 1, x0 - 2,
+                                 x0 + 2, rng.normal(size=n))
+    lp, maps = build_device_problem(prob)
+    r, c, v = to_coo(lp.A)
+    t = schedule_lane_ell(r, c, v, lp.A.nrows, lp.A.ncols)
+    slots = t["idx2"].shape[0] * 16384
+    assert slots <= 12 * A.nnz + 6 * 16384, (slots, A.nnz)
+    x = rng.normal(size=n)
+    xp = np.zeros(lp.A.ncols)
+    xp[maps.col_pos] = x
+    y = np.asarray(spmv(lp.A, jnp.asarray(xp, jnp.float32)))
+    ref = A @ x
+    scale = max(1.0, np.abs(ref).max())
+    assert np.abs(y[maps.row_pos] - ref).max() / scale < 1e-5
