@@ -11,7 +11,7 @@
  * position "cells" (bucket-range x window intersections, so the bucketed
  * ELL layout's contiguity is preserved).  Items are processed in a
  * caller-chosen order (descending nnz = classic LPT); each item picks the
- * candidate cell minimising sum_partners 2^count[partner][window] — the
+ * candidate cell minimising sum_partners 4^count[partner][window] — the
  * exponential makes the marginal cost approximate min-max balancing.
  *
  * No reference counterpart: the reference's cuSPARSE SpMV is insensitive
@@ -50,7 +50,7 @@ int64_t hpres_balance_cells(int64_t n_items, const int64_t *indptr,
                             int32_t *item_cell) {
     (void)n_cells;
     std::vector<uint16_t> cnt((size_t)n_partners * n_windows, 0);
-    // 2^min(v, 40): exponential marginal cost saturating well below
+    // 4^min(v, 25): exponential marginal cost saturating well below
     // double overflow.
     const auto place = [&](int64_t it) -> bool {
         const int32_t lo = item_cell_lo[it], hi = item_cell_hi[it];
