@@ -703,3 +703,80 @@ class TestFixColInf:
         assert status == "OK"
         x, y, z, m_ = _check_postsolve(prob, red, h, tol=2e-5)
         assert prob.c @ x == pytest.approx(ref.fun, rel=1e-4, abs=1e-4)
+
+
+class TestReductionCompositions:
+    """Adversarial presolve compositions: instances designed so MANY
+    reduction types fire on overlapping rows/columns (eq->ineq feeding
+    singleton rows, FixColInf deleting rows touched by earlier fixes,
+    parallel rows among equalities, doubletons) — the typed reverse-replay
+    must stay dual-consistent through every interleaving."""
+
+    @pytest.mark.parametrize("seed", list(range(8)))
+    def test_kitchen_sink_lp(self, seed):
+        from tests.test_batched import reference_solve
+
+        rng = np.random.default_rng(seed)
+        m_core, n_core = 14, 18
+        A = (sp.random(m_core, n_core, density=0.35, random_state=rng,
+                       data_rvs=lambda k: rng.uniform(0.5, 2.0, k))
+             + sp.eye(m_core, n_core)).tolil()
+        x_feas = rng.uniform(0.0, 1.0, n_core)
+        b = A @ x_feas
+        AL = list(b.copy())
+        AU = list(b.copy())
+        kinds = rng.integers(0, 3, m_core)
+        for i in range(m_core):
+            if kinds[i] == 1:
+                AU[i] = np.inf
+            elif kinds[i] == 2:
+                AL[i] -= rng.uniform(0.5, 2.0)
+                AU[i] += rng.uniform(0.5, 2.0)
+        l = list(x_feas - rng.uniform(0.2, 2.0, n_core))
+        u = list(x_feas + rng.uniform(0.2, 2.0, n_core))
+        c = list(rng.normal(size=n_core))
+
+        rows = A.rows  # lil internals appended below via hstack/vstack
+        A = A.tocsc().tolil()
+
+        extra_cols = []
+        # (a) one-sided slack singletons on EQUALITY rows (eq->ineq).
+        for t in range(3):
+            i = int(rng.integers(0, m_core))
+            AL[i] = AU[i] = float(b[i])  # force equality
+            col = np.zeros(m_core)
+            col[i] = rng.choice([-1.0, 1.5])
+            extra_cols.append(col)
+            l.append(x_feas.mean() - 50.0)
+            u.append(np.inf)
+            c.append(rng.normal())
+        # (b) zero-cost free-ish columns with zero locks (FixColInf).
+        for t in range(2):
+            i = int(rng.integers(0, m_core))
+            if AL[i] == AU[i]:
+                AU[i] = np.inf  # keep one side open so locks are zero
+            col = np.zeros(m_core)
+            col[i] = 1.0 if np.isinf(AU[i]) else -1.0
+            extra_cols.append(col)
+            l.append(-np.inf)
+            u.append(np.inf)
+            c.append(0.0)
+        # (c) duplicate (parallel) rows.
+        A_full = sp.hstack([A.tocsc()] +
+                           [sp.csc_matrix(cx.reshape(-1, 1))
+                            for cx in extra_cols]).tocsr()
+        dup_of = int(rng.integers(0, m_core))
+        dup_row = A_full[dup_of].multiply(2.0)
+        A_full = sp.vstack([A_full, dup_row]).tocsr()
+        AL.append(2.0 * AL[dup_of] if np.isfinite(AL[dup_of]) else -np.inf)
+        AU.append(2.0 * AU[dup_of] if np.isfinite(AU[dup_of]) else np.inf)
+
+        prob = LpProblem.from_arrays(A_full, AL, AU, l, u, c)
+        ref = reference_solve(prob.A, prob.AL, prob.AU, prob.l, prob.u,
+                              prob.c)
+        if ref.status != 0:
+            pytest.skip("generated instance infeasible/unbounded")
+        status, red, h = presolve_problem(prob, debug_checks=True)
+        assert status == "OK"
+        x, y, z, m_ = _check_postsolve(prob, red, h, tol=5e-5)
+        assert prob.c @ x == pytest.approx(ref.fun, rel=1e-4, abs=1e-4)
