@@ -30,7 +30,9 @@ import scipy.sparse as sp
 
 M, N, NNZ_PER_ROW, SEED = 65536, 131072, 20, 0
 CHUNK_ITERS = 150
-N_CHUNKS = 16  # chunks per superchunk dispatch (production quiet-solve size)
+N_CHUNKS = 128  # chunks per superchunk dispatch (production quiet-solve
+                # size; the device while_loop exits at the first converged
+                # checkpoint, so a big dispatch never overshoots)
 REPEATS = 3
 BASELINE_ITERS_PER_SEC = 4000.0  # provisional A100 estimate for this size
 

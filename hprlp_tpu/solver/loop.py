@@ -273,7 +273,7 @@ def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
     # solve_time).  Without a persistent cache the AOT compile would be
     # pure double work — skip it.
     if jax.config.jax_compilation_cache_dir:
-        n_main = 1 if params.verbose else 16
+        n_main = 1 if params.verbose else 128
         n_main = max(1, min(n_main,
                             (params.max_iter + check - 1) // check))
         try:
@@ -355,9 +355,15 @@ def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
         # Super-chunk size: the device loop exits AT the first converged
         # checkpoint (on-device stopping), so a full-size dispatch can
         # never overshoot convergence — quiet solves always use the
-        # maximum (ONE compiled superchunk variant, fewest dispatches);
-        # verbose solves use single chunks for per-checkpoint printing.
-        n_chunks = 1 if params.verbose else 16
+        # maximum (ONE compiled superchunk variant, fewest dispatches;
+        # the while_loop body compiles once regardless of the bound, and
+        # each dispatch through a relay-attached TPU costs a fixed
+        # ~0.1 s, so 128 chunks amortise it to <1 us/iteration: measured
+        # 6147 -> 7207 it/s on the 1.3M-nnz bench vs 16 chunks).
+        # Verbose solves use single chunks for per-checkpoint printing.
+        # Time-limit granularity becomes one dispatch (<= 19200
+        # iterations), checked between dispatches as before.
+        n_chunks = 1 if params.verbose else 128
         n_chunks = max(1, min(n_chunks,
                               (params.max_iter - it + check - 1) // check))
 
