@@ -477,24 +477,22 @@ def solve_batched(A, C, AL, AU, l, u, obj_constants=None,
         out.z = np.asfortranarray(z)
         return out
 
-    # Pre-compile the ramp's superchunk variants OUTSIDE the algorithm
-    # clock (mirror of solver/loop.py: the reference's loop contains no
-    # compilation; power method and autotune above are likewise setup).
-    # Only worthwhile with a persistent compile cache for the in-loop
-    # dispatch to hit — otherwise the AOT result is pure double work.
+    # Pre-compile the quiet-dispatch superchunk variant OUTSIDE the
+    # algorithm clock (mirror of solver/loop.py: the reference's loop
+    # contains no compilation; power method and autotune above are
+    # likewise setup).  Only worthwhile with a persistent compile cache
+    # for the in-loop dispatch to hit — otherwise the AOT result is pure
+    # double work.
+    n_quiet = 1 if params.verbose else 32
+    n_quiet = max(1, min(n_quiet, (params.max_iter + check - 1) // check))
     if jax.config.jax_compilation_cache_dir:
-        for nc in (1, 2, 4, 8):
-            if nc > max(1, (params.max_iter + check - 1) // check):
-                break
-            if params.verbose and nc > 1:
-                break
-            try:
-                run_batched_superchunk.lower(
-                    lp, row_norm_d, col_norm_d, state, rd, sigma_d, lam_d,
-                    active_d, metrics_prev, 0, b_scale_d, c_scale_d, nb_d,
-                    nc_d, oc_d, params.stop_tol, nc, check).compile()
-            except Exception:
-                break  # compile inside the loop instead
+        try:
+            run_batched_superchunk.lower(
+                lp, row_norm_d, col_norm_d, state, rd, sigma_d, lam_d,
+                active_d, metrics_prev, 0, b_scale_d, c_scale_d, nb_d,
+                nc_d, oc_d, params.stop_tol, n_quiet, check).compile()
+        except Exception:
+            pass  # compile inside the loop instead
 
     # --- algorithm clock: iteration work only from here on ---
     t_alg = time.perf_counter()
@@ -514,7 +512,6 @@ def solve_batched(A, C, AL, AU, l, u, obj_constants=None,
     log(f"iter {0:6d}  active {int(active_h.sum()):4d}/{B}  "
         f"max_kkt {np.nanmax(kkt):.2e}  time {elapsed():.2f}s")
     it = 0
-    ramp = 1
 
     while active_h.any():
         if it >= params.max_iter:
@@ -524,9 +521,10 @@ def solve_batched(A, C, AL, AU, l, u, obj_constants=None,
             status[active_h] = "TIME_LIMIT"
             return finish(active_h)
 
-        n_chunks = 1 if params.verbose else ramp
-        ramp = min(ramp * 2, 8)
-        n_chunks = max(1, min(n_chunks,
+        # Quiet solves use one big dispatch size (the device loop exits
+        # when every member converges, so no overshoot; mirror of
+        # solver/loop.py's 128-chunk single-LP dispatch).
+        n_chunks = max(1, min(n_quiet,
                               (params.max_iter - it + check - 1) // check))
         state, rd, sigma_d, lam_d, active_d, metrics_prev, stacked, \
             k_done = run_batched_superchunk(
