@@ -89,19 +89,21 @@ def main():
 
     xA = jnp.ones(lp.A.ncols, lp.c.dtype)
 
-    tp50 = timed(pair_loop, lp, xA, 50)
-    tp150 = timed(pair_loop, lp, xA, 150)
-    pair_us = (tp150 - tp50) / 100 * 1e6
+    # 1000-iteration differencing: the axon relay adds ~27 ms of noisy
+    # per-dispatch latency, so short loops (50/150) are swamped by it.
+    tp50 = timed(pair_loop, lp, xA, 500)
+    tp150 = timed(pair_loop, lp, xA, 1500)
+    pair_us = (tp150 - tp50) / 1000 * 1e6
     print(f"SpMV pair (A then AT): {pair_us:.1f} us/iter "
-          f"(t50={tp50 * 1e3:.1f}ms t150={tp150 * 1e3:.1f}ms)", flush=True)
+          f"(t500={tp50 * 1e3:.1f}ms t1500={tp150 * 1e3:.1f}ms)", flush=True)
 
-    tA50 = timed(single_loop, lp, xA, 50, "A")
-    tA150 = timed(single_loop, lp, xA, 150, "A")
-    print(f"SpMV A alone:  {(tA150 - tA50) / 100 * 1e6:.1f} us", flush=True)
+    tA50 = timed(single_loop, lp, xA, 500, "A")
+    tA150 = timed(single_loop, lp, xA, 1500, "A")
+    print(f"SpMV A alone:  {(tA150 - tA50) / 1000 * 1e6:.1f} us", flush=True)
     xAT = jnp.ones(lp.AT.ncols, lp.c.dtype)
-    tT50 = timed(single_loop, lp, xAT, 50, "AT")
-    tT150 = timed(single_loop, lp, xAT, 150, "AT")
-    print(f"SpMV AT alone: {(tT150 - tT50) / 100 * 1e6:.1f} us", flush=True)
+    tT50 = timed(single_loop, lp, xAT, 500, "AT")
+    tT150 = timed(single_loop, lp, xAT, 1500, "AT")
+    print(f"SpMV AT alone: {(tT150 - tT50) / 1000 * 1e6:.1f} us", flush=True)
 
     # Full production chunk at two lengths.
     state = init_state(lp)
@@ -114,13 +116,13 @@ def main():
                           jnp.asarray(n, jnp.int32))
         return m["nrm_Rp"]
 
-    c50 = timed(chunk_t, 50)
-    c150 = timed(chunk_t, 150)
-    it_us = (c150 - c50) / 100 * 1e6
+    c50 = timed(chunk_t, 500)
+    c150 = timed(chunk_t, 1500)
+    it_us = (c150 - c50) / 1000 * 1e6
     print(f"chunk marginal: {it_us:.1f} us/iter  -> elementwise+overhead "
           f"remainder = {it_us - pair_us:.1f} us", flush=True)
-    print(f"chunk(150) total: {c150 * 1e3:.1f} ms -> "
-          f"{150 / c150:.0f} it/s incl dispatch", flush=True)
+    print(f"chunk(1500) total: {c150 * 1e3:.1f} ms -> "
+          f"{1500 / c150:.0f} it/s incl dispatch", flush=True)
 
 
 if __name__ == "__main__":

@@ -37,13 +37,18 @@ compile on v5e.  LaneELL routes arbitrary sparse gathers through it:
   Output rows are grouped 128 per group (group = padded_row // 128, lane =
   padded_row % 128); an entry's slot sublane belongs to its row's group.
 
-The greedy scheduler assigns each entry a (window-local) depth sublane;
-by König's theorem a perfect schedule needs max(row nnz in window,
-distinct-cols-per-residue) depths and greedy stays close in practice.
-Slot overhead (scheduled slots / nnz) is typically 3-5x with the aligned
-placement (range-max depth padding included); the payoff is that every
-data-movement op in the kernel is a full-width vector op and the flush
-has no reduction at all.
+The scheduler assigns each entry a (window-local) depth sublane; by
+König's theorem a perfect schedule needs max(row nnz in window,
+distinct-cols-per-residue) depths.  The native scheduler
+(native/src/lane_schedule.cpp) runs column-grouped first-fit followed by
+TARGETED DEPTH PEELING — the aligned placement pays the max block depth
+per (window, 128-group range), so the blocks at each range's max retry
+their top level into lower depths with one-level relocations; measured
+on the 1.3M-nnz bench matrix this lands within ~5-8%% of the König
+bound (A 192 -> 160 sub-blocks, AT 249 -> 220).  Slot overhead
+(scheduled slots / nnz) is typically 3-5x with the aligned placement;
+the payoff is that every data-movement op in the kernel is a full-width
+vector op and the flush has no reduction at all.
 """
 
 from __future__ import annotations
@@ -132,7 +137,11 @@ def schedule_lane_ell(rows_p: np.ndarray, cols_p: np.ndarray,
       gid:   (C, CHUNK_SUB) int32 — output group per sublane; ALIGNED:
              within sub-block j, gid[j*128 + s] == gbase[c, j] + s;
       gbase: (C, SUBBLOCKS) int32 — first output group per sub-block;
-      wid:   (C,) int32 — window per chunk;
+      wid:   (C,) int32 — window per chunk.  (A two-window-slots-per-chunk
+             variant — wid per half-chunk, %4 padding — was measured and
+             REJECTED: the second window BlockSpec costs ~20% per
+             sub-block on v5e, more than the padding it saves on every
+             matrix tried; see docs/ROADMAP.md.);
       cols:  (C, CHUNK_SUB, 128) int64 — padded col per slot, -1 empty
              (tests / re-scaling);
       G: m_pad // 128;  n_windows: padded window count.

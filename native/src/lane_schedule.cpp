@@ -1,4 +1,4 @@
-/* LaneELL greedy scheduler — native implementation of
+/* LaneELL scheduler — native implementation of
  * hprlp_tpu/ops/lane_ell.py::schedule_lane_ell's inner loop.
  *
  * Assigns each sparse entry a slot sublane such that, per sublane:
@@ -10,15 +10,188 @@
  * Sublanes are emitted per (window, group) block in entry order; the
  * Python wrapper handles chunk padding and tile construction.
  *
- * C ABI: caller passes entries SORTED by (window, group, lane) and
- * receives the per-entry sublane index plus per-sublane (gid, wid).
+ * Two quality passes beyond plain first-fit (the per-block depth lower
+ * bound is Konig-style: max(per-lane entry count, per-residue distinct
+ * column count); first-fit in lane order measures ~25% above it):
+ *   1. Column-grouped first-fit: entries ordered by (column fan-out desc,
+ *      column, lane), so a column's lanes share residue slots instead of
+ *      burning one per depth.
+ *   2. Targeted depth peeling: the aligned placement pays the MAX block
+ *      depth per (window, 128-group range) (ops/lane_ell.py), so for each
+ *      range, the blocks at the max depth try to empty their top level by
+ *      relocating entries into lower depths (with one-level relocation of
+ *      a blocking lane entry or residue star); when every max block
+ *      sheds a level the range's cost drops by one — repeated to fixpoint.
+ * Measured on the 1.3M-nnz bench matrix: A 192 -> 160 sub-blocks
+ * (LB 152), AT 249 -> 220 (LB 203).
+ *
+ * C ABI: caller passes entries SORTED by (window, group) and receives the
+ * per-entry sublane index plus per-sublane (gid, wid).
  */
 
 #include <stdint.h>
 
+#include <algorithm>
 #include <cstring>
-#include <unordered_map>
 #include <vector>
+
+namespace {
+
+constexpr int64_t LANES = 128;
+constexpr int64_t WINDOW = LANES * LANES;
+
+struct Level {
+    uint64_t lanes[2] = {0, 0};
+    int64_t rescol[LANES];
+    uint16_t starcnt[LANES] = {0};
+    int32_t nent = 0;
+    Level() { std::fill(rescol, rescol + LANES, int64_t(-1)); }
+};
+
+struct Block {
+    int32_t w = 0, g = 0;
+    int64_t first = 0;  // first entry index (input order)
+    int32_t n = 0;      // entry count
+    int lb = 0;
+    std::vector<int8_t> l;     // lane per entry
+    std::vector<int16_t> rho;  // residue per entry
+    std::vector<int64_t> c;    // padded column per entry
+    std::vector<int16_t> depth;
+    std::vector<Level> lv;
+
+    bool lane_used(int d, int lane) const {
+        return (lv[d].lanes[lane >> 6] >> (lane & 63)) & 1;
+    }
+    bool fits(int d, int lane, int64_t col, int r) const {
+        if (lane_used(d, lane)) return false;
+        const int64_t got = lv[d].rescol[r];
+        return got < 0 || got == col;
+    }
+    void put(int d, int e) {
+        Level &L = lv[d];
+        L.lanes[l[e] >> 6] |= uint64_t(1) << (l[e] & 63);
+        L.rescol[rho[e]] = c[e];
+        L.starcnt[rho[e]]++;
+        L.nent++;
+        depth[e] = (int16_t)d;
+    }
+    void del_entry(int e) {
+        Level &L = lv[depth[e]];
+        L.lanes[l[e] >> 6] &= ~(uint64_t(1) << (l[e] & 63));
+        if (--L.starcnt[rho[e]] == 0) L.rescol[rho[e]] = -1;
+        L.nent--;
+    }
+    void place_first_fit(int e) {
+        int d = 0;
+        for (;; ++d) {
+            if (d == (int)lv.size()) lv.emplace_back();
+            if (fits(d, l[e], c[e], rho[e])) {
+                put(d, e);
+                return;
+            }
+        }
+    }
+
+    /* Try to place entry e at some depth < dmax, allowing one-level
+     * relocation of a blocking residue star or lane entry. */
+    bool try_move_down(int e, int dmax) {
+        const int lane = l[e];
+        const int r = rho[e];
+        const int64_t col = c[e];
+        for (int d = 0; d < dmax; ++d) {
+            if (fits(d, lane, col, r)) {
+                del_entry(e);
+                put(d, e);
+                return true;
+            }
+        }
+        std::vector<int> star;
+        for (int d = 0; d < dmax; ++d) {
+            const bool lane_free = !lane_used(d, lane);
+            const int64_t got = lv[d].rescol[r];
+            if (lane_free && got >= 0 && got != col) {
+                // Relocate the whole (r, got) star out of depth d.
+                star.clear();
+                for (int i = 0; i < n; ++i)
+                    if (depth[i] == d && rho[i] == r) star.push_back(i);
+                for (int d2 = 0; d2 < dmax; ++d2) {
+                    if (d2 == d) continue;
+                    const int64_t g2 = lv[d2].rescol[r];
+                    if (g2 >= 0 && g2 != got) continue;
+                    bool ok = true;
+                    for (int i : star)
+                        if (lane_used(d2, l[i])) { ok = false; break; }
+                    if (!ok) continue;
+                    for (int i : star) {
+                        del_entry(i);
+                        put(d2, i);
+                    }
+                    del_entry(e);
+                    put(d, e);
+                    return true;
+                }
+            } else if (!lane_free) {
+                // Relocate the lane blocker (exactly one per depth).
+                const int64_t gr = lv[d].rescol[r];
+                if (gr >= 0 && gr != col) continue;
+                int e2 = -1;
+                for (int i = 0; i < n; ++i)
+                    if (depth[i] == d && l[i] == lane) { e2 = i; break; }
+                if (e2 < 0) continue;
+                for (int d2 = 0; d2 < dmax; ++d2) {
+                    if (d2 == d) continue;
+                    if (!fits(d2, l[e2], c[e2], rho[e2])) continue;
+                    del_entry(e2);
+                    put(d2, e2);
+                    if (fits(d, lane, col, r)) {
+                        del_entry(e);
+                        put(d, e);
+                        return true;
+                    }
+                    del_entry(e2);  // undo
+                    put(d, e2);
+                    break;  // the only way to free this lane at d failed
+                }
+            }
+        }
+        return false;
+    }
+
+    void drop_empty_levels() {
+        int out = 0;
+        std::vector<int16_t> remap(lv.size());
+        for (int d = 0; d < (int)lv.size(); ++d) {
+            remap[d] = (int16_t)out;
+            if (lv[d].nent > 0) {
+                if (out != d) lv[out] = lv[d];
+                ++out;
+            }
+        }
+        lv.resize(out);
+        for (int i = 0; i < n; ++i) depth[i] = remap[depth[i]];
+    }
+
+    /* Attempt to empty the top level; restores state on failure. */
+    bool try_peel() {
+        const int D = (int)lv.size();
+        if (D <= lb) return false;
+        std::vector<int16_t> d_snap = depth;
+        std::vector<Level> lv_snap = lv;
+        for (int e = 0; e < n; ++e) {
+            if (depth[e] != D - 1) continue;
+            if (!try_move_down(e, D - 1)) {
+                depth.swap(d_snap);
+                lv.swap(lv_snap);
+                return false;
+            }
+        }
+        lv.pop_back();
+        drop_empty_levels();
+        return true;
+    }
+};
+
+}  // namespace
 
 extern "C" {
 
@@ -30,47 +203,115 @@ int64_t hpres_lane_schedule(int64_t nnz, const int64_t *rows_p,
                             const int64_t *cols_p, int64_t *out_sub,
                             int32_t *out_gid, int32_t *out_wid,
                             int64_t cap) {
-    constexpr int64_t LANES = 128;
-    constexpr int64_t WINDOW = LANES * LANES;
-
-    int64_t n_sub = 0;
-    int64_t base = 0;
-    int64_t cur_w = -1, cur_g = -1;
-    // Per-depth state for the current (window, group) block.
-    std::vector<std::unordered_map<int32_t, int64_t>> res_used;
-    std::vector<uint8_t> lane_used;  // depth * LANES + lane
-
-    for (int64_t e = 0; e < nnz; ++e) {
+    std::vector<Block> blocks;
+    // --- split into (window, group) blocks (entries pre-sorted) ---
+    for (int64_t e = 0; e < nnz;) {
         const int64_t g = rows_p[e] / LANES;
-        const int64_t l = rows_p[e] % LANES;
-        const int64_t c = cols_p[e];
-        const int64_t w = c / WINDOW;
-        const int32_t rho = (int32_t)(c % LANES);
-        if (w != cur_w || g != cur_g) {
-            cur_w = w;
-            cur_g = g;
-            base = n_sub;
-            res_used.clear();
-            lane_used.clear();
+        const int64_t w = cols_p[e] / WINDOW;
+        int64_t b = e;
+        while (b < nnz && rows_p[b] / LANES == g && cols_p[b] / WINDOW == w)
+            ++b;
+        Block blk;
+        blk.w = (int32_t)w;
+        blk.g = (int32_t)g;
+        blk.first = e;
+        blk.n = (int32_t)(b - e);
+        blk.l.resize(blk.n);
+        blk.rho.resize(blk.n);
+        blk.c.resize(blk.n);
+        blk.depth.assign(blk.n, 0);
+        for (int i = 0; i < blk.n; ++i) {
+            blk.l[i] = (int8_t)(rows_p[e + i] % LANES);
+            blk.c[i] = cols_p[e + i];
+            blk.rho[i] = (int16_t)(cols_p[e + i] % LANES);
         }
-        size_t d = 0;
-        for (;; ++d) {
-            if (d == res_used.size()) {
-                res_used.emplace_back();
-                lane_used.resize((d + 1) * LANES, 0);
-                if (n_sub >= cap) return -1;
-                out_gid[n_sub] = (int32_t)g;
-                out_wid[n_sub] = (int32_t)w;
-                n_sub++;
+        blocks.push_back(std::move(blk));
+        e = b;
+    }
+
+    // --- per block: LB + column-grouped descending-fan-out first-fit ---
+    std::vector<int> order, lane_cnt(LANES), fan;
+    std::vector<int64_t> pairs;
+    for (Block &blk : blocks) {
+        // fan-out per entry = #entries sharing its column in this block
+        order.resize(blk.n);
+        for (int i = 0; i < blk.n; ++i) order[i] = i;
+        std::sort(order.begin(), order.end(), [&](int a, int b2) {
+            return blk.c[a] < blk.c[b2];
+        });
+        fan.assign(blk.n, 0);
+        for (int i = 0; i < blk.n;) {
+            int j = i;
+            while (j < blk.n && blk.c[order[j]] == blk.c[order[i]]) ++j;
+            for (int k = i; k < j; ++k) fan[order[k]] = j - i;
+            i = j;
+        }
+        std::sort(order.begin(), order.end(), [&](int a, int b2) {
+            if (fan[a] != fan[b2]) return fan[a] > fan[b2];
+            if (blk.c[a] != blk.c[b2]) return blk.c[a] < blk.c[b2];
+            return blk.l[a] < blk.l[b2];
+        });
+        // LB: max per-lane count / per-residue distinct-column count
+        std::fill(lane_cnt.begin(), lane_cnt.end(), 0);
+        int lmax = 0;
+        for (int i = 0; i < blk.n; ++i)
+            lmax = std::max(lmax, ++lane_cnt[(uint8_t)blk.l[i]]);
+        pairs.clear();
+        for (int i = 0; i < blk.n; ++i)
+            pairs.push_back((int64_t)blk.rho[i] << 48 | blk.c[i]);
+        std::sort(pairs.begin(), pairs.end());
+        pairs.erase(std::unique(pairs.begin(), pairs.end()), pairs.end());
+        int rmax = 0;
+        for (size_t i = 0; i < pairs.size();) {
+            size_t j = i;
+            while (j < pairs.size() && (pairs[j] >> 48) == (pairs[i] >> 48))
+                ++j;
+            rmax = std::max(rmax, (int)(j - i));
+            i = j;
+        }
+        blk.lb = std::max(lmax, rmax);
+        for (int i : order) blk.place_first_fit(i);
+    }
+
+    // --- targeted peel per (window, 128-group range) ---
+    std::vector<Block *> members;
+    for (size_t s = 0; s < blocks.size();) {
+        const int32_t w = blocks[s].w;
+        const int32_t gr = blocks[s].g / (int32_t)LANES;
+        size_t t = s;
+        members.clear();
+        while (t < blocks.size() && blocks[t].w == w
+               && blocks[t].g / (int32_t)LANES == gr)
+            members.push_back(&blocks[t++]);
+        for (;;) {
+            int D = 0;
+            for (Block *b : members) D = std::max(D, (int)b->lv.size());
+            bool at_lb = false;
+            for (Block *b : members)
+                if ((int)b->lv.size() == D && b->lb >= D) at_lb = true;
+            if (at_lb || D <= 1) break;
+            bool ok = true;
+            for (Block *b : members) {
+                if ((int)b->lv.size() != D) continue;
+                if (!b->try_peel()) { ok = false; break; }
             }
-            if (lane_used[d * LANES + l]) continue;
-            auto it = res_used[d].find(rho);
-            if (it != res_used[d].end() && it->second != c) continue;
-            res_used[d].emplace(rho, c);
-            lane_used[d * LANES + l] = 1;
-            out_sub[e] = base + (int64_t)d;
-            break;
+            if (!ok) break;
         }
+        s = t;
+    }
+
+    // --- emit sublanes per block in input order ---
+    int64_t n_sub = 0;
+    for (Block &blk : blocks) {
+        const int64_t base = n_sub;
+        if (n_sub + (int64_t)blk.lv.size() > cap) return -1;
+        for (size_t d = 0; d < blk.lv.size(); ++d) {
+            out_gid[n_sub] = blk.g;
+            out_wid[n_sub] = blk.w;
+            ++n_sub;
+        }
+        for (int i = 0; i < blk.n; ++i)
+            out_sub[blk.first + i] = base + blk.depth[i];
     }
     return n_sub;
 }
