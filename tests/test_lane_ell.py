@@ -248,3 +248,84 @@ class TestDf64Chunk:
                 assert np.abs(a - b).max() / scale < 1e-11, name
         finally:
             jax.config.update("jax_enable_x64", prev)
+
+
+class TestSchedulerPeel:
+    """Stress the native scheduler's quality passes (column-grouped
+    first-fit + targeted depth peeling, native/src/lane_schedule.cpp):
+    adversarial structures that force relocation chains, star moves,
+    failed peels (state restore), and empty-level compaction — the
+    schedule must stay exact and within the aligned-cost envelope."""
+
+    def _exact_and_bounded(self, A, m_pad, n_pad):
+        tiles = _check(A.tocoo(), m_pad, n_pad)  # oracle + kernel exact
+        # Quality envelope: scheduled sub-blocks within 2x the Konig
+        # bound summed per (window, group) — loose, but catches a
+        # catastrophic peel/restore bug that duplicates levels.
+        Acsr = A.tocsr()
+        rows, cols = Acsr.nonzero()
+        g = rows // LANES
+        w = cols // WINDOW
+        l = rows % LANES
+        rho = cols % LANES
+        lb = 0
+        import collections
+        per_wg_lane = collections.Counter(zip(w, g, l))
+        per_wg_rho = collections.Counter(
+            (wi, gi, r) for (wi, gi, r, c) in
+            set(zip(w, g, rho, cols)))
+        wg_lane_max = collections.Counter()
+        wg_rho_max = collections.Counter()
+        for (wi, gi, _), v in per_wg_lane.items():
+            wg_lane_max[(wi, gi)] = max(wg_lane_max[(wi, gi)], v)
+        for (wi, gi, _), v in per_wg_rho.items():
+            wg_rho_max[(wi, gi)] = max(wg_rho_max[(wi, gi)], v)
+        for k in set(wg_lane_max) | set(wg_rho_max):
+            lb += max(wg_lane_max[k], wg_rho_max[k])
+        n_sub = tiles["idx2"].shape[0] * tiles["idx2"].shape[1] // LANES
+        assert n_sub <= 2 * lb + 8 * max(1, len(set(w))), (n_sub, lb)
+
+    def test_dense_column_stars_across_granges(self):
+        # A few very dense columns (large stars) + background noise:
+        # star relocation during peeling must keep exactness.
+        rng = np.random.default_rng(11)
+        m, n = 2000, 20000
+        rows = [rng.integers(0, m, 6000)]
+        cols = [rng.integers(0, n, 6000)]
+        for c in (3, 131, 16384 + 3):  # share residue classes
+            rows.append(rng.choice(m, 400, replace=False))
+            cols.append(np.full(400, c))
+        A = sp.coo_matrix(
+            (np.ones(sum(len(r) for r in rows)),
+             (np.concatenate(rows), np.concatenate(cols))), shape=(m, n))
+        A.sum_duplicates()
+        self._exact_and_bounded(A, 2048, 20480)
+
+    def test_skewed_depths_one_grange(self):
+        # One deep group per grange (forces peel attempts that must fail
+        # at the Konig bound) + shallow neighbours.
+        rng = np.random.default_rng(12)
+        rows = [rng.integers(0, 2048, 4000)]
+        cols = [rng.integers(0, 4096, 4000)]
+        # row 0: 40 entries in one window -> depth 40 spike
+        rows.append(np.zeros(40, np.int64))
+        cols.append(rng.choice(4096, 40, replace=False))
+        A = sp.coo_matrix(
+            (np.ones(4040),
+             (np.concatenate(rows), np.concatenate(cols))),
+            shape=(2048, 4096))
+        A.sum_duplicates()
+        self._exact_and_bounded(A, 2048, 4096)
+
+    def test_residue_collision_heavy(self):
+        # All columns congruent mod 128: maximal residue pressure, so
+        # depths are set by distinct-cols-per-residue; relocations can
+        # only move whole stars.
+        rng = np.random.default_rng(13)
+        ncols_used = 30
+        cols = (rng.integers(0, ncols_used, 3000) * LANES + 5)
+        rows = rng.integers(0, 1024, 3000)
+        A = sp.coo_matrix((np.ones(3000), (rows, cols)),
+                          shape=(1024, ncols_used * LANES + 6))
+        A.sum_duplicates()
+        self._exact_and_bounded(A, 1024, 4096)
