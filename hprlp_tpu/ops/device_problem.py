@@ -303,11 +303,12 @@ def _balance_plan_residues(plan, indptr, indices, partner_pos: np.ndarray,
     win_sorted = pos_sorted // WINDOW
     w_starts = np.concatenate(
         [[0], np.nonzero(np.diff(win_sorted))[0] + 1, [n_items]])
-    for a, b in zip(w_starts[:-1], w_starts[1:]):
+
+    def balance_window(a, b):
         sub = items_sorted[a:b]          # items of this window, pos order
         k = b - a
         if k <= 1:
-            continue
+            return
         # Cells = the k member positions; window field = residue class.
         cell_res = (pos_sorted[a:b] % LANES).astype(np.int32)
         cell_cap = np.ones(k, np.int64)
@@ -337,8 +338,23 @@ def _balance_plan_residues(plan, indptr, indices, partner_pos: np.ndarray,
             cell_res, cell_cap, np.zeros(k, np.float64), k, LANES, 2,
             item_cell)
         if rc != 0:
-            continue
+            return
         new_pos[sub] = pos_sorted[a:b][item_cell]
+
+    # Windows are independent (disjoint item/position sets) and the
+    # native call releases the GIL (ctypes), so run them across a small
+    # thread pool — the residue pass dominates big-problem layout time
+    # (~9 s native at 10.5M nnz single-threaded).
+    spans = [(int(a), int(b))
+             for a, b in zip(w_starts[:-1], w_starts[1:]) if b - a > 1]
+    if len(spans) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(spans))) as ex:
+            list(ex.map(lambda ab: balance_window(*ab), spans))
+    else:
+        for a, b in spans:
+            balance_window(a, b)
 
     order_of = np.argsort(new_pos)
     rank = np.zeros(n_items, np.int64)
