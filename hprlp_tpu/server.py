@@ -187,6 +187,15 @@ def main(argv=None) -> int:
                     help="write the one-shot response to this JSON file")
     args = ap.parse_args(argv)
 
+    # The protocol owns the real stdout; everything else that prints —
+    # a client-supplied {"verbose": true}, autotune notes, JAX warnings —
+    # goes to stderr instead.  Without this, one verbose solve would
+    # interleave iteration log lines with the JSON responses and
+    # permanently desynchronise pipe clients (the C ABI worker parses
+    # stdout line by line).
+    proto_out = sys.stdout
+    sys.stdout = sys.stderr
+
     if args.request:
         with open(args.request) as f:
             req = json.load(f)
@@ -196,10 +205,10 @@ def main(argv=None) -> int:
             with open(args.response, "w") as f:
                 f.write(text)
         else:
-            sys.stdout.write(text + "\n")
+            proto_out.write(text + "\n")
         return 0 if resp.get("ok") else 1
 
-    serve_stream(sys.stdin, sys.stdout)
+    serve_stream(sys.stdin, proto_out)
     return 0
 
 

@@ -551,5 +551,21 @@ def solve_batched(A, C, AL, AU, l, u, obj_constants=None,
                 log(f"iter {it:6d}  active {int(active_h.sum()):4d}/{B}  "
                     f"max_kkt {np.nanmax(kkt):.2e}  time {elapsed():.2f}s")
 
+        # Reconcile with the device's own freeze decisions.  The device
+        # stop test runs in the solve dtype while the host recomputes kkt
+        # in f64 from the same metrics; a member landing within rounding
+        # of stop_tol can pass one test and fail the other.  The device
+        # decision is authoritative (it is the one that freezes
+        # iteration) — without this, a device-frozen/host-active member
+        # wedges the dispatch loop in no-op superchunks until time_limit.
+        dev_active = np.asarray(jax.device_get(active_d), bool)
+        frozen_by_device = active_h & ~dev_active
+        status[frozen_by_device] = "OPTIMAL"
+        active_h &= dev_active
+        # And push host-side freezes back to the device so both views
+        # agree on the next dispatch.
+        if not np.array_equal(dev_active, active_h):
+            active_d = jnp.asarray(active_h)
+
     log(f"iter {it:6d}  all {B} members converged  time {elapsed():.2f}s")
     return finish(active_h)

@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from .batched import run_batched_chunk
-from .device_loop import METRIC_KEYS
+from .device_loop import (METRIC_KEYS, _m_norm_dev, _residuals_core,
+                          _sigma_chain)
 
 
 @jax.tree_util.register_dataclass
@@ -49,34 +50,13 @@ def init_batched_restart_dev(sigma, dtype) -> BatchedRestartDev:
         times=jnp.zeros(B, jnp.int32))
 
 
-def _vec_m_norm_dev(sigma, lam, dot, dy2, dx2):
-    """(B,)-vector M-norm with per-member lambda self-correction."""
-    dot2 = 2.0 * dot
-    w = sigma * lam * dy2 + dx2 / sigma + dot2
-    neg = w < 0
-    lam_fix = jnp.where(neg & (sigma * dy2 > 0),
-                        -(dot2 + dx2 / sigma)
-                        / jnp.maximum(sigma * dy2, 1e-300) * 1.05, lam)
-    norm = jnp.where(neg,
-                     jnp.sqrt(jnp.maximum(-(dot2 + dx2 / sigma) * 0.05, 0.0)),
-                     jnp.sqrt(jnp.maximum(w, 0.0)))
-    return norm, lam_fix
-
-
-def _bresiduals_dev(m, b_scale, c_scale, norm_b_org, norm_c_org,
-                    obj_constants, is_iter0):
-    obj_scale = b_scale * c_scale
-    p_obj = obj_scale * m["dot_c_xbar"] + obj_constants
-    d_obj = obj_scale * (m["dot_yobj_ybar"] + m["dot_xbar_zbar"]) \
-        + obj_constants
-    rel_gap = jnp.abs(p_obj - d_obj) / (1.0 + jnp.abs(p_obj)
-                                        + jnp.abs(d_obj))
-    err_Rd = c_scale * m["nrm_Rd"] / norm_c_org
-    err_Rp = b_scale * m["nrm_Rp"] / norm_b_org
-    err_Rp = jnp.where(is_iter0,
-                       jnp.maximum(err_Rp, b_scale * m["nrm_lu_viol"]),
-                       err_Rp)
-    return err_Rp, err_Rd, rel_gap
+# The M-norm, residual, and sigma-chain math is SHARED with the single-LP
+# device loop (device_loop._m_norm_dev/_residuals_core/_sigma_chain): all
+# three are elementwise jnp, so they apply to (B,) vectors unchanged.
+# (Round-2 review: the batched copies had silently drifted from two
+# single-path fixes — the best_sigma fallback on degenerate movement and
+# the restart-gated lambda update; sharing removes the drift channel.)
+_bresiduals_dev = _residuals_core
 
 
 def _bdecide(rd: BatchedRestartDev, sigma, lam, active, m_prev, b_scale,
@@ -89,8 +69,8 @@ def _bdecide(rd: BatchedRestartDev, sigma, lam, active, m_prev, b_scale,
         it == 0)
     cg, lam = jax.lax.cond(
         it > 0,
-        lambda: _vec_m_norm_dev(sigma, lam, m_prev["gap_dot"],
-                                m_prev["gap_dy2"], m_prev["gap_dx2"]),
+        lambda: _m_norm_dev(sigma, lam, m_prev["gap_dot"],
+                            m_prev["gap_dy2"], m_prev["gap_dx2"]),
         lambda: (rd.current_gap, lam))
 
     fr = rd.first_restart & (it >= check_iter) & active
@@ -107,29 +87,12 @@ def _bdecide(rd: BatchedRestartDev, sigma, lam, active, m_prev, b_scale,
     save_gap = jnp.where(est, cg_est, rd.save_gap)
     current_gap = jnp.where(est, cg_est, cg)
 
-    # Sigma chain in f32 (see device_loop._decide_and_update rationale).
-    f32 = jnp.float32
-    pm, dm = m_prev["move_x"], m_prev["move_y"]
-    ok = (pm > 1e-16) & (dm > 1e-16) & (pm < 1e12) & (dm < 1e12)
-    ratio = ((pm / jnp.maximum(dm, 1e-300)) / jnp.sqrt(lam)).astype(f32)
-    fact = jnp.exp((-0.05 * (current_gap
-                             / jnp.maximum(best_gap, 1e-300))).astype(f32))
-    temp1 = jnp.maximum(jnp.minimum(err_Rd, err_Rp),
-                        jnp.minimum(rel_gap, current_gap))
-    sigma_cand = jnp.exp(
-        fact * jnp.log(jnp.maximum(ratio, 1e-30))
-        + (1 - fact) * jnp.log(jnp.maximum(best_sigma.astype(f32), 1e-30)))
-    ratio_inf = jnp.where(err_Rp > 0, err_Rd / jnp.maximum(err_Rp, 1e-300),
-                          1.0).astype(f32)
-    kappa = jnp.where(
-        temp1 > 9e-10, jnp.asarray(1.0, f32),
-        jnp.where(temp1 > 5e-10,
-                  jnp.clip(jnp.sqrt(ratio_inf), 1e-2, 100.0),
-                  jnp.clip(ratio_inf, 1e-2, 100.0)))
-    sigma_new = jnp.where(flag,
-                          jnp.where(ok, (kappa * sigma_cand).astype(dtype),
-                                    jnp.asarray(1.0, dtype)),
-                          sigma)
+    # Shared sigma chain (device_loop._sigma_chain), including the
+    # best_sigma fallback on degenerate movement — the batched path
+    # previously kept the reference's 1.0-reset, which destroys f32
+    # solves of vertex-pinned members (see the shared comment).
+    sigma_new = _sigma_chain(m_prev, lam, current_gap, best_gap, best_sigma,
+                             err_Rp, err_Rd, rel_gap, sigma, flag, dtype)
 
     # All members pass the first-restart boundary together (parity with
     # solver/batched.py; converged members are frozen anyway).
@@ -183,8 +146,12 @@ def run_batched_superchunk(lp, row_norm, col_norm, state,
         state, m = run_batched_chunk(lp, row_norm, col_norm, state, sigma,
                                      lam, flag, active,
                                      jnp.asarray(check_iter, jnp.int32))
-        lg, lam = _vec_m_norm_dev(sigma, lam, m["fs_dot"], m["fs_dy2"],
+        lg, lam_fix = _m_norm_dev(sigma, lam, m["fs_dot"], m["fs_dy2"],
                                   m["fs_dx2"])
+        # Gate BOTH outputs on the restart flag, like the single-LP body
+        # (device_loop.run_superchunk): a non-restart boundary must not
+        # inflate lambda from the stale fs_* parts.
+        lam = jnp.where(flag, lam_fix, lam)
         rd = dataclasses.replace(
             rd,
             last_gap=jnp.where(flag, lg, rd.last_gap),

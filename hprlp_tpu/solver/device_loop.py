@@ -71,17 +71,67 @@ def _m_norm_dev(sigma, lam, dot, dy2, dx2):
     return norm, lam_fix
 
 
-def _residuals_dev(m, scal, obj_constant, is_iter0):
-    obj_scale = scal.b_scale * scal.c_scale
+def _residuals_core(m, b_scale, c_scale, norm_b_org, norm_c_org,
+                    obj_constant, is_iter0):
+    """Original-space KKT residual pieces.  Elementwise, so it serves both
+    the single-LP path (scalars) and the batched path ((B,) vectors)."""
+    obj_scale = b_scale * c_scale
     p_obj = obj_scale * m["dot_c_xbar"] + obj_constant
     d_obj = obj_scale * (m["dot_yobj_ybar"] + m["dot_xbar_zbar"]) + obj_constant
     rel_gap = jnp.abs(p_obj - d_obj) / (1.0 + jnp.abs(p_obj) + jnp.abs(d_obj))
-    err_Rd = scal.c_scale * m["nrm_Rd"] / scal.norm_c_org
-    err_Rp = scal.b_scale * m["nrm_Rp"] / scal.norm_b_org
+    err_Rd = c_scale * m["nrm_Rd"] / norm_c_org
+    err_Rp = b_scale * m["nrm_Rp"] / norm_b_org
     err_Rp = jnp.where(is_iter0,
-                       jnp.maximum(err_Rp, scal.b_scale * m["nrm_lu_viol"]),
+                       jnp.maximum(err_Rp, b_scale * m["nrm_lu_viol"]),
                        err_Rp)
     return err_Rp, err_Rd, rel_gap
+
+
+def _residuals_dev(m, scal, obj_constant, is_iter0):
+    return _residuals_core(m, scal.b_scale, scal.c_scale, scal.norm_b_org,
+                           scal.norm_c_org, obj_constant, is_iter0)
+
+
+def _sigma_chain(m_prev, lam, current_gap, best_gap, best_sigma, err_Rp,
+                 err_Rd, rel_gap, sigma, flag, dtype):
+    """update_sigma (reference :367-404), shared by the single-LP and
+    batched decision logic (elementwise: scalars or (B,) vectors).
+
+    The exp/log chain runs in f32: sigma is a step-size heuristic (f32
+    accuracy is ample), and on TPU f64 transcendentals are emulated —
+    slow AND inaccurate enough to degrade the restart quality (observed:
+    1350 -> 124k iterations on an f64 solve with the chain in emulated
+    f64).
+    """
+    f32 = jnp.float32
+    pm, dm = m_prev["move_x"], m_prev["move_y"]
+    ok = (pm > 1e-16) & (dm > 1e-16) & (pm < 1e12) & (dm < 1e12)
+    ratio = ((pm / jnp.maximum(dm, 1e-300)) / jnp.sqrt(lam)).astype(f32)
+    fact = jnp.exp((-0.05 * (current_gap
+                             / jnp.maximum(best_gap, 1e-300))).astype(f32))
+    temp1 = jnp.maximum(jnp.minimum(err_Rd, err_Rp),
+                        jnp.minimum(rel_gap, current_gap))
+    sigma_cand = jnp.exp(
+        fact * jnp.log(jnp.maximum(ratio, 1e-30))
+        + (1 - fact) * jnp.log(jnp.maximum(best_sigma.astype(f32), 1e-30)))
+    ratio_inf = jnp.where(err_Rp > 0, err_Rd / jnp.maximum(err_Rp, 1e-300),
+                          1.0).astype(f32)
+    kappa = jnp.where(
+        temp1 > 9e-10, jnp.asarray(1.0, f32),
+        jnp.where(temp1 > 5e-10,
+                  jnp.clip(jnp.sqrt(ratio_inf), 1e-2, 100.0),
+                  jnp.clip(ratio_inf, 1e-2, 100.0)))
+    # Degenerate movement: the reference resets sigma = 1.0
+    # (main_iterate.cu:400-402), which is unreachable in practice in its
+    # f64 build.  In f32 a vertex-pinned primal iterate makes move_x == 0
+    # EXACTLY at every restart, and the 1.0-reset then destroys the
+    # adapted sigma for the rest of the solve (observed: gap oscillating
+    # at 1e-4 forever on the assignment LP).  Falling back to best_sigma
+    # (the sigma at the best merit gap so far) keeps the adaptation.
+    return jnp.where(flag,
+                     jnp.where(ok, (kappa * sigma_cand).astype(dtype),
+                               best_sigma.astype(dtype)),
+                     sigma)
 
 
 def _decide_and_update(rd: RestartDev, sigma, lam, m_prev, scal,
@@ -111,40 +161,8 @@ def _decide_and_update(rd: RestartDev, sigma, lam, m_prev, scal,
     save_gap = jnp.where(est, cg_est, rd.save_gap)
     current_gap = jnp.where(est, cg_est, cg)
 
-    # update_sigma (reference :367-404).  The exp/log chain runs in f32:
-    # sigma is a step-size heuristic (f32 accuracy is ample), and on TPU
-    # f64 transcendentals are emulated — slow AND inaccurate enough to
-    # degrade the restart quality (observed: 1350 -> 124k iterations on
-    # an f64 solve with the chain in emulated f64).
-    f32 = jnp.float32
-    pm, dm = m_prev["move_x"], m_prev["move_y"]
-    ok = (pm > 1e-16) & (dm > 1e-16) & (pm < 1e12) & (dm < 1e12)
-    ratio = ((pm / jnp.maximum(dm, 1e-300)) / jnp.sqrt(lam)).astype(f32)
-    fact = jnp.exp((-0.05 * (current_gap
-                             / jnp.maximum(best_gap, 1e-300))).astype(f32))
-    temp1 = jnp.maximum(jnp.minimum(err_Rd, err_Rp),
-                        jnp.minimum(rel_gap, current_gap))
-    sigma_cand = jnp.exp(
-        fact * jnp.log(jnp.maximum(ratio, 1e-30))
-        + (1 - fact) * jnp.log(jnp.maximum(best_sigma.astype(f32), 1e-30)))
-    ratio_inf = jnp.where(err_Rp > 0, err_Rd / jnp.maximum(err_Rp, 1e-300),
-                          1.0).astype(f32)
-    kappa = jnp.where(
-        temp1 > 9e-10, jnp.asarray(1.0, f32),
-        jnp.where(temp1 > 5e-10,
-                  jnp.clip(jnp.sqrt(ratio_inf), 1e-2, 100.0),
-                  jnp.clip(ratio_inf, 1e-2, 100.0)))
-    # Degenerate movement: the reference resets sigma = 1.0
-    # (main_iterate.cu:400-402), which is unreachable in practice in its
-    # f64 build.  In f32 a vertex-pinned primal iterate makes move_x == 0
-    # EXACTLY at every restart, and the 1.0-reset then destroys the
-    # adapted sigma for the rest of the solve (observed: gap oscillating
-    # at 1e-4 forever on the assignment LP).  Falling back to best_sigma
-    # (the sigma at the best merit gap so far) keeps the adaptation.
-    sigma_new = jnp.where(flag,
-                          jnp.where(ok, (kappa * sigma_cand).astype(dtype),
-                                    best_sigma.astype(dtype)),
-                          sigma)
+    sigma_new = _sigma_chain(m_prev, lam, current_gap, best_gap, best_sigma,
+                             err_Rp, err_Rd, rel_gap, sigma, flag, dtype)
 
     rd_new = RestartDev(
         first_restart=rd.first_restart & jnp.logical_not(fr),

@@ -47,16 +47,6 @@ def _print_step(it: int) -> int:
     return max(10, 10 ** int(math.floor(math.log10(it))) // 10)
 
 
-def next_checkpoint(it: int, check_iter: int, with_prints: bool = True) -> int:
-    """Smallest iteration > it that is a periodic check or (when
-    with_prints) a log-spaced print step.  Quiet solves skip print-step
-    boundaries — every boundary costs a device round-trip plus the
-    check-variant residual work."""
-    j = it + 1
-    while True:
-        if j % check_iter == 0 or (with_prints and j % _print_step(j) == 0):
-            return j
-        j += 1
 
 
 def _derive_residuals(metrics: dict, scal_host: dict, obj_constant: float,

@@ -385,10 +385,9 @@ hprlp_model *hprlp_create_model_from_arrays(
     mod->u.assign(u, u + n);
     mod->c.assign(c, c + n);
     mod->obj_constant = obj_constant;
-    /* Clamp infinities to the solver's numerical-infinity convention so
-     * they survive JSON/base64 (binary f64 keeps Inf anyway; clamping
-     * guards against non-IEEE callers). */
-    for (double *v : {mod->AL.data(), mod->AU.data()}) (void)v;
+    /* Bounds are forwarded verbatim: the base64 transport carries raw
+     * IEEE f64, so +-Inf and the >=1e20 numerical-infinity convention
+     * both survive the trip and the solver normalises them itself. */
     return mod;
 }
 
@@ -498,6 +497,14 @@ hprlp_results *hprlp_solve(hprlp_model *model,
     int64_t nz = 0;
     r->z = vec("z", &nz);
     r->y = vec("y", &r->m);
+    if (r->z && nz != r->n) {
+        /* hprlp_tpu.h documents n as the length of BOTH x and z; a
+         * mismatched (e.g. truncated-but-parseable) response must not
+         * let callers read z[0..n) past its allocation. */
+        std::free(r->z);
+        r->z = nullptr;
+        std::snprintf(r->status, sizeof(r->status), "%s", "ERROR");
+    }
     return r;
 }
 

@@ -246,3 +246,99 @@ def test_device_decide_matches_host_oracle(seed, tiny):
 
         m_prev = m_next
         it += CHECK
+
+
+# ---------------------------------------------------------------------------
+# Batched decision logic must match the single-LP logic MEMBER-WISE.
+# (Round-2 review: the batched copies had drifted from two single-path
+# fixes — the best_sigma fallback on degenerate movement and the
+# restart-gated lambda update.  The implementations now share
+# device_loop._m_norm_dev/_residuals_core/_sigma_chain; this test pins
+# the remaining vectorised glue to the scalar path.)
+# ---------------------------------------------------------------------------
+
+def test_batched_decide_matches_single_memberwise():
+    from hprlp_tpu.solver.batched_device_loop import (
+        _bdecide, init_batched_restart_dev)
+    from hprlp_tpu.solver.device_loop import _decide_and_update
+
+    B = 5
+    dtype = jnp.float64
+    rngs = [np.random.default_rng(100 + i) for i in range(B)]
+    tiny = [False, True, False, True, False]
+    obj_c = np.linspace(-0.5, 0.5, B)
+    sigma0 = np.array([float(r.lognormal(0, 0.5)) for r in rngs])
+    lam0 = np.array([float(r.lognormal(1, 0.5)) for r in rngs])
+
+    scal = make_scal(dtype)
+    b_scale = jnp.full(B, SCAL_HOST["b_scale"], dtype)
+    c_scale = jnp.full(B, SCAL_HOST["c_scale"], dtype)
+    nb = jnp.full(B, SCAL_HOST["norm_b_org"], dtype)
+    nc = jnp.full(B, SCAL_HOST["norm_c_org"], dtype)
+
+    # Batched state
+    brd = init_batched_restart_dev(jnp.asarray(sigma0, dtype), dtype)
+    bsig = jnp.asarray(sigma0, dtype)
+    blam = jnp.asarray(lam0, dtype)
+    active = jnp.ones(B, bool)
+    # Per-member single-path state
+    rds = [init_restart_dev(sigma0[i], dtype) for i in range(B)]
+    sigs = [jnp.asarray(sigma0[i], dtype) for i in range(B)]
+    lams = [jnp.asarray(lam0[i], dtype) for i in range(B)]
+
+    metrics = [random_metrics(rngs[i], 1.0, tiny[i]) for i in range(B)]
+    it = 0
+    for step in range(40):
+        m_b = {k: jnp.asarray([metrics[i][k] for i in range(B)], dtype)
+               for k in metrics[0]}
+        brd, bsig, blam, bflag, _ = _bdecide(
+            brd, bsig, blam, active, m_b, b_scale, c_scale, nb, nc,
+            jnp.asarray(obj_c, dtype), it, CHECK, dtype)
+
+        scale = math.exp(-0.05 * step)
+        m_next = [random_metrics(rngs[i], scale, tiny[i]) for i in range(B)]
+        mn_b = {k: jnp.asarray([m_next[i][k] for i in range(B)], dtype)
+                for k in m_next[0]}
+        # Post-chunk bookkeeping exactly as run_batched_superchunk.body.
+        lg, lam_fix = _m_norm_dev(bsig, blam, mn_b["fs_dot"],
+                                  mn_b["fs_dy2"], mn_b["fs_dx2"])
+        blam = jnp.where(bflag, lam_fix, blam)
+        brd = dataclasses.replace(
+            brd, last_gap=jnp.where(bflag, lg, brd.last_gap),
+            inner=brd.inner + float(CHECK))
+
+        for i in range(B):
+            m_d = {k: jnp.asarray(v, dtype) for k, v in metrics[i].items()}
+            scal_i = dataclasses.replace(
+                scal, b_scale=b_scale[i], c_scale=c_scale[i],
+                norm_b_org=nb[i], norm_c_org=nc[i])
+            rds[i], sigs[i], lams[i], flag_i = _decide_and_update(
+                rds[i], sigs[i], lams[i], m_d, scal_i, obj_c[i], it,
+                CHECK, dtype)
+            assert bool(bflag[i]) == bool(flag_i), f"step {step} member {i}"
+            np.testing.assert_allclose(float(bsig[i]), float(sigs[i]),
+                                       rtol=1e-12, err_msg=f"{step}/{i}")
+            mn_d = {k: jnp.asarray(v, dtype)
+                    for k, v in m_next[i].items()}
+            lg_i, lamfix_i = _m_norm_dev(sigs[i], lams[i], mn_d["fs_dot"],
+                                         mn_d["fs_dy2"], mn_d["fs_dx2"])
+            if bool(flag_i):
+                lams[i] = lamfix_i
+                rds[i] = dataclasses.replace(rds[i], last_gap=lg_i)
+            rds[i] = dataclasses.replace(rds[i],
+                                         inner=rds[i].inner + float(CHECK))
+            np.testing.assert_allclose(float(blam[i]), float(lams[i]),
+                                       rtol=1e-12, err_msg=f"{step}/{i}")
+            for fld in ("last_gap", "current_gap", "save_gap", "best_gap",
+                        "best_sigma"):
+                a = float(getattr(brd, fld)[i])
+                b = float(getattr(rds[i], fld))
+                if math.isinf(b):
+                    assert math.isinf(a), f"{step}/{i}: {fld}"
+                else:
+                    np.testing.assert_allclose(a, b, rtol=1e-12,
+                                               err_msg=f"{step}/{i}: {fld}")
+            assert int(brd.times[i]) == int(rds[i].times)
+
+        metrics = m_next
+        it += CHECK

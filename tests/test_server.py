@@ -153,3 +153,33 @@ class TestSubprocess:
         finally:
             if p.poll() is None:
                 p.kill()
+
+    def test_pipe_session_verbose_solve(self):
+        """A client-supplied {"verbose": true} must NOT corrupt the
+        protocol: the server routes all solver prints to stderr, so
+        stdout carries only JSON responses (round-2 review finding)."""
+        env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+        p = subprocess.Popen(
+            [sys.executable, "-m", "hprlp_tpu.server"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, env=env, text=True)
+        try:
+            p.stdin.write(json.dumps(
+                _demo_solve_request(verbose=True)) + "\n")
+            p.stdin.flush()
+            out = json.loads(p.stdout.readline())
+            assert out["ok"] and out["result"]["status"] == "OPTIMAL"
+            # A second request on the same pipe still parses (no
+            # desynchronisation).
+            p.stdin.write(json.dumps({"op": "ping"}) + "\n")
+            p.stdin.flush()
+            assert json.loads(p.stdout.readline())["result"] == "pong"
+            p.stdin.write(json.dumps({"op": "shutdown"}) + "\n")
+            p.stdin.flush()
+            assert json.loads(p.stdout.readline()) == {"ok": True}
+            p.wait(timeout=60)
+            # The verbose log actually went somewhere (stderr).
+            assert "iter" in p.stderr.read()
+        finally:
+            if p.poll() is None:
+                p.kill()
