@@ -181,6 +181,15 @@ function _pj_value(s, pos)
         pos[] += 5; return false
     elseif startswith(SubString(s, pos[]), "null")
         pos[] += 4; return nothing
+    # Defensive: non-standard tokens Python's json module CAN emit for
+    # non-finite floats (the server sanitises, but never desynchronise
+    # on them).
+    elseif startswith(SubString(s, pos[]), "Infinity")
+        pos[] += 8; return Inf
+    elseif startswith(SubString(s, pos[]), "-Infinity")
+        pos[] += 9; return -Inf
+    elseif startswith(SubString(s, pos[]), "NaN")
+        pos[] += 3; return NaN
     end
     i = pos[]
     j = i
@@ -278,11 +287,17 @@ function _params_dict(p::Parameters)
         "spmv_backend" => p.spmv_backend)
 end
 
+# The server sends non-finite diagnostics (e.g. residuals of an
+# INFEASIBLE solve) as +-DBL_MAX — standard JSON has no Infinity token.
+_unfin(v) = (v isa AbstractFloat && abs(v) >= 1e307) ? sign(v) * Inf :
+    float(v)
+
 function _results(r::Dict)
-    Results(r["status"], r["iter"], r["time"], r["primal_obj"],
-            r["dual_obj"], r["gap"], r["residuals"],
+    Results(r["status"], r["iter"], _unfin(r["time"]),
+            _unfin(r["primal_obj"]), _unfin(r["dual_obj"]),
+            _unfin(r["gap"]), _unfin(r["residuals"]),
             r["iter4"], r["iter6"], r["iter8"],
-            r["time4"], r["time6"], r["time8"],
+            _unfin(r["time4"]), _unfin(r["time6"]), _unfin(r["time8"]),
             _unb64_f64(r["x"]), _unb64_f64(r["y"]), _unb64_f64(r["z"]))
 end
 

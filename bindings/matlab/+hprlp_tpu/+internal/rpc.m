@@ -14,7 +14,11 @@ python = getenv('HPRLP_TPU_PYTHON');
 if isempty(python), python = 'python'; end
 root = hprlp_tpu.internal.repoRoot();
 pp = getenv('PYTHONPATH');
-setenv('PYTHONPATH', [root pathsep pp]);
+% Prepend the repo root only once: setenv persists for the whole MATLAB
+% session, so unconditional prepending would grow PYTHONPATH per call.
+if ~contains([pathsep pp pathsep], [pathsep root pathsep])
+    setenv('PYTHONPATH', [root pathsep pp]);
+end
 cmd = sprintf('%s -m hprlp_tpu.server --request "%s" --response "%s"', ...
               python, reqFile, respFile);
 status = system(cmd);

@@ -23,14 +23,22 @@ classdef Result
             % Construct from the decoded server response struct.
             if nargin == 0, return; end
             obj.status = char(r.status);
-            obj.iter = r.iter; obj.time = r.time;
-            obj.primal_obj = r.primal_obj; obj.dual_obj = r.dual_obj;
-            obj.gap = r.gap; obj.residuals = r.residuals;
+            % Non-finite diagnostics travel as +-DBL_MAX (standard JSON
+            % has no Infinity token); map them back.
+            obj.iter = r.iter; obj.time = unfin(r.time);
+            obj.primal_obj = unfin(r.primal_obj);
+            obj.dual_obj = unfin(r.dual_obj);
+            obj.gap = unfin(r.gap); obj.residuals = unfin(r.residuals);
             obj.iter4 = r.iter4; obj.iter6 = r.iter6; obj.iter8 = r.iter8;
-            obj.time4 = r.time4; obj.time6 = r.time6; obj.time8 = r.time8;
+            obj.time4 = unfin(r.time4); obj.time6 = unfin(r.time6);
+            obj.time8 = unfin(r.time8);
             obj.x = hprlp_tpu.internal.b64ToF64(r.x);
             obj.y = hprlp_tpu.internal.b64ToF64(r.y);
             obj.z = hprlp_tpu.internal.b64ToF64(r.z);
         end
     end
+end
+
+function v = unfin(v)
+if abs(v) >= 1e307, v = sign(v) * Inf; end
 end

@@ -229,6 +229,12 @@ def _parse(f, path, apply_objsense, ignore_quadobj, fixed=False) -> LpProblem:
                 continue
             rtype = fields[0].upper()
             rowname = fields[1]
+            # Duplicate row names are malformed MPS: routing entries to
+            # either the first or the last row of the name silently
+            # builds a different matrix (the native reader errors too).
+            if rowname in con_index:
+                raise MpsFormatError(
+                    f"{path}: duplicate row name {rowname!r} (l.{nline})")
             if rtype == "N":
                 if objname is None:
                     objname = rowname

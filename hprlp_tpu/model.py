@@ -50,6 +50,13 @@ class Model:
 
     @classmethod
     def from_mps(cls, path: str, **kw) -> "Model":
+        # Native (C++) reader is the fast path for large files; the
+        # pure-Python reader is the golden reference (tests assert the
+        # two agree) and the fallback when the library isn't built.
+        from .io import native_mps
+
+        if native_mps.is_available():
+            return cls(native_mps.read_mps_native(path, **kw))
         return cls(read_mps(path, **kw))
 
     def solve(self, parameters: Optional[Parameters] = None,

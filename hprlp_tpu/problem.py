@@ -91,6 +91,17 @@ class LpProblem:
             raise ValueError("infeasible constraint bounds: AL > AU")
         if np.any(l > u):
             raise ValueError("infeasible variable bounds: l > u")
+        # Equal INFINITE bounds pass the orderings above (inf > inf is
+        # False) but pin a variable/row AT infinity — presolve would then
+        # fix x_j = inf and fold c_j * inf (Inf or 0*inf = NaN) into the
+        # objective with no diagnostic.
+        if np.any(np.isinf(l) & (l == u)):
+            raise ValueError(
+                "degenerate variable bounds: l == u == +-inf pins a "
+                "variable at infinity")
+        if np.any(np.isinf(AL) & (AL == AU)):
+            raise ValueError(
+                "degenerate constraint bounds: AL == AU == +-inf")
 
         return LpProblem(A=A, AL=AL, AU=AU, l=l, u=u, c=c,
                          obj_constant=float(obj_constant), name=name,

@@ -62,15 +62,31 @@ def _params(d: dict):
     return p
 
 
+def _fin(v: float) -> float:
+    """JSON has no Infinity/NaN tokens (json.dumps would emit the
+    non-standard `Infinity`, which the Julia/MATLAB parsers reject), so
+    non-finite diagnostics travel as +-DBL_MAX; wrappers map magnitudes
+    >= 1e307 back to Inf.  An unconverged solve's residuals/gap are Inf,
+    so this path is hit by every INFEASIBLE/UNBOUNDED/ERROR response."""
+    v = float(v)
+    if v != v:  # NaN reads as "no usable value": overflow sentinel too
+        return 1.7976931348623157e308
+    if v == float("inf"):
+        return 1.7976931348623157e308
+    if v == float("-inf"):
+        return -1.7976931348623157e308
+    return v
+
+
 def _pack_results(res) -> dict:
     out = {
         "status": res.status, "iter": int(res.iter),
-        "time": float(res.time), "primal_obj": float(res.primal_obj),
-        "dual_obj": float(res.dual_obj), "gap": float(res.gap),
-        "residuals": float(res.residuals),
+        "time": _fin(res.time), "primal_obj": _fin(res.primal_obj),
+        "dual_obj": _fin(res.dual_obj), "gap": _fin(res.gap),
+        "residuals": _fin(res.residuals),
         "iter4": int(res.iter4), "iter6": int(res.iter6),
-        "iter8": int(res.iter8), "time4": float(res.time4),
-        "time6": float(res.time6), "time8": float(res.time8),
+        "iter8": int(res.iter8), "time4": _fin(res.time4),
+        "time6": _fin(res.time6), "time8": _fin(res.time8),
     }
     for k in ("x", "y", "z"):
         v = getattr(res, k)
@@ -173,7 +189,15 @@ def serve_stream(inp, outp) -> None:
                 pass  # client already hung up
             return
         resp = handle(req)
-        outp.write(json.dumps(resp) + "\n")
+        try:
+            # Standard JSON only: a stray non-finite float must become a
+            # clean error response, not an `Infinity` token the wrapper
+            # parsers reject (scalars are sanitised in _pack_results).
+            text = json.dumps(resp, allow_nan=False)
+        except ValueError as e:
+            text = json.dumps({"ok": False,
+                               "error": f"non-finite in response: {e}"})
+        outp.write(text + "\n")
         outp.flush()
 
 

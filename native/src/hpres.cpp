@@ -1085,7 +1085,14 @@ class Presolver {
                 return "cached activity value stale without dirty mark";
         }
         for (const Rec &r : log) {
-            if (r.i >= (int32_t)P.m || r.j >= (int32_t)P.n)
+            // Field conventions: i is a row and j a column for every
+            // type EXCEPT ParallelRow (j = removed ROW) and ParallelCol
+            // (i = merged-away COLUMN); validating those against the
+            // other dimension would spuriously abort presolve on
+            // rectangular problems.
+            int64_t imax = (r.type == RecType::ParallelCol) ? P.n : P.m;
+            int64_t jmax = (r.type == RecType::ParallelRow) ? P.m : P.n;
+            if (r.i >= (int32_t)imax || r.j >= (int32_t)jmax)
                 return "log record index out of range";
             for (int32_t t : r.idx)
                 if (t < 0 || (t >= P.m && t >= P.n))

@@ -48,13 +48,24 @@ class LineReader {
             out += buf;
             if (!out.empty() && out.back() == '\n') break;
         }
+        if (!got) {
+            // Distinguish real EOF from a truncated/corrupt gzip stream:
+            // silently treating a mid-COLUMNS truncation as EOF would
+            // hand back a shorter but "valid" model (the Python reader
+            // raises EOFError on the same file).
+            int errnum = Z_OK;
+            gzerror(gz_, &errnum);
+            if (errnum != Z_OK && errnum != Z_STREAM_END) bad_ = true;
+        }
         while (!out.empty() && (out.back() == '\n' || out.back() == '\r'))
             out.pop_back();
         return got;
     }
+    bool bad() const { return bad_; }
 
   private:
     gzFile gz_ = nullptr;
+    bool bad_ = false;
 };
 
 // FIXED-format card fields (reference: read_card_fixed,
@@ -187,6 +198,7 @@ struct hpmps_handle {
 
 static void finalize(hpmps_handle *h, int ignore_quadobj) {
     Parser &p = h->p;
+    if (p.status != HPMPS_OK) return;  // parse already failed
     if (p.saw_quadobj && !ignore_quadobj) {
         p.status = HPMPS_FORMAT_ERROR;
         p.error = "QUADOBJ/QMATRIX present - this is an LP solver";
@@ -334,6 +346,15 @@ hpmps_handle *hpmps_read_ex(const char *path, int ignore_quadobj,
                 if (f.size() < 2) continue;
                 const std::string rtype = upper(f[0]);
                 const std::string &rowname = f[1];
+                // Duplicate row names are malformed MPS: routing the
+                // entries to either the first or the last row of the
+                // name silently builds a different matrix (and the two
+                // framework readers used to disagree on which).
+                if (p.con_index.count(rowname)) {
+                    p.status = HPMPS_FORMAT_ERROR;
+                    p.error = "duplicate row name " + rowname;
+                    break;
+                }
                 if (rtype == "N") {
                     if (!p.have_objname) {
                         p.have_objname = true;
@@ -366,7 +387,15 @@ hpmps_handle *hpmps_read_ex(const char *path, int ignore_quadobj,
                 const int64_t j = p.get_var(f[0]);
                 for (size_t k = 1; k + 1 < f.size(); k += 2) {
                     double val;
-                    if (!parse_num(f[k + 1], val)) continue;
+                    if (!parse_num(f[k + 1], val)) {
+                        // A malformed value must fail, not silently drop
+                        // the coefficient (Python reader parity: float()
+                        // raises).
+                        p.status = HPMPS_FORMAT_ERROR;
+                        p.error = "bad number '" + f[k + 1]
+                                  + "' in COLUMNS";
+                        break;
+                    }
                     auto it = p.con_index.find(f[k]);
                     if (it == p.con_index.end()) continue;
                     const int64_t row = it->second;
@@ -399,7 +428,12 @@ hpmps_handle *hpmps_read_ex(const char *path, int ignore_quadobj,
                 }
                 for (size_t k = start; k + 1 < f.size(); k += 2) {
                     double val;
-                    if (!parse_num(f[k + 1], val)) continue;
+                    if (!parse_num(f[k + 1], val)) {
+                        p.status = HPMPS_FORMAT_ERROR;
+                        p.error = "bad number '" + f[k + 1] + "' in "
+                                  + (sec == RHS ? "RHS" : "RANGES");
+                        break;
+                    }
                     if (sec == RHS) p.apply_rhs(f[k], val);
                     else p.apply_range(f[k], val);
                 }
@@ -425,12 +459,20 @@ hpmps_handle *hpmps_read_ex(const char *path, int ignore_quadobj,
                     }
                 } else {
                     if (f.size() >= 4) {
-                        if (!parse_num(f[3], val)) continue;
+                        if (!parse_num(f[3], val)) {
+                            p.status = HPMPS_FORMAT_ERROR;
+                            p.error = "bad number '" + f[3] + "' in BOUNDS";
+                            break;
+                        }
                         setn = f[1];
                         vname = f[2];
                         have_set = true;
                     } else if (f.size() == 3 && p.var_index.count(f[1])) {
-                        if (!parse_num(f[2], val)) continue;
+                        if (!parse_num(f[2], val)) {
+                            p.status = HPMPS_FORMAT_ERROR;
+                            p.error = "bad number '" + f[2] + "' in BOUNDS";
+                            break;
+                        }
                         vname = f[1];
                     } else {
                         continue;
@@ -462,8 +504,13 @@ hpmps_handle *hpmps_read_ex(const char *path, int ignore_quadobj,
             default:
                 break;
         }
+        if (p.status != HPMPS_OK) break;  // parse error: stop reading
     }
 
+    if (p.status == HPMPS_OK && rd.bad()) {
+        p.status = HPMPS_IO_ERROR;
+        p.error = std::string("truncated or corrupt stream: ") + path;
+    }
     finalize(h, ignore_quadobj);
     return h;
 }

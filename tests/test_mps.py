@@ -344,3 +344,90 @@ def test_fixed_format_solves(tmp_path):
                       mps_format="fixed")
     assert res.status == "OPTIMAL"
     assert abs(res.primal_obj - (-26.4)) < 2e-2
+
+
+# --- strictness parity (round-2 review): both readers must FAIL, not ---
+# --- silently diverge, on malformed input                             ---
+
+MALFORMED_NUM = """\
+NAME T
+ROWS
+ N OBJ
+ L R1
+COLUMNS
+ X OBJ 1.0 R1 1.5D+2
+RHS
+ RH R1 4.0
+ENDATA
+"""
+
+DUP_ROW = """\
+NAME T
+ROWS
+ N OBJ
+ G R1
+ L R1
+COLUMNS
+ X OBJ 1.0 R1 2.0
+RHS
+ RH R1 4.0
+ENDATA
+"""
+
+
+def test_malformed_number_raises_python(tmp_path):
+    with pytest.raises(ValueError):
+        read_mps(_write(tmp_path, MALFORMED_NUM))
+
+
+def test_malformed_number_raises_native(tmp_path):
+    from hprlp_tpu.io.native_mps import is_available, read_mps_native
+    if not is_available():
+        pytest.skip("native library unavailable")
+    with pytest.raises(ValueError, match="bad number"):
+        read_mps_native(_write(tmp_path, MALFORMED_NUM))
+
+
+def test_duplicate_row_name_raises_python(tmp_path):
+    with pytest.raises(MpsFormatError, match="duplicate row"):
+        read_mps(_write(tmp_path, DUP_ROW))
+
+
+def test_duplicate_row_name_raises_native(tmp_path):
+    from hprlp_tpu.io.native_mps import is_available, read_mps_native
+    if not is_available():
+        pytest.skip("native library unavailable")
+    with pytest.raises(ValueError, match="duplicate row"):
+        read_mps_native(_write(tmp_path, DUP_ROW))
+
+
+def test_truncated_gzip_raises_native(tmp_path):
+    from hprlp_tpu.io.native_mps import is_available, read_mps_native
+    if not is_available():
+        pytest.skip("native library unavailable")
+    gz = os.path.join(tmp_path, "model.mps.gz")
+    with open(DEMO_MPS, "rb") as f, gzip.open(gz, "wb") as g:
+        g.write(f.read())
+    with open(gz, "rb") as f:
+        blob = f.read()
+    trunc = os.path.join(tmp_path, "trunc.mps.gz")
+    with open(trunc, "wb") as f:
+        f.write(blob[: len(blob) // 2])  # cut mid-stream
+    with pytest.raises(ValueError, match="truncated or corrupt"):
+        read_mps_native(trunc)
+    # Python reader also refuses it (EOFError from gzip).
+    with pytest.raises((EOFError, ValueError)):
+        read_mps(trunc)
+
+
+def test_model_from_mps_uses_native_reader(tmp_path):
+    """Model.from_mps routes through the native fast path when built and
+    agrees with the Python golden reader."""
+    from hprlp_tpu.io.native_mps import is_available
+    from hprlp_tpu.model import Model
+    if not is_available():
+        pytest.skip("native library unavailable")
+    m = Model.from_mps(DEMO_MPS)
+    p = read_mps(DEMO_MPS)
+    np.testing.assert_allclose(m.problem.A.toarray(), p.A.toarray())
+    np.testing.assert_allclose(m.problem.c, p.c)

@@ -780,3 +780,38 @@ class TestReductionCompositions:
         assert status == "OK"
         x, y, z, m_ = _check_postsolve(prob, red, h, tol=5e-5)
         assert prob.c @ x == pytest.approx(ref.fun, rel=1e-4, abs=1e-4)
+
+    def test_rectangular_parallel_cols_debug_ok(self):
+        """Regression: the checker validated ParallelCol's merged-away
+        COLUMN index (r.i) against m, spuriously aborting presolve on
+        wide problems (round-2 review finding)."""
+        n = 10
+        A = np.zeros((2, n))
+        A[:, 7] = [1.0, 2.0]
+        A[:, 8] = [2.0, 4.0]  # parallel to col 7, s = 2
+        A[0, :5] = 0.5
+        c = np.full(n, 1.0)
+        c[8] = 2.0  # c8 = s * c7: mergeable
+        prob = _pp(A, [-np.inf] * 2, [10.0, 12.0],
+                   [0.0] * n, [1.0] * n, c)
+        status, red, h = presolve_problem(prob, debug_checks=True)
+        assert status == "OK"
+        assert h.stats()["cols_removed"] >= 1
+        _check_postsolve(prob, red, h, tol=1e-6)
+
+    def test_tall_parallel_rows_debug_ok(self):
+        """Symmetric regression: ParallelRow's removed ROW index (r.j)
+        was validated against n."""
+        m = 10
+        A = np.zeros((m, 2))
+        A[7] = [1.0, 2.0]
+        A[8] = [2.0, 4.0]  # parallel to row 7
+        for i in range(5):
+            A[i] = [0.3 + 0.1 * i, 0.7]
+        prob = _pp(A, [-np.inf] * m,
+                   [10.0] * 7 + [10.0, 12.0, 10.0],
+                   [0.0, 0.0], [5.0, 5.0], [-1.0, -1.0])
+        status, red, h = presolve_problem(prob, debug_checks=True)
+        assert status == "OK"
+        assert h.stats()["rows_removed"] >= 1
+        _check_postsolve(prob, red, h, tol=1e-6)

@@ -183,3 +183,43 @@ class TestSubprocess:
         finally:
             if p.poll() is None:
                 p.kill()
+
+
+class TestNonFiniteDiagnostics:
+    """Standard-JSON transport of Inf diagnostics (round-2 review: the
+    Julia wrapper's parser rejects Python's non-standard Infinity token,
+    so INFEASIBLE/UNBOUNDED responses crashed it)."""
+
+    def test_infeasible_solve_response_is_standard_json(self):
+        A = sp.csr_matrix(np.array([[1.0, 1.0], [-1.0, -1.0]]))
+        req = {
+            "op": "solve", "m": 2, "n": 2,
+            "Ap": _enc(A.indptr.astype(np.int64)),
+            "Ai": _enc(A.indices.astype(np.int64)),
+            "Ax": _enc(A.data.astype(np.float64)),
+            # x0+x1 >= 4 AND x0+x1 <= 1: infeasible
+            "AL": _enc(np.array([4.0, -1.0])),
+            "AU": _enc(np.array([1e30, 1e30])),
+            "l": _enc(np.zeros(2)), "u": _enc(np.array([1e30, 1e30])),
+            "c": _enc(np.array([1.0, 1.0])),
+            "params": {"precision": "f64", "time_limit": 60.0},
+        }
+        r = handle(req)
+        assert r["ok"], r
+        text = json.dumps(r, allow_nan=False)  # must not need Infinity
+        back = json.loads(text)
+        res = back["result"]
+        assert res["status"] in ("INFEASIBLE", "UNBOUNDED", "ITER_LIMIT",
+                                 "TIME_LIMIT", "ERROR")
+        for k in ("residuals", "gap", "primal_obj", "dual_obj"):
+            v = res[k]
+            assert isinstance(v, float)
+            assert v == v and abs(v) <= 1.7976931348623157e308
+
+    def test_fin_sentinel_mapping(self):
+        from hprlp_tpu.server import _fin
+        DM = 1.7976931348623157e308
+        assert _fin(float("inf")) == DM
+        assert _fin(float("-inf")) == -DM
+        assert _fin(float("nan")) == DM
+        assert _fin(1.25) == 1.25

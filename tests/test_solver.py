@@ -389,3 +389,17 @@ class TestInputValidation:
         m = h.Model.from_arrays(A, [-np.inf], [1.], [0., 0.],
                                 [np.inf, np.inf], [1., 1.])
         assert m.n == 2
+
+    def test_equal_infinite_var_bounds_rejected(self):
+        # l == u == +inf pins a variable AT infinity; presolve would fold
+        # c_j * inf (Inf, or 0*inf = NaN) into the objective silently.
+        A = sp.csr_matrix(np.ones((1, 2)))
+        with pytest.raises(ValueError, match="degenerate variable"):
+            h.Model.from_arrays(A, [0.], [1.], [0., np.inf],
+                                [1., np.inf], [1., 0.])
+
+    def test_equal_infinite_row_bounds_rejected(self):
+        A = sp.csr_matrix(np.ones((1, 2)))
+        with pytest.raises(ValueError, match="degenerate constraint"):
+            h.Model.from_arrays(A, [np.inf], [np.inf], [0., 0.],
+                                [1., 1.], [1., 1.])
