@@ -222,20 +222,34 @@ def _layout_windows(plan, indptr, indices, n_partners: int,
     if rc != 0:
         return plan
 
+    # Group each bucket's rows by assigned window in ONE sort per bucket
+    # (a per-window scan of every bucket is O(n_win * total_rows) —
+    # quadratic at scale: 2M items over 128 windows measured ~35 s).
+    per_window: list[list[tuple]] = [[] for _ in range(n_win)]
+    for entry in plan:
+        w, rows = entry[0], entry[1]
+        if not len(rows):
+            continue
+        cells = item_cell[rows]
+        o = np.argsort(cells, kind="stable")
+        rs, cs = rows[o], cells[o]
+        bnd = np.nonzero(np.diff(cs))[0] + 1
+        starts = np.concatenate([[0], bnd])
+        ends = np.concatenate([bnd, [len(rs)]])
+        for a, b in zip(starts, ends):
+            per_window[int(cs[a])].append((w, rs[a:b]))
+
     new_plan = []
     cursor = 0
     for v in range(n_win):
         win_start = cursor
-        for entry in plan:
-            w, rows = entry[0], entry[1]
-            members = rows[item_cell[rows] == v]
-            if len(members):
-                if exact:
-                    new_plan.append((w, members, len(members)))
-                    cursor += len(members)
-                else:
-                    new_plan.append((w, members))
-                    cursor += plan_entry_total((w, members), row_multiple)
+        for w, members in per_window[v]:
+            if exact:
+                new_plan.append((w, members, len(members)))
+                cursor += len(members)
+            else:
+                new_plan.append((w, members))
+                cursor += plan_entry_total((w, members), row_multiple)
         used = cursor - win_start
         if used > WINDOW:
             return plan  # capacity accounting failed: keep the safe path
