@@ -129,6 +129,9 @@ def main():
                     help="small sizes, 1e-4 only")
     ap.add_argument("--huge", action="store_true",
                     help="add the 10M-nnz HBM-scale config (slow setup)")
+    ap.add_argument("--giant", action="store_true",
+                    help="add the 100M-nnz single-chip config "
+                         "(BASELINE config 5 scale; minutes of setup)")
     ap.add_argument("--out", default=os.path.join(HERE, "report.json"))
     ap.add_argument("--time-limit", type=float, default=600.0)
     args = ap.parse_args()
@@ -175,6 +178,14 @@ def main():
             # scheduler at the 10M-nnz HBM-resident regime.
             record("sparse_huge_1e-4",
                    lambda: run_single(random_lp(262144, 524288, 40, 4),
+                                      1e-4, tl))
+        if args.giant:
+            # BASELINE.md config 5 scale (>100M nnz giant LP) on ONE
+            # chip: the multi-host variant needs N>=2 hosts (validated on
+            # CPU meshes in tests/test_multihost.py); this config proves
+            # the single-chip memory/layout/solve path at 1e8 nnz.
+            record("sparse_giant_1e-4",
+                   lambda: run_single(random_lp(2097152, 4194304, 48, 5),
                                       1e-4, tl))
     else:
         record("batched_64",

@@ -33,6 +33,12 @@ SPEEDUP_MIN = 1.05  # reference: >= 5% faster to switch
 MERIT_RTOL = 0.01   # reference: within 1% of baseline merit
 # Below this nnz the probe compiles cost more than any possible win.
 AUTOTUNE_MIN_NNZ = 10_000
+# Above this nnz, skip the probe and take the lane kernel directly when
+# it is available: the gather BASELINE chunk alone costs minutes (XLA's
+# TPU gather lowering runs ~35M elem/s, so one 20-iteration probe at
+# 100M nnz is ~2 x 20 x 3 s) while the lane kernel has never lost above
+# 1M nnz — the symmetric upper counterpart of AUTOTUNE_MIN_NNZ.
+AUTOTUNE_LANE_DIRECT_NNZ = 20_000_000
 
 
 def _time_chunk(run, lp, args, n_rep: int = 2) -> tuple[float, dict]:
@@ -70,6 +76,22 @@ def autotune_backends(run: Callable, lp: LpDevice, probe_args,
     # Lane kernel: TPU-only (interpret mode is too slow on CPU).  f64
     # problems use the compensated double-f32 kernel (lane_spmv_df64).
     lane_ok = jax.default_backend() != "cpu"
+    if lane_ok and lp.A.nnz >= AUTOTUNE_LANE_DIRECT_NNZ:
+        try:
+            cand = LpDevice(A=with_backend(lp.A, "lane"),
+                            AT=with_backend(lp.AT, "lane"),
+                            AL=lp.AL, AU=lp.AU, c=lp.c, l=lp.l, u=lp.u)
+            # One chunk as a compile/execute smoke check (no timing, no
+            # gather baseline): a lowering failure on a new shape must
+            # fall back to the probing path, not abort the solve.
+            _state, metrics = run(cand, *probe_args)
+            float(metrics["nrm_Rp"])
+            log(f"[autotune] nnz={lp.A.nnz} >= {AUTOTUNE_LANE_DIRECT_NNZ}: "
+                f"lane selected without probing")
+            return cand
+        except Exception as e:
+            log(f"[autotune] direct lane failed ({type(e).__name__}: {e}); "
+                f"probing")
     if lane_ok:
         # A dense matvec reads nrows*ncols*4 bytes per SpMV vs LaneELL's
         # ~30 bytes/nnz; below ~1% density dense cannot win — skip the

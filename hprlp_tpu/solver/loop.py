@@ -178,6 +178,10 @@ def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
                              use_ruiz=params.use_Ruiz_scaling,
                              use_pc=params.use_Pock_Chambolle_scaling,
                              use_bc=params.use_bc_scaling)
+    # The unscaled device matrices are dead from here on; dropping the
+    # local reference lets JAX free them (gigabytes at 100M nnz — the
+    # caller keeps its own reference when it passed _device_data in).
+    del lp_raw
     scal_host = {k: float(getattr(scal, k)) for k in
                  ("b_scale", "c_scale", "norm_b", "norm_c",
                   "norm_b_org", "norm_c_org")}

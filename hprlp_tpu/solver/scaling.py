@@ -127,19 +127,26 @@ def scale_matrix(A, AT, use_cr: bool = True, use_ruiz: bool = True,
     return A, AT, row_norm, col_norm
 
 
-@functools.partial(jax.jit, static_argnames=("use_cr", "use_ruiz", "use_pc",
-                                             "use_bc"))
-def scale_problem(lp: LpDevice, use_cr: bool = True, use_ruiz: bool = True,
-                  use_pc: bool = True, use_bc: bool = True
-                  ) -> tuple[LpDevice, ScalingInfo]:
+# One jit per enabled matrix pass.  A single fused program covering
+# CR + Ruiz + PC was measured to CRASH the TPU worker process at 100M
+# nnz (v5e via axon; each pass alone runs fine and fits comfortably in
+# HBM) — staging also lowers the peak of live intermediate buffers.
+# The batched path still traces scale_matrix as one program (shared-A
+# batched matrices are far below this regime).
+_cr_jit = jax.jit(lambda A, AT: scale_matrix(A, AT, True, False, False))
+_ruiz_jit = jax.jit(lambda A, AT: scale_matrix(A, AT, False, True, False))
+_pc_jit = jax.jit(lambda A, AT: scale_matrix(A, AT, False, False, True))
+
+
+@functools.partial(jax.jit, static_argnames=("use_bc",))
+def _scale_vectors(lp: LpDevice, A, AT, row_norm, col_norm,
+                   use_bc: bool) -> tuple[LpDevice, ScalingInfo]:
     AL, AU, c, l, u = lp.AL, lp.AU, lp.c, lp.l, lp.u
     dtype = c.dtype
 
     norm_b_org = 1.0 + jnp.linalg.norm(conceptual_b(AL, AU))
     norm_c_org = 1.0 + jnp.linalg.norm(c)
 
-    A, AT, row_norm, col_norm = scale_matrix(lp.A, lp.AT, use_cr, use_ruiz,
-                                             use_pc)
     AL = AL / row_norm
     AU = AU / row_norm
     c = c / col_norm
@@ -169,3 +176,25 @@ def scale_problem(lp: LpDevice, use_cr: bool = True, use_ruiz: bool = True,
                        norm_b_org=jnp.asarray(norm_b_org, dtype),
                        norm_c_org=jnp.asarray(norm_c_org, dtype))
     return scaled, info
+
+
+def scale_problem(lp: LpDevice, use_cr: bool = True, use_ruiz: bool = True,
+                  use_pc: bool = True, use_bc: bool = True
+                  ) -> tuple[LpDevice, ScalingInfo]:
+    """Full scaling pipeline: staged jits (see note above _cr_jit) with
+    the accumulated row/col divisors multiplied across stages (the
+    per-stage internal accumulation order matches the fused reference
+    pipeline; the cross-stage product only reassociates the final
+    multiply)."""
+    A, AT = lp.A, lp.AT
+    dtype = lp.c.dtype
+    row_norm = jnp.ones(A.nrows, dtype)
+    col_norm = jnp.ones(A.ncols, dtype)
+    for enabled, stage in ((use_cr, _cr_jit), (use_ruiz, _ruiz_jit),
+                           (use_pc, _pc_jit)):
+        if not enabled:
+            continue
+        A, AT, rn, cn = stage(A, AT)
+        row_norm = row_norm * rn
+        col_norm = col_norm * cn
+    return _scale_vectors(lp, A, AT, row_norm, col_norm, use_bc)
