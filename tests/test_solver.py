@@ -403,3 +403,32 @@ class TestInputValidation:
         with pytest.raises(ValueError, match="degenerate constraint"):
             h.Model.from_arrays(A, [np.inf], [np.inf], [0., 0.],
                                 [1., 1.], [1., 1.])
+
+
+def test_staged_scaling_matches_fused_composition():
+    """scale_problem runs one jit per matrix pass (a fused program
+    crashes the TPU worker at 100M nnz — scaling.py note); the staged
+    result must match the fused scale_matrix composition to fp
+    reassociation tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from hprlp_tpu.ops.device_problem import build_device_problem
+    from hprlp_tpu.ops.sparse import to_coo
+    from hprlp_tpu.solver.scaling import scale_matrix, scale_problem
+    from tests.conftest import random_lp
+
+    prob = random_lp(11, m=60, n=90, density=0.15)
+    lp, _ = build_device_problem(prob, dtype=jnp.float64)
+
+    scaled, info = scale_problem(lp)
+
+    A_f, AT_f, rn_f, cn_f = jax.jit(
+        lambda A, AT: scale_matrix(A, AT, True, True, True))(lp.A, lp.AT)
+    np.testing.assert_allclose(np.asarray(info.row_norm),
+                               np.asarray(rn_f), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(info.col_norm),
+                               np.asarray(cn_f), rtol=1e-12)
+    _, _, v_staged = to_coo(scaled.A)
+    _, _, v_fused = to_coo(A_f)
+    np.testing.assert_allclose(v_staged, v_fused, rtol=1e-12)
