@@ -78,6 +78,28 @@ def random_lp(m, n, nnz_per_row, seed=0, name=""):
                                  name=name or f"random{m}x{n}")
 
 
+def banded_lp(m, n, nnz_per_row, halfwidth, seed=0, name=""):
+    """Random LP with BANDED structure: row i's columns lie within
+    +-halfwidth of its diagonal position.  Giant real-world LPs
+    (network/staircase models) have this kind of locality; a giant
+    UNIFORM-random pattern is the aligned LaneELL layout's worst case
+    (nnz spread thinly over every (window, group-range) cell — see
+    ops/pallas_spmv.pack_tiles' HBM guard)."""
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(m), nnz_per_row)
+    center = (rows * (n / m)).astype(np.int64)
+    cols = (center + rng.integers(-halfwidth, halfwidth + 1,
+                                  size=m * nnz_per_row)) % n
+    vals = rng.normal(size=m * nnz_per_row)
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
+    A.sum_duplicates()
+    x_feas = rng.uniform(-1.0, 1.0, n)
+    Ax = A @ x_feas
+    return LpProblem.from_arrays(A, Ax - 1.0, Ax + 1.0, x_feas - 2.0,
+                                 x_feas + 2.0, rng.normal(size=n),
+                                 name=name or f"banded{m}x{n}")
+
+
 def run_single(problem, tol, time_limit, max_iter=500_000,
                precision=None):
     # precision "auto" resolves per-backend: f32 fast mode at 1e-4-grade
@@ -184,9 +206,16 @@ def main():
             # chip: the multi-host variant needs N>=2 hosts (validated on
             # CPU meshes in tests/test_multihost.py); this config proves
             # the single-chip memory/layout/solve path at 1e8 nnz.
-            record("sparse_giant_1e-4",
-                   lambda: run_single(random_lp(2097152, 4194304, 48, 5),
-                                      1e-4, tl))
+            # Banded structure: giant real LPs have locality; a giant
+            # UNIFORM pattern exceeds single-chip HBM in the aligned
+            # lane layout (pack_tiles guard) and needs a mesh.  75M nnz
+            # is the single-v5e ceiling for this family (the aligned
+            # layout pays ~8-10x slot padding at giant thin fill —
+            # docs/ROADMAP.md frontier note); 100M+ = mesh territory.
+            record("banded_giant_1e-4",
+                   lambda: run_single(
+                       banded_lp(1572864, 3145728, 48, 16384, 5),
+                       1e-4, tl))
     else:
         record("batched_64",
                lambda: run_batched(64, 96, 64, 3, 1e-4, tl))

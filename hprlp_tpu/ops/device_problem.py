@@ -100,9 +100,34 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
     # Poisson max/mean ratio (~2-3x on random matrices).  The plan is
     # rebuilt window-major (sub-buckets per width x window), so every
     # item may land in any window.
-    plan_A = _layout_windows(plan_A, A.indptr, A.indices, n, row_multiple)
-    plan_AT = _layout_windows(plan_AT, AT.indptr, AT.indices, m,
-                              row_multiple)
+    #
+    # BUT spreading is the WRONG move when the (window, group-range) grid
+    # is much larger than nnz can fill (giant matrices, or structured
+    # ones whose locality the spread would destroy): every touched cell
+    # pays the aligned layout's grange-max depth, so thin fill explodes
+    # slot padding (measured 11x at 100M uniform nnz — tiles would not
+    # fit HBM).  Both layouts are cheap to SCORE exactly (the per-lane
+    # depth term of the aligned cost), so compute both and keep the
+    # cheaper pair.
+    plan_A_bal = _layout_windows(plan_A, A.indptr, A.indices, n,
+                                 row_multiple)
+    plan_AT_bal = _layout_windows(plan_AT, AT.indptr, AT.indices, m,
+                                  row_multiple)
+    if plan_A_bal is not plan_A or plan_AT_bal is not plan_AT:
+        def pair_cost(pa, pat):
+            rp = _positions_from_plan(pa, m, row_multiple)
+            cp = _positions_from_plan(pat, n, row_multiple)
+            return (_aligned_lane_cost(A.indptr, A.indices, rp, cp)
+                    + _aligned_lane_cost(AT.indptr, AT.indices, cp, rp))
+
+        cost_bal = pair_cost(plan_A_bal, plan_AT_bal)
+        cost_plain = pair_cost(plan_A, plan_AT)
+        # Prefer the balanced layout on ties (residue balancing composes
+        # better with it; measured equal-or-better everywhere dense).
+        if cost_bal <= cost_plain * 1.1:
+            plan_A, plan_AT = plan_A_bal, plan_AT_bal
+    else:
+        plan_A, plan_AT = plan_A_bal, plan_AT_bal
 
     # Residue pass: with windows balanced, the binding LaneELL constraint
     # becomes residue collisions (distinct columns sharing pos%128 within
@@ -152,6 +177,33 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
                     obj_constant=float(problem.obj_constant),
                     objective_sense=problem.objective_sense)
     return dev, maps
+
+
+def _aligned_lane_cost(indptr, indices, row_pos, col_pos) -> int:
+    """Lower-bound aligned-layout sub-block count for one matrix under
+    candidate row/col positions: sum over (x-window, 128-group range) of
+    the range's max per-(window, group, lane) entry count.  This is the
+    per-lane depth term of the scheduler's Konig bound (the residue term
+    is ignored: it rarely binds after the residue-balance pass and the
+    lane term dominates the thin-fill regime this estimate arbitrates)."""
+    from .lane_ell import LANES, WINDOW
+
+    rows_p = np.repeat(row_pos, np.diff(indptr))
+    cols_p = col_pos[indices]
+    g = rows_p // LANES
+    lane = rows_p % LANES
+    w = cols_p // WINDOW
+    G = int(g.max()) + 1 if len(g) else 1
+    key = (w * G + g) * LANES + lane
+    uk, cnt = np.unique(key, return_counts=True)
+    cell = uk // LANES  # (w, g), sorted
+    starts = np.concatenate([[0], np.nonzero(np.diff(cell))[0] + 1])
+    cell_max = np.maximum.reduceat(cnt, starts)
+    cells = cell[starts]
+    n_gr = -(-G // LANES)
+    wg = (cells // G) * n_gr + (cells % G) // LANES  # (w, grange), sorted
+    starts2 = np.concatenate([[0], np.nonzero(np.diff(wg))[0] + 1])
+    return int(np.maximum.reduceat(cell_max, starts2).sum())
 
 
 def _layout_windows(plan, indptr, indices, n_partners: int,

@@ -235,6 +235,28 @@ def pack_tiles(tiles: dict, n_pad: int, dtype) -> dict:
                        or gbase.max() + LANES > g_alloc):
         raise AssertionError("lane scheduler emitted an out-of-range gbase")
 
+    # HBM guard: the ALIGNED layout pays the (window, 128-group-range)
+    # max depth for every group, so a giant matrix whose nnz spread
+    # THINLY over many windows x granges (e.g. 100M uniform-random
+    # entries -> ~11x slot padding, ~6.6 GB of tiles per matrix) can
+    # exceed HBM — and a mid-transfer device OOM can take the whole TPU
+    # worker down on some platforms.  Fail here with a clear message
+    # instead; the autotuner falls back to another backend.  Structured
+    # matrices (the realistic giant case) have dense cells and low
+    # padding.  Override with HPRLP_LANE_TILE_BUDGET_GB.
+    import os
+
+    budget_gb = float(os.environ.get("HPRLP_LANE_TILE_BUDGET_GB", "5.5"))
+    per_slot = 6 if np.dtype(dtype) != np.float64 else 10
+    est = tiles["vals"].size * per_slot
+    if est > budget_gb * 1e9:
+        raise MemoryError(
+            f"lane tiles would need ~{est / 1e9:.1f} GB "
+            f"(> {budget_gb:.1f} GB budget): the matrix's nnz spread too "
+            f"thinly over the (window, group-range) grid for the aligned "
+            f"layout ({tiles['vals'].size / 1e6:.0f}M slots). Shard over "
+            f"more chips, or raise HPRLP_LANE_TILE_BUDGET_GB.")
+
     out = {
         "idx1t": jnp.asarray(tiles["idx1t"].astype(np.int8)),
         "idx2": jnp.asarray(tiles["idx2"].astype(np.int8)),

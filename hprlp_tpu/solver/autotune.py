@@ -77,6 +77,7 @@ def autotune_backends(run: Callable, lp: LpDevice, probe_args,
     # problems use the compensated double-f32 kernel (lane_spmv_df64).
     lane_ok = jax.default_backend() != "cpu"
     if lane_ok and lp.A.nnz >= AUTOTUNE_LANE_DIRECT_NNZ:
+        cand = None
         try:
             cand = LpDevice(A=with_backend(lp.A, "lane"),
                             AT=with_backend(lp.AT, "lane"),
@@ -90,8 +91,14 @@ def autotune_backends(run: Callable, lp: LpDevice, probe_args,
                 f"lane selected without probing")
             return cand
         except Exception as e:
-            log(f"[autotune] direct lane failed ({type(e).__name__}: {e}); "
-                f"probing")
+            # Release any partially-attached lane tiles (gigabytes at
+            # this size) BEFORE probing other backends, or the fallback
+            # inherits the failed candidate's HBM and OOMs too.
+            cand = None  # noqa: F841
+            lane_ok = False
+            print(f"[hprlp_tpu] direct lane selection failed "
+                  f"({type(e).__name__}: {e}); probing other backends",
+                  flush=True)
     if lane_ok:
         # A dense matvec reads nrows*ncols*4 bytes per SpMV vs LaneELL's
         # ~30 bytes/nnz; below ~1% density dense cannot win — skip the
