@@ -329,3 +329,48 @@ class TestSchedulerPeel:
                           shape=(1024, ncols_used * LANES + 6))
         A.sum_duplicates()
         self._exact_and_bounded(A, 1024, 4096)
+
+
+def test_aligned_lane_cost_is_lower_bound_and_tight():
+    """_aligned_lane_cost (the layout chooser's estimator) must lower-
+    bound the actual scheduled sub-block count and be reasonably tight
+    on a dense-fill matrix."""
+    import scipy.sparse as sp
+
+    from hprlp_tpu.ops.device_problem import (_aligned_lane_cost,
+                                              build_device_problem)
+    from hprlp_tpu.ops.lane_ell import LANES, WINDOW
+    from hprlp_tpu.ops.sparse import to_coo
+    from hprlp_tpu.problem import LpProblem
+
+    rng = np.random.default_rng(5)
+    m, n, k = 2048, 4096, 12
+    rows = np.repeat(np.arange(m), k)
+    cols = rng.integers(0, n, size=m * k)
+    vals = rng.normal(size=m * k)
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
+    A.sum_duplicates()
+    prob = LpProblem.from_arrays(A, -np.ones(m), np.ones(m),
+                                 np.zeros(n), np.ones(n), np.ones(n))
+    lp, maps = build_device_problem(prob)
+
+    rows_p, cols_p, _ = to_coo(lp.A)
+    # Recover positions-by-original-id arrays from the built layout.
+    est = _aligned_lane_cost(A.indptr, A.indices, maps.row_pos,
+                             maps.col_pos)
+
+    # Actual sub-blocks from the shipped tiles: non-filler sub-blocks of
+    # a (w, grange) carry gbase aligned to that grange.
+    g = rows_p // LANES
+    w = cols_p // WINDOW
+    sub = np.zeros(len(rows_p), np.int64)
+    from hprlp_tpu.ops.lane_ell import schedule_lane_ell
+    tiles = schedule_lane_ell(rows_p, cols_p, np.ones(len(rows_p)),
+                              lp.A.nrows, lp.A.ncols)
+    # count real (non-filler) sub-blocks: fillers have no entries; count
+    # distinct (chunk, sub-block) pairs holding at least one value != 0
+    C = tiles["vals"].shape[0]
+    nz = np.abs(tiles["vals"]).reshape(C * 8, 128, 128).sum(axis=(1, 2))
+    actual = int((nz > 0).sum())
+    assert est <= actual
+    assert actual <= est * 1.6, (est, actual)  # tight on dense fill
