@@ -260,6 +260,432 @@ def schedule_lane_ell(rows_p: np.ndarray, cols_p: np.ndarray,
     }
 
 
+# ---------------------------------------------------------------------------
+# Thin-cell (packed) LaneELL: the hybrid kernel's secondary path.
+#
+# The ALIGNED layout above pays the (window, 128-group range) MAX depth for
+# every group in the range, and each sublane serves exactly one group — so a
+# GIANT matrix whose nonzeros spread thinly over the (window, grange) grid
+# explodes slot padding (measured ~11x at 100M uniform nnz, ~8x on banded
+# giants; docs/ROADMAP.md frontier note).  The THIN layout packs sublanes
+# from ANY group of the grange into a sub-block and flushes through an
+# INVERSE-PERMUTATION lane gather instead of the aligned block add:
+#
+#   per sub-block j (one window w, one 128-group range at gbase):
+#     p    = gathered-and-multiplied products, exactly as aligned (128, 128)
+#     f    = p[0:K] + p[K:2K] + ... + p[(phi-1)K:]      (K = 128 / phi)
+#     z    = f.T gathered along sublanes: z[l, d] = f[inv[l, d], l]
+#     y2[gbase + d, l] += z[d-major].T
+#
+# Each output row (group offset d, lane l) owns ONE position q in 0..K-1;
+# the row's <= phi entries in this (window, sub-block) sit at sublanes
+# sigma*K + q (distinct strata sigma) and the fold sums them — so per-(row,
+# window) multiplicity up to phi costs NO extra sub-blocks.  Unused (d, l)
+# point at a per-lane empty position (all strata zero), so the gather adds
+# exact zeros.  The price vs aligned is ~3 extra vector ops per sub-block
+# and one int8 inv tile; the payoff is that sub-blocks fill with whatever
+# entries the cell has instead of paying group-aligned depth padding.
+#
+# Scheduling constraints per thin sub-block:
+#   * one x-window, one 128-group range (as aligned);
+#   * one entry per (stratum, position, lane) slot;
+#   * at most one DISTINCT column per (sublane, residue) — phase-1, as
+#     aligned;
+#   * at most one POSITION per output row (inv maps (d, l) to one q);
+#   * at most K-1 used positions per lane (reserve the empty default).
+# ---------------------------------------------------------------------------
+
+
+def _pack_thin_py(rows_s: np.ndarray, cols_s: np.ndarray, phi: int,
+                  out_sb: np.ndarray, out_sub: np.ndarray):
+    """Pure-Python thin packer (native mirror: hpres_lane_pack_thin).
+
+    rows_s/cols_s: padded positions pre-sorted by (window, grange, row,
+    col).  Writes per-entry global sub-block id / sublane (sigma*K + q)
+    and returns (sb_wid, sb_gbase) per sub-block.  Deterministic: cells in
+    input order; rows by (count desc, row); chunks of <= phi entries in
+    col order; first-fit over (sub-block, position, strata)."""
+    K = LANES // phi
+    n = len(rows_s)
+    sb_wid: list[int] = []
+    sb_gbase: list[int] = []
+
+    w_all = cols_s // WINDOW
+    gr_all = rows_s // (LANES * LANES)
+    e = 0
+    while e < n:
+        w, gr = w_all[e], gr_all[e]
+        b_end = e
+        while b_end < n and w_all[b_end] == w and gr_all[b_end] == gr:
+            b_end += 1
+        gbase = int(gr) * LANES
+
+        # Row runs within the cell (sorted by row).
+        r_starts = [e]
+        for i in range(e + 1, b_end):
+            if rows_s[i] != rows_s[i - 1]:
+                r_starts.append(i)
+        r_starts.append(b_end)
+        rows_idx = list(range(len(r_starts) - 1))
+        rows_idx.sort(key=lambda ri: (-(r_starts[ri + 1] - r_starts[ri]),
+                                      rows_s[r_starts[ri]]))
+
+        base_sb = len(sb_wid)
+        blocks: list[dict] = []  # cell-local state
+
+        def new_block():
+            blocks.append({
+                "pos_used": np.zeros((K, LANES), bool),
+                "pos_cnt": np.zeros(LANES, np.int32),
+                "strat": np.zeros((K, LANES), np.uint32),  # sigma bitmask
+                "rescol": [dict() for _ in range(LANES)],
+            })
+            sb_wid.append(int(w))
+            sb_gbase.append(gbase)
+
+        for ri in rows_idx:
+            a, b = r_starts[ri], r_starts[ri + 1]
+            lane = int(rows_s[a] % LANES)
+            used_b: set[int] = set()
+            for ca in range(a, b, phi):
+                chunk = range(ca, min(ca + phi, b))
+                placed = False
+                bi = 0
+                while not placed:
+                    if bi == len(blocks):
+                        new_block()
+                    B = blocks[bi]
+                    if bi in used_b or B["pos_cnt"][lane] >= K - 1:
+                        bi += 1
+                        continue
+                    for q in range(K):
+                        if B["pos_used"][q, lane]:
+                            continue
+                        smask = int(B["strat"][q, lane])
+                        assign = []
+                        ok = True
+                        for ei in chunk:
+                            col = int(cols_s[ei])
+                            rho = col % LANES
+                            found = -1
+                            for sg in range(phi):
+                                if (smask >> sg) & 1:
+                                    continue
+                                s = sg * K + q
+                                c0 = B["rescol"][s].get(rho, col)
+                                if c0 == col:
+                                    found = sg
+                                    break
+                            if found < 0:
+                                ok = False
+                                break
+                            smask |= 1 << found
+                            assign.append((ei, found))
+                        if not ok:
+                            continue
+                        # Commit.
+                        for ei, sg in assign:
+                            col = int(cols_s[ei])
+                            s = sg * K + q
+                            B["rescol"][s][col % LANES] = col
+                            out_sb[ei] = base_sb + bi
+                            out_sub[ei] = s
+                        B["pos_used"][q, lane] = True
+                        B["strat"][q, lane] = smask
+                        B["pos_cnt"][lane] += 1
+                        used_b.add(bi)
+                        placed = True
+                        break
+                    if not placed:
+                        bi += 1
+        e = b_end
+    return (np.asarray(sb_wid, np.int32), np.asarray(sb_gbase, np.int64))
+
+
+def _pack_thin(rows_s: np.ndarray, cols_s: np.ndarray, phi: int):
+    """Thin packer dispatch: native C++ when available, Python fallback.
+    Returns (out_sb, out_sub, sb_wid, sb_gbase)."""
+    n = len(rows_s)
+    out_sb = np.zeros(n, np.int64)
+    out_sub = np.zeros(n, np.int32)
+    try:
+        from ..native import get_lib
+
+        lib = get_lib()
+    except Exception:
+        lib = None
+    if lib is not None and n and hasattr(lib, "hpres_lane_pack_thin"):
+        cap = n + 8
+        wid = np.zeros(cap, np.int32)
+        gbase = np.zeros(cap, np.int64)
+        n_sb = lib.hpres_lane_pack_thin(
+            n, np.ascontiguousarray(rows_s), np.ascontiguousarray(cols_s),
+            phi, out_sb, out_sub, wid, gbase, cap)
+        if n_sb >= 0:
+            return out_sb, out_sub, wid[:n_sb], gbase[:n_sb]
+    sb_wid, sb_gbase = _pack_thin_py(rows_s, cols_s, phi, out_sb, out_sub)
+    return out_sb, out_sub, sb_wid, sb_gbase
+
+
+def schedule_thin(rows_p: np.ndarray, cols_p: np.ndarray, vals: np.ndarray,
+                  m_pad: int, n_pad: int, phi: int = 4,
+                  with_cols: bool = False) -> dict:
+    """Schedule entries into thin (packed) LaneELL chunk tiles.
+
+    Same idx1t/idx2/vals tile formats as schedule_lane_ell; the aligned
+    gid alignment is replaced by `invt` (C, 128, CHUNK_SUB) int8 — the
+    per-sub-block inverse map invt[c][l, j*128 + d] = source position q
+    (into the phi-fold of the sub-block's sublanes) for output row
+    (gbase[c, j] + d) * 128 + l."""
+    assert LANES % phi == 0 and phi < LANES
+    K = LANES // phi
+    G = m_pad // LANES
+    n_win = -(-n_pad // WINDOW)
+    n = len(rows_p)
+
+    w_all = cols_p // WINDOW
+    gr_all = rows_p // (LANES * LANES)
+    order = np.lexsort((cols_p, rows_p, w_all * np.int64(max(1, -(-G // LANES))) + gr_all))
+    rs = rows_p[order]
+    cs = cols_p[order]
+    vs = np.asarray(vals)[order]
+
+    out_sb, out_sub, sb_wid, sb_gbase = _pack_thin(rs, cs, phi)
+    n_sb = len(sb_wid)
+    if n_sb == 0:
+        sb_wid = np.zeros(1, np.int32)
+        sb_gbase = np.zeros(1, np.int64)
+        n_sb = 1
+
+    # Chunk padding: sub-blocks arrive grouped by window (cells are sorted
+    # by (w, grange)); pad each window's run to a SUBBLOCKS multiple with
+    # filler sub-blocks (zero values => exact zero flush).
+    runs = np.nonzero(np.diff(sb_wid))[0] + 1
+    starts = np.concatenate([[0], runs, [n_sb]])
+    counts = np.diff(starts)
+    padded = -(-counts // SUBBLOCKS) * SUBBLOCKS
+    offs = np.zeros(len(counts), np.int64)
+    np.cumsum(padded[:-1], out=offs[1:])
+    run_of_sb = np.repeat(np.arange(len(counts)), counts)
+    rank = np.arange(n_sb) - np.repeat(starts[:-1], counts)
+    new_sb = offs[run_of_sb] + rank                 # old sb -> padded slot
+    n_sb_pad = int(padded.sum())
+    C = n_sb_pad // SUBBLOCKS
+
+    # Fillers inherit their run's window (chunk wid must match).
+    wid_pad = np.repeat(sb_wid[starts[:-1]], padded).astype(np.int32)
+    gbase_pad = np.zeros(n_sb_pad, np.int64)
+    gbase_pad[new_sb] = sb_gbase
+
+    l_all = (rs % LANES).astype(np.int64)
+    r_all = ((cs % WINDOW) // LANES).astype(np.int64)
+    rho_all = (cs % LANES).astype(np.int64)
+    d_all = (rs // LANES) - gbase_pad[new_sb[out_sb]]
+    assert n == 0 or (d_all.min() >= 0 and d_all.max() < LANES)
+
+    T_pad = n_sb_pad * LANES
+    s_ent = new_sb[out_sb] * LANES + out_sub
+    idx1 = np.zeros((T_pad, LANES), np.int32)
+    idx2 = np.zeros((T_pad, LANES), np.int32)
+    vtile = np.zeros((T_pad, LANES), vs.dtype)
+    idx1[s_ent, rho_all] = r_all.astype(np.int32)
+    idx2[s_ent, l_all] = rho_all.astype(np.int32)
+    vtile[s_ent, l_all] = vs
+    if with_cols:
+        ctile = np.full((T_pad, LANES), -1, np.int64)
+        ctile[s_ent, l_all] = cs
+    else:
+        ctile = None
+
+    # inv: default per (sb, lane) = first position with no entry at any
+    # stratum (guaranteed by the packer's K-1 cap), entries overwrite.
+    occ = np.zeros((n_sb_pad, K, LANES), bool)
+    occ[new_sb[out_sb], out_sub % K, l_all] = True
+    q_empty = np.argmin(occ, axis=1).astype(np.int8)  # (n_sb_pad, LANES)
+    assert not occ.all(axis=1).any(), "thin packer left no empty position"
+    inv = np.empty((n_sb_pad, LANES, LANES), np.int8)  # (sb, d, l)
+    inv[:] = q_empty[:, None, :]
+    inv[new_sb[out_sb], d_all, l_all] = (out_sub % K).astype(np.int8)
+    # Tile layout matches idx1t: (C, LANES=l, CHUNK_SUB=j*128+d).
+    invt = np.ascontiguousarray(
+        inv.reshape(C, SUBBLOCKS * LANES, LANES).transpose(0, 2, 1))
+
+    return {
+        "idx1t": np.ascontiguousarray(
+            idx1.reshape(C, CHUNK_SUB, LANES).transpose(0, 2, 1)),
+        "idx2": idx2.reshape(C, CHUNK_SUB, LANES),
+        "vals": vtile.reshape(C, CHUNK_SUB, LANES),
+        "cols": (ctile.reshape(C, CHUNK_SUB, LANES)
+                 if ctile is not None else None),
+        "invt": invt,
+        "gbase": gbase_pad.reshape(C, SUBBLOCKS).astype(np.int32),
+        "wid": wid_pad.reshape(C, SUBBLOCKS)[:, 0].astype(np.int32),
+        "phi": phi,
+        "G": G,
+        "n_windows": n_win,
+    }
+
+
+def thin_spmv_reference(tiles: dict, x_pad: np.ndarray) -> np.ndarray:
+    """NumPy oracle of the thin (packed) kernel (for tests)."""
+    G = tiles["G"]
+    phi = tiles["phi"]
+    K = LANES // phi
+    n_win = -(-len(x_pad) // WINDOW)
+    if n_win * WINDOW != len(x_pad):
+        x_pad = np.concatenate(
+            [x_pad, np.zeros(n_win * WINDOW - len(x_pad), x_pad.dtype)])
+    x3 = x_pad.reshape(n_win, LANES, LANES)
+    C = tiles["idx2"].shape[0]
+    g_alloc = -(-max(G, LANES) // LANES) * LANES
+    y2 = np.zeros((g_alloc, LANES), x_pad.dtype)
+    lanes = np.arange(LANES)
+    for c in range(C):
+        W = x3[tiles["wid"][c]]
+        idx1 = tiles["idx1t"][c].T
+        g0 = W[idx1, lanes[None, :]]
+        g1 = np.take_along_axis(g0, tiles["idx2"][c], axis=1)
+        p = g1 * tiles["vals"][c]
+        for j in range(SUBBLOCKS):
+            pj = p[j * LANES:(j + 1) * LANES]
+            f = pj.reshape(phi, K, LANES).sum(axis=0)
+            inv = tiles["invt"][c][:, j * LANES:(j + 1) * LANES]  # (l, d)
+            z = f[inv, lanes[:, None]]                            # (l, d)
+            gb = tiles["gbase"][c, j]
+            y2[gb:gb + LANES] += z.T
+    return y2[:G].reshape(-1)
+
+
+# Thin sub-block time vs aligned: the thin flush adds one lane gather and
+# two transposes per sub-block (measured 1.3-1.7x per chunk on v5e;
+# benchmarks/prof_kernel_variants.py).  The router only picks thin when
+# the sub-block saving clears this factor.
+THIN_COST_FACTOR = 1.55
+
+
+def route_cells(rows_p: np.ndarray, cols_p: np.ndarray, m_pad: int,
+                phis=(1, 2, 4, 8), factor: float = THIN_COST_FACTOR):
+    """Per-(window, grange) cell routing: aligned vs thin, and the fold
+    factor phi (one per matrix — the kernel's fold is static).
+
+    Aligned cost per cell = max over its (w, g) blocks of the per-lane
+    Konig term (max per-(row, window) entry count — the dominant term; the
+    residue term rarely binds after residue balancing and never in the
+    thin regime this router arbitrates).  Thin cost = the packing lower
+    bound: max(slots, per-row-multiplicity / phi, per-lane slot and
+    position capacities).  Returns (thin_entry_mask, phi, stats_dict)."""
+    n = len(rows_p)
+    if n == 0:
+        return np.zeros(0, bool), phis[0], {"aligned_sb": 0, "thin_sb": 0}
+    G = m_pad // LANES
+    GR = max(1, -(-G // LANES))
+    w_all = cols_p // WINDOW
+    cell_all = w_all * np.int64(GR) + rows_p // (LANES * LANES)
+    order = np.lexsort((rows_p, cell_all))
+    cell_s = cell_all[order]
+    rows_s = rows_p[order]
+
+    # (cell, row) runs.
+    new_row = np.ones(n, bool)
+    new_row[1:] = (rows_s[1:] != rows_s[:-1]) | (cell_s[1:] != cell_s[:-1])
+    row_start = np.nonzero(new_row)[0]
+    row_cnt = np.diff(np.append(row_start, n))
+    row_cell = cell_s[row_start]
+    row_lane = rows_s[row_start] % LANES
+    row_g = rows_s[row_start] // LANES
+
+    # Cell runs over rows.
+    new_cell = np.ones(len(row_start), bool)
+    new_cell[1:] = row_cell[1:] != row_cell[:-1]
+    cell_start = np.nonzero(new_cell)[0]
+    cell_ids = row_cell[cell_start]
+    n_cells = len(cell_ids)
+    cell_E = np.add.reduceat(row_cnt, cell_start)
+
+    # Aligned: max per-(w,g) block of max row count.
+    new_blk = new_cell | np.concatenate(
+        [[True], row_g[1:] != row_g[:-1]])
+    blk_start = np.nonzero(new_blk)[0]
+    blk_max = np.maximum.reduceat(row_cnt, blk_start)
+    blk_cell_idx = np.cumsum(new_cell) - 1
+    aligned_sb = np.zeros(n_cells, np.int64)
+    np.maximum.at(aligned_sb, blk_cell_idx[blk_start], blk_max)
+
+    # Thin terms per phi.
+    cell_of_row = np.cumsum(new_cell) - 1
+    lane_key = cell_of_row * LANES + row_lane
+    cnt_cl = np.bincount(lane_key, weights=row_cnt,
+                         minlength=n_cells * LANES).astype(np.int64)
+    slots_term = -(-cell_E // (LANES * LANES))
+    lane_slot_term = np.zeros(n_cells, np.int64)
+    np.maximum.at(lane_slot_term.reshape(-1),
+                  lane_key // LANES, -(-cnt_cl[lane_key] // LANES))
+
+    best = None
+    for phi in phis:
+        K = LANES // phi
+        if K < 2:
+            continue
+        pos_rows = -(-row_cnt // phi)
+        mult_term = np.zeros(n_cells, np.int64)
+        np.maximum.at(mult_term, cell_of_row, pos_rows)
+        pos_cl = np.bincount(lane_key, weights=pos_rows,
+                             minlength=n_cells * LANES).astype(np.int64)
+        lane_pos_term = np.zeros(n_cells, np.int64)
+        np.maximum.at(lane_pos_term, lane_key // LANES,
+                      -(-pos_cl[lane_key] // (K - 1)))
+        thin_sb = np.maximum.reduce(
+            [slots_term, mult_term, lane_slot_term, lane_pos_term])
+        cost = np.minimum(aligned_sb,
+                          np.ceil(factor * thin_sb).astype(np.int64))
+        total = int(cost.sum())
+        if best is None or total < best[0]:
+            best = (total, phi, thin_sb)
+    _, phi, thin_sb = best
+
+    thin_cells = factor * thin_sb < aligned_sb
+    # Entry mask: cells sorted by id; map each entry's cell to its index.
+    idx = np.searchsorted(cell_ids, cell_all)
+    thin_mask = thin_cells[idx]
+    stats = {
+        "aligned_sb": int(aligned_sb[~thin_cells].sum()),
+        "aligned_sb_if_all": int(aligned_sb.sum()),
+        "thin_sb": int(thin_sb[thin_cells].sum()),
+        "n_cells": n_cells,
+        "n_thin_cells": int(thin_cells.sum()),
+        "phi": phi,
+    }
+    return thin_mask, phi, stats
+
+
+def schedule_hybrid(rows_p: np.ndarray, cols_p: np.ndarray,
+                    vals: np.ndarray, m_pad: int, n_pad: int,
+                    with_cols: bool = False, phis=(1, 2, 4, 8)) -> dict:
+    """Route cells and schedule both tile sets.
+
+    Returns {"aligned": tiles | None, "thin": tiles | None, "phi", "G",
+    "n_windows", "stats"} — the hybrid SpMV is the sum of the two kernels'
+    outputs (either may be absent).  This is the TPU-native answer to the
+    giant-LP regime (SURVEY §5.7; the CUDA reference caps out at one GPU's
+    memory with CSR, include/structs.h:17-19 — no counterpart)."""
+    rows_p = np.asarray(rows_p)
+    cols_p = np.asarray(cols_p)
+    vals = np.asarray(vals)
+    thin_mask, phi, stats = route_cells(rows_p, cols_p, m_pad, phis=phis)
+    aligned = thin = None
+    if (~thin_mask).any() or not thin_mask.any():
+        aligned = schedule_lane_ell(rows_p[~thin_mask], cols_p[~thin_mask],
+                                    vals[~thin_mask], m_pad, n_pad,
+                                    with_cols=with_cols)
+    if thin_mask.any():
+        thin = schedule_thin(rows_p[thin_mask], cols_p[thin_mask],
+                             vals[thin_mask], m_pad, n_pad, phi=phi,
+                             with_cols=with_cols)
+    return {"aligned": aligned, "thin": thin, "phi": phi,
+            "G": m_pad // LANES, "n_windows": -(-n_pad // WINDOW),
+            "stats": stats}
+
+
 def lane_spmv_reference(tiles: dict, x_pad: np.ndarray) -> np.ndarray:
     """NumPy oracle of the windowed two-phase kernel (for tests)."""
     G = tiles["G"]

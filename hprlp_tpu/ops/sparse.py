@@ -76,13 +76,28 @@ class EllMatrix:
     mesh_axis: str = dataclasses.field(default="d",
                                        metadata=dict(static=True))
     dense: jax.Array | None = None  # (nrows, ncols) when backend == "dense"
-    # LaneELL tiles (backend == "lane"); see ops/lane_ell.py.
+    # LaneELL tiles (backend == "lane"); see ops/lane_ell.py.  The lane
+    # backend is HYBRID: cells (window, 128-group ranges) with dense fill
+    # use the ALIGNED tiles (reduction-free flush), thin-fill cells use
+    # the PACKED tiles (inverse-permutation flush) — either set may be
+    # absent; spmv sums both kernels' outputs.
     lane_idx1t: jax.Array | None = None  # (C, 128, CHUNK_SUB) int8
     lane_idx2: jax.Array | None = None   # (C, CHUNK_SUB, 128) int8
     lane_vals: jax.Array | None = None   # (C, CHUNK_SUB, 128) f32 (hi)
     lane_vals_lo: jax.Array | None = None  # f32 low parts (f64 problems)
     lane_gbase: jax.Array | None = None  # (C*SUBBLOCKS,) int32
     lane_wid: jax.Array | None = None    # (C,) int32
+    # Thin (packed) tiles for thin-fill cells (ops/lane_ell.py thin-cell
+    # notes; kernel in ops/pallas_spmv.thin_spmv).
+    thin_idx1t: jax.Array | None = None
+    thin_idx2: jax.Array | None = None
+    thin_invt: jax.Array | None = None   # (Ct, 128, CHUNK_SUB) int8
+    thin_vals: jax.Array | None = None
+    thin_vals_lo: jax.Array | None = None
+    thin_gbase: jax.Array | None = None
+    thin_wid: jax.Array | None = None
+    thin_phi: int = dataclasses.field(default=1,
+                                      metadata=dict(static=True))
 
     @property
     def dtype(self):
@@ -122,57 +137,108 @@ def to_coo(A: EllMatrix):
             np.concatenate(vals).astype(np.float64))
 
 
-def attach_lane(A: EllMatrix) -> EllMatrix:
-    """Build and attach LaneELL tiles (host scheduling round-trip).
+def _shard_packed(packed: dict, mesh, mesh_axis: str,
+                  keys=("idx1t", "idx2", "invt", "vals", "vals_lo", "wid",
+                        "gbase")) -> dict:
+    """Pad the chunk axis to the mesh size and chunk-shard the tiles
+    (empty padding chunks contribute exact zeros)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    When A carries a device mesh, the chunk axis is padded to a multiple
-    of the mesh size and every tile array is placed chunk-sharded over it
-    (empty padding chunks contribute exact zeros); spmv() then runs the
-    kernel under shard_map with a psum of the per-device partial y."""
-    from .lane_ell import CHUNK_SUB, LANES, SUBBLOCKS, schedule_lane_ell
-    from .pallas_spmv import pack_tiles
+    from .lane_ell import SUBBLOCKS
+
+    n_dev = mesh.devices.size
+    C = int(packed["idx2"].shape[0])
+    C_pad = -(-C // n_dev) * n_dev
+    if C_pad != C:
+        pad = C_pad - C
+
+        def padc(arr, fill=0):
+            shape = (pad,) + tuple(arr.shape[1:])
+            return jnp.concatenate(
+                [arr, jnp.full(shape, fill, arr.dtype)], axis=0)
+
+        packed = dict(packed)
+        for k in ("idx1t", "idx2", "invt", "vals", "vals_lo", "wid"):
+            if packed.get(k) is not None:
+                packed[k] = padc(packed[k])
+        packed["gbase"] = jnp.concatenate(
+            [packed["gbase"],
+             jnp.zeros(pad * SUBBLOCKS, packed["gbase"].dtype)])
+    from ..parallel.distributed import global_put
+
+    shard = NamedSharding(mesh, P(mesh_axis))
+    packed = dict(packed)
+    for k in keys:
+        if packed.get(k) is not None:
+            packed[k] = global_put(np.asarray(packed[k]), shard)
+    return packed
+
+
+def attach_lane(A: EllMatrix) -> EllMatrix:
+    """Build and attach hybrid LaneELL tiles (host scheduling round-trip).
+
+    Cells are routed per (window, 128-group range) between the ALIGNED
+    layout (dense fill) and the THIN packed layout (thin fill); see
+    ops/lane_ell.schedule_hybrid.  When A carries a device mesh, both tile
+    sets' chunk axes are padded to a multiple of the mesh size and placed
+    chunk-sharded over it; spmv() then runs the kernels under shard_map
+    with a psum of the per-device partial y."""
+    import os
+
+    from .lane_ell import schedule_hybrid
+    from .pallas_spmv import estimate_tile_bytes, pack_tiles
 
     rows_p, cols_p, vals = to_coo(A)
-    tiles = schedule_lane_ell(rows_p, cols_p, vals, A.nrows, A.ncols)
-    packed = pack_tiles(tiles, A.ncols, A.dtype)
+    hy = schedule_hybrid(rows_p, cols_p, vals, A.nrows, A.ncols)
+
+    budget_gb = float(os.environ.get("HPRLP_LANE_TILE_BUDGET_GB", "5.5"))
+    total = sum(estimate_tile_bytes(t, A.dtype)
+                for t in (hy["aligned"], hy["thin"]) if t is not None)
+    if total > budget_gb * 1e9:
+        raise MemoryError(
+            f"hybrid lane tiles would need ~{total / 1e9:.1f} GB "
+            f"(> {budget_gb:.1f} GB budget). Shard over more chips, or "
+            f"raise HPRLP_LANE_TILE_BUDGET_GB.")
+
+    packed_a = (pack_tiles(hy["aligned"], A.ncols, A.dtype)
+                if hy["aligned"] is not None else None)
+    packed_t = (pack_tiles(hy["thin"], A.ncols, A.dtype)
+                if hy["thin"] is not None else None)
 
     if A.mesh is not None:
-        import numpy as _np
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        if packed_a is not None:
+            packed_a = _shard_packed(packed_a, A.mesh, A.mesh_axis)
+        if packed_t is not None:
+            packed_t = _shard_packed(packed_t, A.mesh, A.mesh_axis)
 
-        n_dev = A.mesh.devices.size
-        C = int(packed["idx2"].shape[0])
-        C_pad = -(-C // n_dev) * n_dev
-        if C_pad != C:
-            pad = C_pad - C
+    kw: dict = dict(backend="lane", dense=None)
+    if packed_a is not None:
+        kw.update(lane_idx1t=packed_a["idx1t"], lane_idx2=packed_a["idx2"],
+                  lane_vals=packed_a["vals"],
+                  lane_vals_lo=packed_a["vals_lo"],
+                  lane_gbase=packed_a["gbase"], lane_wid=packed_a["wid"])
+    else:
+        kw.update(lane_idx1t=None, lane_idx2=None, lane_vals=None,
+                  lane_vals_lo=None, lane_gbase=None, lane_wid=None)
+    if packed_t is not None:
+        kw.update(thin_idx1t=packed_t["idx1t"], thin_idx2=packed_t["idx2"],
+                  thin_invt=packed_t["invt"], thin_vals=packed_t["vals"],
+                  thin_vals_lo=packed_t["vals_lo"],
+                  thin_gbase=packed_t["gbase"], thin_wid=packed_t["wid"],
+                  thin_phi=packed_t["phi"])
+    else:
+        kw.update(thin_idx1t=None, thin_idx2=None, thin_invt=None,
+                  thin_vals=None, thin_vals_lo=None, thin_gbase=None,
+                  thin_wid=None, thin_phi=1)
+    return dataclasses.replace(A, **kw)
 
-            def padc(arr, fill=0):
-                shape = (pad,) + tuple(arr.shape[1:])
-                return jnp.concatenate(
-                    [arr, jnp.full(shape, fill, arr.dtype)], axis=0)
 
-            packed = dict(packed)
-            packed["idx1t"] = padc(packed["idx1t"])
-            packed["idx2"] = padc(packed["idx2"])
-            packed["vals"] = padc(packed["vals"])
-            if packed.get("vals_lo") is not None:
-                packed["vals_lo"] = padc(packed["vals_lo"])
-            packed["wid"] = padc(packed["wid"])
-            packed["gbase"] = jnp.concatenate(
-                [packed["gbase"],
-                 jnp.zeros(pad * SUBBLOCKS, packed["gbase"].dtype)])
-        from ..parallel.distributed import global_put
-
-        shard = NamedSharding(A.mesh, P(A.mesh_axis))
-        for k in ("idx1t", "idx2", "vals", "vals_lo", "wid", "gbase"):
-            if packed.get(k) is not None:
-                packed[k] = global_put(np.asarray(packed[k]), shard)
-
-    return dataclasses.replace(
-        A, backend="lane", dense=None, lane_idx1t=packed["idx1t"],
-        lane_idx2=packed["idx2"], lane_vals=packed["vals"],
-        lane_vals_lo=packed["vals_lo"], lane_gbase=packed["gbase"],
-        lane_wid=packed["wid"])
+# Fields cleared whenever a lane tile set would go stale.
+_NO_LANE = dict(lane_idx1t=None, lane_idx2=None, lane_vals=None,
+                lane_vals_lo=None, lane_gbase=None, lane_wid=None,
+                thin_idx1t=None, thin_idx2=None, thin_invt=None,
+                thin_vals=None, thin_vals_lo=None, thin_gbase=None,
+                thin_wid=None, thin_phi=1)
 
 
 def with_backend(A: EllMatrix, backend: str) -> EllMatrix:
@@ -183,10 +249,7 @@ def with_backend(A: EllMatrix, backend: str) -> EllMatrix:
         return dataclasses.replace(A, backend="dense", dense=densify(A))
     if backend == "lane":
         return attach_lane(A)
-    return dataclasses.replace(A, backend=backend, dense=None,
-                               lane_idx1t=None, lane_idx2=None,
-                               lane_vals=None, lane_vals_lo=None,
-                               lane_gbase=None, lane_wid=None)
+    return dataclasses.replace(A, backend=backend, dense=None, **_NO_LANE)
 
 
 def spmv(A: EllMatrix, x: jax.Array) -> jax.Array:
@@ -201,31 +264,56 @@ def spmv(A: EllMatrix, x: jax.Array) -> jax.Array:
         return jnp.dot(A.dense, x, preferred_element_type=x.dtype,
                        precision=jax.lax.Precision.HIGHEST)
     if A.backend == "lane":
-        from .pallas_spmv import lane_spmv, lane_spmv_df64
+        from .pallas_spmv import (lane_spmv, lane_spmv_df64, thin_spmv,
+                                  thin_spmv_df64)
 
         # Interpreter mode on CPU backends (tests / virtual meshes).
         interp = jax.default_backend() == "cpu"
         g_real = A.nrows // 128
-        df64 = A.lane_vals_lo is not None
+        df64 = (A.lane_vals_lo is not None
+                or A.thin_vals_lo is not None)
+        have_a = A.lane_vals is not None
+        have_t = A.thin_vals is not None
 
-        def one_dev(x_loc, i1t, i2, v, vlo, gbase, wid):
-            if not df64:
-                return lane_spmv(x_loc, i1t, i2, v, gbase, wid, g_real,
-                                 interpret=interp)
+        def split_x(x_loc):
             # f64 solve: split x into a double-f32 pair, run the
             # compensated kernel, recombine — Mosaic has no f64 and the
             # gather fallback is ~100x slower (round-1 weak spot: 1e-8
             # solves ran at gather speed).
             xh = x_loc.astype(jnp.float32)
-            xl = (x_loc - xh.astype(x_loc.dtype)).astype(jnp.float32)
+            return xh, (x_loc - xh.astype(x_loc.dtype)).astype(jnp.float32)
+
+        def aligned_dev(x_loc, i1t, i2, v, vlo, gbase, wid):
+            if not df64:
+                return lane_spmv(x_loc, i1t, i2, v, gbase, wid, g_real,
+                                 interpret=interp)
+            xh, xl = split_x(x_loc)
             yh, yl = lane_spmv_df64(xh, xl, i1t, i2, v, vlo, gbase, wid,
                                     g_real, interpret=interp)
             return yh.astype(x_loc.dtype) + yl.astype(x_loc.dtype)
 
+        def thin_dev(x_loc, i1t, i2, invt, v, vlo, gbase, wid):
+            if not df64:
+                return thin_spmv(x_loc, i1t, i2, invt, v, gbase, wid,
+                                 g_real, A.thin_phi, interpret=interp)
+            xh, xl = split_x(x_loc)
+            yh, yl = thin_spmv_df64(xh, xl, i1t, i2, invt, v, vlo, gbase,
+                                    wid, g_real, A.thin_phi,
+                                    interpret=interp)
+            return yh.astype(x_loc.dtype) + yl.astype(x_loc.dtype)
+
         if A.mesh is None:
-            return one_dev(x, A.lane_idx1t, A.lane_idx2, A.lane_vals,
-                           A.lane_vals_lo, A.lane_gbase, A.lane_wid)
-        # Multi-chip: each device runs the kernel over ITS chunk shard
+            y = None
+            if have_a:
+                y = aligned_dev(x, A.lane_idx1t, A.lane_idx2, A.lane_vals,
+                                A.lane_vals_lo, A.lane_gbase, A.lane_wid)
+            if have_t:
+                yt = thin_dev(x, A.thin_idx1t, A.thin_idx2, A.thin_invt,
+                              A.thin_vals, A.thin_vals_lo, A.thin_gbase,
+                              A.thin_wid)
+                y = yt if y is None else y + yt
+            return y
+        # Multi-chip: each device runs the kernels over ITS chunk shards
         # against the replicated x, producing a partial y; one psum over
         # ICI completes the SpMV.  (nnz-partition — any device may touch
         # any output row, the psum makes that free.)
@@ -233,20 +321,40 @@ def spmv(A: EllMatrix, x: jax.Array) -> jax.Array:
         from jax.sharding import PartitionSpec as P
 
         ax = A.mesh_axis
-        vlo = (A.lane_vals_lo if df64
-               else jnp.zeros((0,), jnp.float32))
+        zero = jnp.zeros((0,), jnp.float32)
+        args: list = []
+        specs: list = [P()]
+        if have_a:
+            args += [A.lane_idx1t, A.lane_idx2, A.lane_vals,
+                     A.lane_vals_lo if df64 else zero, A.lane_gbase,
+                     A.lane_wid]
+            specs += [P(ax)] * 6
+        if have_t:
+            args += [A.thin_idx1t, A.thin_idx2, A.thin_invt, A.thin_vals,
+                     A.thin_vals_lo if df64 else zero, A.thin_gbase,
+                     A.thin_wid]
+            specs += [P(ax)] * 7
 
-        def body(x_loc, i1t, i2, v, vlo, gbase, wid):
-            y_part = one_dev(x_loc, i1t, i2, v,
-                             vlo if df64 else None, gbase, wid)
+        def body(x_loc, *tiles):
+            i = 0
+            y_part = None
+            if have_a:
+                i1t, i2, v, vlo, gbase, wid = tiles[0:6]
+                i = 6
+                y_part = aligned_dev(x_loc, i1t, i2, v,
+                                     vlo if df64 else None, gbase, wid)
+            if have_t:
+                i1t, i2, invt, v, vlo, gbase, wid = tiles[i:i + 7]
+                yt = thin_dev(x_loc, i1t, i2, invt, v,
+                              vlo if df64 else None, gbase, wid)
+                y_part = yt if y_part is None else y_part + yt
             return jax.lax.psum(y_part, ax)
 
         return shard_map(
             body, mesh=A.mesh,
-            in_specs=(P(), P(ax), P(ax), P(ax), P(ax), P(ax), P(ax)),
+            in_specs=tuple(specs),
             out_specs=P(),
-            check_vma=False)(x, A.lane_idx1t, A.lane_idx2, A.lane_vals,
-                             vlo, A.lane_gbase, A.lane_wid)
+            check_vma=False)(x, *args)
     parts = [jnp.sum(b.vals * x[b.cols], axis=1) for b in A.buckets]
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
@@ -258,13 +366,29 @@ def spmv_pair(A: EllMatrix, xp):
     backend feeds them straight into the compensated kernel with no
     f64 round-trip.  Other backends fall back to the f64 spmv."""
     if (A.backend == "lane" and A.mesh is None
-            and A.lane_vals_lo is not None):
-        from .pallas_spmv import lane_spmv_df64
+            and (A.lane_vals_lo is not None
+                 or A.thin_vals_lo is not None)):
+        from .pallas_spmv import lane_spmv_df64, thin_spmv_df64
 
         interp = jax.default_backend() == "cpu"
-        return lane_spmv_df64(xp[0], xp[1], A.lane_idx1t, A.lane_idx2,
-                              A.lane_vals, A.lane_vals_lo, A.lane_gbase,
-                              A.lane_wid, A.nrows // 128, interpret=interp)
+        g_real = A.nrows // 128
+        yp = None
+        if A.lane_vals_lo is not None:
+            yp = lane_spmv_df64(xp[0], xp[1], A.lane_idx1t, A.lane_idx2,
+                                A.lane_vals, A.lane_vals_lo, A.lane_gbase,
+                                A.lane_wid, g_real, interpret=interp)
+        if A.thin_vals_lo is not None:
+            yt = thin_spmv_df64(xp[0], xp[1], A.thin_idx1t, A.thin_idx2,
+                                A.thin_invt, A.thin_vals, A.thin_vals_lo,
+                                A.thin_gbase, A.thin_wid, g_real,
+                                A.thin_phi, interpret=interp)
+            if yp is None:
+                yp = yt
+            else:
+                from . import df64 as dd
+
+                yp = dd.add(yp, yt)
+        return yp
     from . import df64 as dd
 
     return dd.from64(spmv(A, dd.to64(xp)))
@@ -311,9 +435,7 @@ def scale_rows(A: EllMatrix, s: jax.Array) -> EllMatrix:
             b, vals=b.vals * s[b.row_start:b.row_start + b.nrows, None])
         for b in A.buckets)
     return dataclasses.replace(A, buckets=buckets, backend="gather",
-                               dense=None, lane_idx1t=None, lane_idx2=None,
-                               lane_vals=None, lane_vals_lo=None,
-                               lane_gbase=None, lane_wid=None)
+                               dense=None, **_NO_LANE)
 
 
 def scale_cols(A: EllMatrix, s: jax.Array) -> EllMatrix:
@@ -322,9 +444,7 @@ def scale_cols(A: EllMatrix, s: jax.Array) -> EllMatrix:
     buckets = tuple(
         dataclasses.replace(b, vals=b.vals * s[b.cols]) for b in A.buckets)
     return dataclasses.replace(A, buckets=buckets, backend="gather",
-                               dense=None, lane_idx1t=None, lane_idx2=None,
-                               lane_vals=None, lane_vals_lo=None,
-                               lane_gbase=None, lane_wid=None)
+                               dense=None, **_NO_LANE)
 
 
 def row_masked_mean(A: EllMatrix, per_entry_fn) -> jax.Array:

@@ -219,7 +219,9 @@ def run_chunk(lp: LpDevice, scal: ScalingInfo, state: SolverState,
     # the compensation at f32 level; the TPU backend compiles the same
     # HLO faithfully — equivalence verified to 1e-14 on-device).
     use_df64 = (dtype == jnp.float64 and lp.A.backend == "lane"
-                and lp.A.mesh is None and lp.A.lane_vals_lo is not None
+                and lp.A.mesh is None
+                and (lp.A.lane_vals_lo is not None
+                     or lp.A.thin_vals_lo is not None)
                 and jax.default_backend() != "cpu")
     if use_df64:
         x2, y2, inner = _df64_middle_iters(lp, x1, y1, last_x, last_y,

@@ -316,4 +316,185 @@ int64_t hpres_lane_schedule(int64_t nnz, const int64_t *rows_p,
     return n_sub;
 }
 
+/* Thin (packed) LaneELL packer — native implementation of
+ * hprlp_tpu/ops/lane_ell.py::_pack_thin_py (identical algorithm; the
+ * Python fallback and this must produce the same placement).
+ *
+ * Entries pre-sorted by (window, grange, row, col).  Per (window,
+ * 128-group-range) cell, rows in (count desc, row) order place chunks of
+ * <= phi entries at one free POSITION q (of K = 128/phi per lane) in the
+ * first block that fits; the chunk's entries take distinct strata
+ * sigma*K + q subject to the per-(sublane, residue) distinct-column
+ * constraint; per-lane used positions are capped at K-1 so an all-zero
+ * default position always exists for the kernel's inverse-permutation
+ * flush.  Different chunks of one row must land in different blocks (the
+ * flush maps each output row to ONE fold position per sub-block).
+ *
+ * rows_p/cols_p: padded positions.  out_sb/out_sub: per-entry global
+ * sub-block id and sublane (sigma*K + q).  out_wid/out_gbase: per
+ * sub-block window and 128-aligned group base (capacity cap).  Returns
+ * the number of sub-blocks, or -1 if cap was insufficient. */
+int64_t hpres_lane_pack_thin(int64_t nnz, const int64_t *rows_p,
+                             const int64_t *cols_p, int32_t phi,
+                             int64_t *out_sb, int32_t *out_sub,
+                             int32_t *out_wid, int64_t *out_gbase,
+                             int64_t cap) {
+    if (phi < 1 || phi > 8 || (int64_t)LANES % phi != 0) return -1;
+    const int K = (int)(LANES / phi);
+
+    struct TBlock {
+        std::vector<uint64_t> qfree;   // per lane: K-bit free-position mask
+        std::vector<uint8_t> pos_cnt;  // per lane: used positions
+        std::vector<uint8_t> strat;    // per (q, l): sigma bitmask
+        std::vector<int64_t> rescol;   // per (sublane s, rho): column or -1
+        void init(int K_, int phi_) {
+            const uint64_t full = (K_ == 64) ? ~uint64_t(0)
+                                             : ((uint64_t(1) << K_) - 1);
+            qfree.assign(2 * LANES, 0);
+            for (int l = 0; l < LANES; ++l) {
+                if (K_ <= 64) {
+                    qfree[2 * l] = full;
+                } else {  // phi == 1, K == 128
+                    qfree[2 * l] = ~uint64_t(0);
+                    qfree[2 * l + 1] = (K_ == 128)
+                        ? ~uint64_t(0)
+                        : ((uint64_t(1) << (K_ - 64)) - 1);
+                }
+            }
+            pos_cnt.assign(LANES, 0);
+            strat.assign((size_t)K_ * LANES, 0);
+            rescol.assign((size_t)LANES * LANES, -1);
+        }
+    };
+
+    std::vector<TBlock> blocks;   // arena, reused across cells
+    std::vector<int64_t> row_starts;
+    std::vector<int> row_order;
+    std::vector<int32_t> used_b;
+    std::vector<int32_t> first_b(LANES);
+
+    int64_t n_sb = 0;
+    for (int64_t e = 0; e < nnz;) {
+        const int64_t w = cols_p[e] / WINDOW;
+        const int64_t gr = rows_p[e] / WINDOW;  // row / 16384 = grange
+        int64_t cend = e;
+        while (cend < nnz && cols_p[cend] / WINDOW == w
+               && rows_p[cend] / WINDOW == gr)
+            ++cend;
+        const int64_t gbase = gr * LANES;
+
+        // Row runs.
+        row_starts.clear();
+        row_starts.push_back(e);
+        for (int64_t i = e + 1; i < cend; ++i)
+            if (rows_p[i] != rows_p[i - 1]) row_starts.push_back(i);
+        row_starts.push_back(cend);
+        const int n_rows = (int)row_starts.size() - 1;
+        row_order.resize(n_rows);
+        for (int i = 0; i < n_rows; ++i) row_order[i] = i;
+        std::sort(row_order.begin(), row_order.end(), [&](int a, int b) {
+            const int64_t ca = row_starts[a + 1] - row_starts[a];
+            const int64_t cb = row_starts[b + 1] - row_starts[b];
+            if (ca != cb) return ca > cb;
+            return rows_p[row_starts[a]] < rows_p[row_starts[b]];
+        });
+
+        int n_blk = 0;  // blocks live this cell
+        std::fill(first_b.begin(), first_b.end(), 0);
+
+        for (int ri_ = 0; ri_ < n_rows; ++ri_) {
+            const int ri = row_order[ri_];
+            const int64_t a = row_starts[ri], b = row_starts[ri + 1];
+            const int lane = (int)(rows_p[a] % LANES);
+            used_b.clear();
+            for (int64_t ca = a; ca < b; ca += phi) {
+                const int64_t cb = std::min(ca + phi, b);
+                bool placed = false;
+                for (int bi = first_b[lane]; !placed; ++bi) {
+                    if (bi == n_blk) {
+                        if (n_sb + n_blk + 1 > cap) return -1;
+                        if (n_blk == (int)blocks.size())
+                            blocks.emplace_back();
+                        blocks[n_blk].init(K, phi);
+                        ++n_blk;
+                    }
+                    TBlock &B = blocks[bi];
+                    if (B.pos_cnt[lane] >= K - 1) {
+                        if (bi == first_b[lane]) ++first_b[lane];
+                        continue;
+                    }
+                    if (std::find(used_b.begin(), used_b.end(), bi)
+                        != used_b.end())
+                        continue;
+                    // Scan free positions at this lane.
+                    uint64_t m0 = B.qfree[2 * lane];
+                    uint64_t m1 = B.qfree[2 * lane + 1];
+                    while (m0 | m1) {
+                        int q;
+                        if (m0) {
+                            q = __builtin_ctzll(m0);
+                        } else {
+                            q = 64 + __builtin_ctzll(m1);
+                        }
+                        // Greedy strata assignment with residue checks.
+                        uint8_t smask = B.strat[(size_t)q * LANES + lane];
+                        int assign[64];
+                        bool ok = true;
+                        for (int64_t ei = ca; ei < cb; ++ei) {
+                            const int64_t col = cols_p[ei];
+                            const int rho = (int)(col % LANES);
+                            int found = -1;
+                            for (int sg = 0; sg < phi; ++sg) {
+                                if ((smask >> sg) & 1) continue;
+                                const int s = sg * K + q;
+                                const int64_t c0 =
+                                    B.rescol[(size_t)s * LANES + rho];
+                                if (c0 < 0 || c0 == col) {
+                                    found = sg;
+                                    break;
+                                }
+                            }
+                            if (found < 0) { ok = false; break; }
+                            smask |= (uint8_t)(1 << found);
+                            assign[ei - ca] = found;
+                        }
+                        if (ok) {
+                            for (int64_t ei = ca; ei < cb; ++ei) {
+                                const int sg = assign[ei - ca];
+                                const int s = sg * K + q;
+                                const int64_t col = cols_p[ei];
+                                B.rescol[(size_t)s * LANES
+                                         + (col % LANES)] = col;
+                                out_sb[ei] = n_sb + bi;
+                                out_sub[ei] = (int32_t)s;
+                            }
+                            B.strat[(size_t)q * LANES + lane] = smask;
+                            if (q < 64)
+                                B.qfree[2 * lane] &= ~(uint64_t(1) << q);
+                            else
+                                B.qfree[2 * lane + 1] &=
+                                    ~(uint64_t(1) << (q - 64));
+                            B.pos_cnt[lane]++;
+                            used_b.push_back(bi);
+                            placed = true;
+                            break;
+                        }
+                        if (q < 64)
+                            m0 &= ~(uint64_t(1) << q);
+                        else
+                            m1 &= ~(uint64_t(1) << (q - 64));
+                    }
+                }
+            }
+        }
+        for (int bi = 0; bi < n_blk; ++bi) {
+            out_wid[n_sb + bi] = (int32_t)w;
+            out_gbase[n_sb + bi] = gbase;
+        }
+        n_sb += n_blk;
+        e = cend;
+    }
+    return n_sb;
+}
+
 }  // extern "C"

@@ -176,7 +176,8 @@ class TestDf64Kernel:
         x = jnp.asarray(rng.normal(size=lp.A.ncols), jnp.float64)
         y_gather = np.asarray(spmv(lp.A, x))
         A_lane = with_backend(lp.A, "lane")
-        assert A_lane.lane_vals_lo is not None
+        assert (A_lane.lane_vals_lo is not None
+                or A_lane.thin_vals_lo is not None)
         y_lane = np.asarray(spmv(A_lane, x))
         scale = max(1.0, np.abs(y_gather).max())
         assert np.abs(y_lane - y_gather).max() / scale < 1e-12
@@ -217,7 +218,8 @@ class TestDf64Chunk:
             lp, scal = scale_problem(lp)
             lp_lane = dataclasses.replace(lp, A=with_backend(lp.A, "lane"),
                                           AT=with_backend(lp.AT, "lane"))
-            assert lp_lane.A.lane_vals_lo is not None
+            assert (lp_lane.A.lane_vals_lo is not None
+                    or lp_lane.A.thin_vals_lo is not None)
 
             sigma = jnp.asarray(1.3, jnp.float64)
             lam_sigma = jnp.asarray(2.1 * 1.3, jnp.float64)
@@ -329,6 +331,224 @@ class TestSchedulerPeel:
                           shape=(1024, ncols_used * LANES + 6))
         A.sum_duplicates()
         self._exact_and_bounded(A, 1024, 4096)
+
+
+class TestThin:
+    """Thin (packed) LaneELL path: the hybrid kernel's secondary layout
+    for thin-fill (window, group-range) cells (giant-LP regime; see
+    ops/lane_ell.py thin-cell notes).  No reference counterpart — the
+    CUDA reference caps at one GPU's memory (include/structs.h:17-19)."""
+
+    def _check_thin(self, A, m_pad, n_pad, phi, interpret=True):
+        from hprlp_tpu.ops.lane_ell import schedule_thin, thin_spmv_reference
+        from hprlp_tpu.ops.pallas_spmv import pack_tiles, thin_spmv
+
+        tiles = schedule_thin(A.row.astype(np.int64),
+                              A.col.astype(np.int64), A.data, m_pad, n_pad,
+                              phi=phi, with_cols=True)
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=n_pad).astype(np.float32)
+        y_ref = np.zeros(m_pad, np.float32)
+        y_ref[:A.shape[0]] = (A.tocsr() @ x[:A.shape[1]]).astype(np.float32)
+        scale = max(1.0, float(np.abs(y_ref).max()))
+        y_np = thin_spmv_reference(tiles, x)
+        np.testing.assert_allclose(y_np, y_ref, atol=1e-5 * scale)
+        packed = pack_tiles(tiles, n_pad, np.float32)
+        y = np.asarray(thin_spmv(jnp.asarray(x), packed["idx1t"],
+                                 packed["idx2"], packed["invt"],
+                                 packed["vals"], packed["gbase"],
+                                 packed["wid"], packed["G"],
+                                 packed["phi"], interpret=interpret))
+        np.testing.assert_allclose(y, y_ref, atol=1e-5 * scale)
+        return tiles
+
+    def test_random_all_phis(self):
+        A, _ = _random_coo(21, 900, 1100, 0.01)
+        for phi in (1, 2, 4, 8):
+            self._check_thin(A, 1024, 1280, phi)
+
+    def test_multi_window_multi_grange(self):
+        A, _ = _random_coo(22, 40000, 40000, 0.0002)
+        self._check_thin(A, 40960, 40960, 4)
+
+    def test_high_multiplicity_rows(self):
+        # Rows with many entries in ONE window: per-(row, window)
+        # multiplicity above phi must spill to extra sub-blocks exactly.
+        rng = np.random.default_rng(23)
+        rows = np.repeat(np.arange(64), 40)          # 40 entries per row
+        cols = rng.integers(0, 2000, len(rows))
+        A = sp.coo_matrix((rng.normal(size=len(rows)), (rows, cols)),
+                          shape=(256, 2048))
+        A.sum_duplicates()
+        for phi in (1, 4):
+            self._check_thin(A, 256, 2048, phi)
+
+    def test_dense_column_fanout_thin(self):
+        A, _ = _random_coo(24, 600, 800, 0.005)
+        A = A.tocsr().tolil()
+        A[:, 7] = 2.5                                 # residue-7 star
+        self._check_thin(A.tocoo(), 640, 896, 4)
+
+    def test_thin_packing_invariants(self):
+        from hprlp_tpu.ops.lane_ell import LANES, WINDOW, schedule_thin
+
+        A, _ = _random_coo(25, 2000, 4000, 0.004)
+        phi = 4
+        K = LANES // phi
+        tiles = schedule_thin(A.row.astype(np.int64),
+                              A.col.astype(np.int64), A.data, 2048, 4096,
+                              phi=phi, with_cols=True)
+        C = tiles["idx2"].shape[0]
+        for c in range(C):
+            cols = tiles["cols"][c]
+            invt = tiles["invt"][c]
+            for j in range(8):
+                sb_cols = cols[j * 128:(j + 1) * 128]
+                gb = tiles["gbase"][c, j]
+                live = sb_cols >= 0
+                if not live.any():
+                    continue
+                # One window per chunk.
+                assert np.all(sb_cols[live] // WINDOW == tiles["wid"][c])
+                # Per (sublane, residue): one distinct column.
+                for s in range(128):
+                    lv = live[s]
+                    if not lv.any():
+                        continue
+                    cs = sb_cols[s][lv]
+                    by_res = {}
+                    for r, cc in zip(cs % LANES, cs):
+                        assert by_res.setdefault(r, cc) == cc
+                # inv consistency: every occupied fold position (q, l) is
+                # referenced by exactly one output row d (its entries
+                # flush together); positions referenced by NO entry (the
+                # per-lane default) must be all-zero across strata so the
+                # gather adds exact zeros.
+                inv = invt[:, j * 128:(j + 1) * 128]  # (l, d)
+                vals = tiles["vals"][c][j * 128:(j + 1) * 128]
+                for l in range(128):
+                    for q in range(K):
+                        strata = [sg * K + q for sg in range(phi)]
+                        occupied = any(live[s, l] for s in strata)
+                        ds = np.nonzero(inv[l] == q)[0]
+                        if occupied:
+                            assert len(ds) == 1, (c, j, l, q, ds)
+                        else:
+                            assert np.all(vals[strata, l] == 0)
+
+    def test_thin_df64_accuracy(self):
+        from hprlp_tpu.ops.lane_ell import schedule_thin
+        from hprlp_tpu.ops.pallas_spmv import pack_tiles, thin_spmv_df64
+
+        rng = np.random.default_rng(26)
+        A, _ = _random_coo(26, 900, 1100, 0.01)
+        tiles = schedule_thin(A.row.astype(np.int64),
+                              A.col.astype(np.int64), A.data, 1024, 1280,
+                              phi=4)
+        packed = pack_tiles(tiles, 1280, np.float64)
+        x64 = rng.normal(size=1280)
+        xh = x64.astype(np.float32)
+        xl = (x64 - xh.astype(np.float64)).astype(np.float32)
+        yh, yl = thin_spmv_df64(jnp.asarray(xh), jnp.asarray(xl),
+                                packed["idx1t"], packed["idx2"],
+                                packed["invt"], packed["vals"],
+                                packed["vals_lo"], packed["gbase"],
+                                packed["wid"], packed["G"], packed["phi"],
+                                interpret=True)
+        y = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+        y_ref = np.zeros(1024)
+        y_ref[:900] = A.tocsr() @ x64[:1100]
+        scale = max(1.0, np.abs(y_ref).max())
+        assert np.abs(y - y_ref).max() / scale < 1e-13
+
+    def test_hybrid_via_spmv(self):
+        # End-to-end: with_backend("lane") routes cells between aligned
+        # and thin tile sets; spmv must match the gather backend.
+        from hprlp_tpu.ops.device_problem import build_device_problem
+        from hprlp_tpu.ops.sparse import spmv, with_backend
+        from hprlp_tpu.problem import LpProblem
+
+        rng = np.random.default_rng(27)
+        # Mixed structure: a dense-fill stripe (aligned territory) plus a
+        # thin uniform background (thin territory).
+        rows = [rng.integers(0, 256, 20000)]          # dense stripe
+        cols = [rng.integers(0, 2000, 20000)]
+        rows.append(rng.integers(256, 4000, 3000))    # thin background
+        cols.append(rng.integers(0, 30000, 3000))
+        A = sp.coo_matrix(
+            (rng.normal(size=23000),
+             (np.concatenate(rows), np.concatenate(cols))),
+            shape=(4000, 30000)).tocsr()
+        A.sum_duplicates()
+        x0 = rng.uniform(-1, 1, 30000)
+        prob = LpProblem.from_arrays(A, A @ x0 - 1, A @ x0 + 1, x0 - 1,
+                                     x0 + 1, rng.normal(size=30000))
+        lp, _ = build_device_problem(prob)
+        x = jnp.asarray(rng.normal(size=lp.A.ncols), jnp.float32)
+        y_gather = np.asarray(spmv(lp.A, x))
+        A_lane = with_backend(lp.A, "lane")
+        y_lane = np.asarray(spmv(A_lane, x))
+        scale = max(1.0, np.abs(y_gather).max())
+        assert np.abs(y_lane - y_gather).max() / scale < 1e-4
+
+    def test_native_packer_matches_python(self):
+        # The C++ thin packer (native/src/lane_schedule.cpp::
+        # hpres_lane_pack_thin) mirrors _pack_thin_py exactly.
+        from hprlp_tpu.native import get_lib
+        from hprlp_tpu.ops.lane_ell import WINDOW, _pack_thin_py
+
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "hpres_lane_pack_thin"):
+            pytest.skip("native library unavailable")
+        for seed, (m, n, dens) in enumerate(
+                [(900, 1100, 0.01), (700, 40000, 0.0008),
+                 (256, 2048, 0.04)]):
+            A, _ = _random_coo(seed, m, n, dens)
+            rows = A.row.astype(np.int64)
+            cols = A.col.astype(np.int64)
+            gr = rows // WINDOW
+            w = cols // WINDOW
+            order = np.lexsort((cols, rows,
+                                w * np.int64(1 + gr.max()) + gr))
+            rs, cs = rows[order], cols[order]
+            for phi in (1, 2, 4, 8):
+                sb_n = np.zeros(len(rs), np.int64)
+                sub_n = np.zeros(len(rs), np.int32)
+                cap = len(rs) + 8
+                wid_n = np.zeros(cap, np.int32)
+                gb_n = np.zeros(cap, np.int64)
+                nsb = lib.hpres_lane_pack_thin(len(rs), rs, cs, phi,
+                                               sb_n, sub_n, wid_n, gb_n,
+                                               cap)
+                sb_p = np.zeros(len(rs), np.int64)
+                sub_p = np.zeros(len(rs), np.int32)
+                widp, gbp = _pack_thin_py(rs, cs, phi, sb_p, sub_p)
+                assert nsb == len(widp), (seed, phi)
+                assert np.array_equal(sb_n, sb_p), (seed, phi)
+                assert np.array_equal(sub_n, sub_p), (seed, phi)
+                assert np.array_equal(wid_n[:nsb], widp)
+                assert np.array_equal(gb_n[:nsb], gbp)
+
+    def test_thin_beats_aligned_on_thin_fill(self):
+        # The router's reason to exist: on a banded giant-family pattern
+        # (per-(row, window) multiplicity ~16-32, ramped depth) the thin
+        # layout must need well under the aligned sub-block count AND
+        # pack near the slot optimum.  (Measured at this shape: aligned
+        # 64 sub-blocks -> hybrid 36, slots/nnz 1.5.)
+        from hprlp_tpu.ops.lane_ell import schedule_hybrid
+
+        rng = np.random.default_rng(28)
+        m, n, k, hw = 16384, 32768, 32, 8192
+        rows = np.repeat(np.arange(m, dtype=np.int64), k)
+        center = (rows * (n / m)).astype(np.int64)
+        cols = (center + rng.integers(-hw, hw + 1, size=m * k)) % n
+        hy = schedule_hybrid(rows, cols, rng.normal(size=m * k), m, n)
+        stats = hy["stats"]
+        assert stats["n_thin_cells"] > 0
+        total_sb = stats["thin_sb"] + stats["aligned_sb"]
+        assert total_sb * 1.5 < stats["aligned_sb_if_all"], stats
+        # Actual packed tiles stay near the routing estimate.
+        assert hy["thin"]["vals"].size <= 1.8 * (m * k), stats
 
 
 def test_aligned_lane_cost_is_lower_bound_and_tight():

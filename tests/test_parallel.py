@@ -106,8 +106,13 @@ class TestShardedLane:
 
         A_lane = with_backend(sharded.A, "lane")
         assert A_lane.backend == "lane"
-        # Chunk axis padded to the mesh size and sharded.
-        assert A_lane.lane_idx2.shape[0] % NDEV == 0
+        # Chunk axes (either hybrid tile set) padded to the mesh size
+        # and sharded.
+        assert (A_lane.lane_idx2 is not None
+                or A_lane.thin_idx2 is not None)
+        for arr in (A_lane.lane_idx2, A_lane.thin_idx2):
+            if arr is not None:
+                assert arr.shape[0] % NDEV == 0
 
         import jax.numpy as jnp
         x = jnp.asarray(np.random.default_rng(0).normal(size=lp.A.ncols),
