@@ -57,8 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="true/false",
                    help="Presolve (default: true)")
     # TPU-native extras.
-    p.add_argument("--precision", choices=("auto", "f32", "f64"),
-                   default="auto", help="Solve precision (default: auto)")
+    p.add_argument("--precision",
+                   choices=("auto", "f32", "f64", "mixed"),
+                   default="auto",
+                   help="Solve precision (default: auto; mixed = f32 "
+                        "stages + f64 refinement tail)")
     p.add_argument("--mesh", type=int, default=None, metavar="N",
                    help="Shard the solve over N devices")
     p.add_argument("--mps-format", choices=("free", "fixed"),

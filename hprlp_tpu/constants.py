@@ -48,3 +48,15 @@ MIN_ELL_WIDTH = 4
 # Buckets with fewer rows than this are merged into the next wider bucket
 # to avoid launching many tiny ops.
 MIN_BUCKET_ROWS = 256
+
+# Dense-SpMV/SpMM candidate HBM budgets (autotuner; reference analogue:
+# the fused-kernel autotuner, src/main_iterate.cu:517-595).  Two budgets
+# on purpose:
+#   * single-LP SpMV reads the whole dense matrix per matvec, so a dense
+#     candidate only pays off while the matrix read stays comfortably
+#     inside HBM alongside the solver state;
+#   * batched SpMM amortises the matrix read over the B batch columns on
+#     the MXU, so a dense candidate stays profitable (and worth probing)
+#     at 3x the single-LP size.
+DENSE_BYTES_LIMIT_SINGLE = 2 * 1024 * 1024 * 1024
+DENSE_BYTES_LIMIT_BATCHED = 6 * 1024 * 1024 * 1024

@@ -108,6 +108,14 @@ def _handle(req: dict) -> dict:
     if op == "ping":
         return {"ok": True, "result": "pong"}
 
+    if op == "mps_dims":
+        from .model import Model
+
+        model = Model.from_mps(req["path"],
+                               mps_format=req.get("mps_format", "free"))
+        return {"ok": True, "result": {"m": model.m, "n": model.n,
+                                       "nnz": model.nnz}}
+
     if op == "solve_mps":
         from .model import Model
 
@@ -137,10 +145,23 @@ def _handle(req: dict) -> dict:
 
         from .solver.batched import solve_batched
 
-        m, n, B = int(req["m"]), int(req["n"]), int(req["batch"])
-        A = sp.csr_matrix((_dec_f64(req["Ax"]),
-                           _dec_i64(req["Ai"]).astype(np.int32),
-                           _dec_i64(req["Ap"])), shape=(m, n))
+        B = int(req["batch"])
+        if req.get("path"):
+            # MPS-backed model: reuse its A only (reference parity —
+            # solve_batched takes any LP_info_cpu and ignores its
+            # vectors, src/batched_solver.cu:959-973).
+            from .model import Model
+
+            prob = Model.from_mps(
+                req["path"],
+                mps_format=req.get("mps_format", "free")).problem
+            A = prob.A.tocsr()
+            m, n = A.shape
+        else:
+            m, n = int(req["m"]), int(req["n"])
+            A = sp.csr_matrix((_dec_f64(req["Ax"]),
+                               _dec_i64(req["Ai"]).astype(np.int32),
+                               _dec_i64(req["Ap"])), shape=(m, n))
 
         def mat(key, rows):
             return _dec_f64(req[key]).reshape(rows, B, order="F")

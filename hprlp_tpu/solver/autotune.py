@@ -27,8 +27,10 @@ from ..ops.sparse import with_backend
 # this many bytes (both A and A^T are materialised while probing).  Large on
 # purpose: XLA's TPU gather lowering runs at ~35M elements/s (measured,
 # v5e), so a dense HBM-bandwidth matvec wins for any density above ~2e-4 —
-# even multi-GB dense matrices beat the gather path.
-DENSE_BYTES_LIMIT = 2 * 1024 * 1024 * 1024
+# even multi-GB dense matrices beat the gather path.  The batched path uses
+# the larger DENSE_BYTES_LIMIT_BATCHED; the rationale for the two budgets
+# lives with the constants (hprlp_tpu/constants.py).
+from ..constants import DENSE_BYTES_LIMIT_SINGLE as DENSE_BYTES_LIMIT
 SPEEDUP_MIN = 1.05  # reference: >= 5% faster to switch
 MERIT_RTOL = 0.01   # reference: within 1% of baseline merit
 # Below this nnz the probe compiles cost more than any possible win.

@@ -274,8 +274,9 @@ def solve_batched(A, C, AL, AU, l, u, obj_constants=None,
     # bandwidth-bound sparse kernel for any density above ~0.2% once
     # B >= 128 (MXU flops are ~100x cheaper than HBM bytes); a LaneELL
     # SpMM would only win for super-sparse shared-A matrices too big to
-    # densify, which the gather path still covers.
-    BATCHED_DENSE_BYTES = 6 * 1024 * 1024 * 1024
+    # densify, which the gather path still covers.  Both budgets are
+    # documented together in hprlp_tpu/constants.py.
+    from ..constants import DENSE_BYTES_LIMIT_BATCHED as BATCHED_DENSE_BYTES
     want = params.spmv_backend
     dense_ok = (m_pad * n_pad * jnp.dtype(dtype).itemsize
                 <= BATCHED_DENSE_BYTES)

@@ -56,6 +56,24 @@ typedef struct {
     double *z;
 } hprlp_results;
 
+/* Batched shared-A results (parity: HPRLP_batched_results,
+ * reference include/structs.h:68-90).  All per-batch arrays are owned by
+ * the results object; x/z are column-major n x batch, y is m x batch. */
+typedef struct {
+    int64_t m, n, batch_size;
+    double *x;            /* (n, batch) column-major */
+    double *y;            /* (m, batch) column-major */
+    double *z;            /* (n, batch) column-major */
+    double *primal_obj;   /* (batch,) */
+    double *residuals;    /* (batch,) */
+    double *gap;          /* (batch,) */
+    int64_t *iter;        /* (batch,) */
+    char *status;         /* batch contiguous 64-byte C strings */
+    double time, setup_time, solve_time, power_time;
+} hprlp_batched_results;
+
+#define HPRLP_STATUS_STRLEN 64
+
 /* Fill params with the defaults above. */
 void hprlp_parameters_default(hprlp_parameters *p);
 
@@ -77,10 +95,25 @@ hprlp_model *hprlp_create_model_from_mps(const char *path);
 hprlp_results *hprlp_solve(hprlp_model *model,
                            const hprlp_parameters *params);
 
+/* Batched shared-A solve (parity: extern-C solve_batched, reference
+ * src/batched_solver.cu:939-1092): batch_size LPs sharing the model's
+ * sparse A, with per-batch dense data in COLUMN-MAJOR buffers —
+ * C/l/u: (n, batch_size); AL/AU: (m, batch_size); obj_constants:
+ * (batch_size,) or NULL for all-zero.  The model may come from arrays or
+ * from an MPS file (its A is reused; its vectors are ignored).  Presolve
+ * is forced off, as in the reference.  Returns a results object to free
+ * with hprlp_free_batched_results, or NULL on transport failure. */
+hprlp_batched_results *hprlp_solve_batched(
+    hprlp_model *model, int64_t batch_size,
+    const double *C, const double *AL, const double *AU,
+    const double *l, const double *u, const double *obj_constants,
+    const hprlp_parameters *params);
+
 /* Last transport/protocol error message (thread-unsafe, static). */
 const char *hprlp_last_error(void);
 
 void hprlp_free_results(hprlp_results *r);
+void hprlp_free_batched_results(hprlp_batched_results *r);
 void hprlp_free_model(hprlp_model *m);
 
 /* Stop the background worker process (restarted lazily if needed). */

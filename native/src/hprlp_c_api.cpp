@@ -143,6 +143,41 @@ struct JsonParser {
         return v;
     }
 
+    /* Decode a 4-hex-digit escape payload; -1 on malformed input. */
+    int hex4() {
+        if (p + 4 > end) { ok = false; return -1; }
+        int v = 0;
+        for (int i = 0; i < 4; ++i) {
+            char c = p[i];
+            int d;
+            if (c >= '0' && c <= '9') d = c - '0';
+            else if (c >= 'a' && c <= 'f') d = c - 'a' + 10;
+            else if (c >= 'A' && c <= 'F') d = c - 'A' + 10;
+            else { ok = false; return -1; }
+            v = (v << 4) | d;
+        }
+        p += 4;
+        return v;
+    }
+
+    void append_utf8(std::string &out, unsigned cp) {
+        if (cp < 0x80) {
+            out.push_back((char)cp);
+        } else if (cp < 0x800) {
+            out.push_back((char)(0xC0 | (cp >> 6)));
+            out.push_back((char)(0x80 | (cp & 0x3F)));
+        } else if (cp < 0x10000) {
+            out.push_back((char)(0xE0 | (cp >> 12)));
+            out.push_back((char)(0x80 | ((cp >> 6) & 0x3F)));
+            out.push_back((char)(0x80 | (cp & 0x3F)));
+        } else {
+            out.push_back((char)(0xF0 | (cp >> 18)));
+            out.push_back((char)(0x80 | ((cp >> 12) & 0x3F)));
+            out.push_back((char)(0x80 | ((cp >> 6) & 0x3F)));
+            out.push_back((char)(0x80 | (cp & 0x3F)));
+        }
+    }
+
     std::string string() {
         std::string out;
         ++p; /* opening quote */
@@ -150,15 +185,38 @@ struct JsonParser {
             if (*p == '\\' && p + 1 < end) {
                 ++p;
                 switch (*p) {
-                    case 'n': out.push_back('\n'); break;
-                    case 't': out.push_back('\t'); break;
-                    case 'u': p += 4; out.push_back('?'); break;
-                    default: out.push_back(*p);
+                    case 'n': out.push_back('\n'); ++p; break;
+                    case 't': out.push_back('\t'); ++p; break;
+                    case 'r': out.push_back('\r'); ++p; break;
+                    case 'b': out.push_back('\b'); ++p; break;
+                    case 'f': out.push_back('\f'); ++p; break;
+                    case 'u': {
+                        ++p;
+                        int cp = hex4();
+                        if (cp < 0) return out;
+                        /* Surrogate pair -> one code point (RFC 8259). */
+                        if (cp >= 0xD800 && cp <= 0xDBFF && p + 6 <= end
+                            && p[0] == '\\' && p[1] == 'u') {
+                            p += 2;
+                            int lo = hex4();
+                            if (lo < 0) return out;
+                            if (lo >= 0xDC00 && lo <= 0xDFFF)
+                                cp = 0x10000 + ((cp - 0xD800) << 10)
+                                     + (lo - 0xDC00);
+                            else
+                                append_utf8(out, 0xFFFD), cp = lo;
+                        } else if (cp >= 0xD800 && cp <= 0xDFFF) {
+                            cp = 0xFFFD; /* lone surrogate */
+                        }
+                        append_utf8(out, (unsigned)cp);
+                        break;
+                    }
+                    default: out.push_back(*p); ++p;
                 }
             } else {
                 out.push_back(*p);
+                ++p;
             }
-            ++p;
         }
         if (p < end) ++p; /* closing quote */
         return out;
@@ -204,10 +262,28 @@ struct JsonParser {
 };
 
 std::string json_escape(const std::string &s) {
+    /* Full RFC 8259 escaping: the transport is LINE-delimited JSON, so an
+       unescaped newline in an MPS path would desynchronise the pipe
+       protocol (round-2 review finding). */
     std::string out;
-    for (char c : s) {
-        if (c == '"' || c == '\\') out.push_back('\\');
-        out.push_back(c);
+    char buf[8];
+    for (unsigned char c : s) {
+        switch (c) {
+            case '"': out += "\\\""; break;
+            case '\\': out += "\\\\"; break;
+            case '\n': out += "\\n"; break;
+            case '\r': out += "\\r"; break;
+            case '\t': out += "\\t"; break;
+            case '\b': out += "\\b"; break;
+            case '\f': out += "\\f"; break;
+            default:
+                if (c < 0x20) {
+                    std::snprintf(buf, sizeof buf, "\\u%04x", c);
+                    out += buf;
+                } else {
+                    out.push_back((char)c);
+                }
+        }
     }
     return out;
 }
@@ -508,11 +584,168 @@ hprlp_results *hprlp_solve(hprlp_model *model,
     return r;
 }
 
+hprlp_batched_results *hprlp_solve_batched(
+    hprlp_model *model, int64_t batch_size,
+    const double *C, const double *AL, const double *AU,
+    const double *l, const double *u, const double *obj_constants,
+    const hprlp_parameters *params) {
+    /* Parity: extern-C solve_batched (reference
+     * src/batched_solver.cu:939-1092) — batch_size LPs sharing the
+     * model's A; column-major (dim, B) dense inputs; presolve is forced
+     * off server-side (solver/batched.py). */
+    if (!model || batch_size <= 0 || !C || !AL || !AU || !l || !u) {
+        g_last_error = "hprlp_solve_batched: bad arguments";
+        return nullptr;
+    }
+    const int64_t B = batch_size;
+    std::string req = "{\"op\":\"solve_batched\",";
+    char dims[96];
+    int64_t m = model->m, n = model->n;
+    if (!model->mps_path.empty()) {
+        /* MPS-backed model: the server parses the file and reuses its A;
+         * the per-batch buffers' dimensions come from the caller-known
+         * (m, n) of that file, so they are not re-sent. */
+        req += "\"path\":\"" + json_escape(model->mps_path) + "\",";
+        /* m/n for an MPS model are not stored host-side; ask the server
+         * for the parsed dimensions so the dense buffers can be encoded
+         * with the right lengths (the parse is cached server-side). */
+        JsonValue dresp;
+        if (!worker_rpc("{\"op\":\"mps_dims\",\"path\":\"" +
+                            json_escape(model->mps_path) + "\"}",
+                        dresp))
+            return nullptr;
+        const JsonValue *okv = dresp.get("ok");
+        if (!okv || okv->kind != JsonValue::Bool || !okv->b) {
+            g_last_error = dresp.str_or("error", "mps_dims failed");
+            return nullptr;
+        }
+        const JsonValue *res = dresp.get("result");
+        if (!res) { g_last_error = "mps_dims: empty result"; return nullptr; }
+        m = (int64_t)res->num_or("m", 0);
+        n = (int64_t)res->num_or("n", 0);
+        if (m <= 0 || n <= 0) {
+            g_last_error = "mps_dims: bad dimensions";
+            return nullptr;
+        }
+    } else {
+        std::snprintf(dims, sizeof(dims), "\"m\":%lld,\"n\":%lld,",
+                      (long long)m, (long long)n);
+        req += dims;
+        req += "\"Ap\":\"" + b64_of(model->Ap.data(), m + 1) + "\",";
+        req += "\"Ai\":\"" + b64_of(model->Ai.data(),
+                                    (int64_t)model->Ai.size()) + "\",";
+        req += "\"Ax\":\"" + b64_of(model->Ax.data(),
+                                    (int64_t)model->Ax.size()) + "\",";
+    }
+    std::snprintf(dims, sizeof(dims), "\"batch\":%lld,", (long long)B);
+    req += dims;
+    req += "\"C\":\"" + b64_of(C, n * B) + "\",";
+    req += "\"AL\":\"" + b64_of(AL, m * B) + "\",";
+    req += "\"AU\":\"" + b64_of(AU, m * B) + "\",";
+    req += "\"l\":\"" + b64_of(l, n * B) + "\",";
+    req += "\"u\":\"" + b64_of(u, n * B) + "\",";
+    if (obj_constants)
+        req += "\"obj_constants\":\"" + b64_of(obj_constants, B) + "\",";
+    append_params(req, params);
+    req += "}";
+
+    JsonValue resp;
+    if (!worker_rpc(req, resp)) return nullptr;
+    const JsonValue *okv = resp.get("ok");
+    if (!okv || okv->kind != JsonValue::Bool || !okv->b) {
+        g_last_error = resp.str_or("error", "unknown solver error");
+        return nullptr;
+    }
+    const JsonValue *res = resp.get("result");
+    if (!res) { g_last_error = "empty batched result"; return nullptr; }
+
+    auto *r = new (std::nothrow) hprlp_batched_results();
+    if (!r) return nullptr;
+    std::memset(r, 0, sizeof(*r));
+    r->m = (int64_t)res->num_or("m", m);
+    r->n = (int64_t)res->num_or("n", n);
+    r->batch_size = (int64_t)res->num_or("batch", B);
+    r->time = res->num_or("time", 0);
+    r->setup_time = res->num_or("setup_time", 0);
+    r->solve_time = res->num_or("solve_time", 0);
+    r->power_time = res->num_or("power_time", 0);
+
+    bool bad = false;
+    auto fvec = [&](const char *key, int64_t want) -> double * {
+        const JsonValue *v = res->get(key);
+        if (!v || v->kind != JsonValue::Str) { bad = true; return nullptr; }
+        std::vector<double> d = f64_of_b64(v->str);
+        if ((int64_t)d.size() != want) { bad = true; return nullptr; }
+        double *out = (double *)std::malloc(want * sizeof(double));
+        if (!out) { bad = true; return nullptr; }
+        std::memcpy(out, d.data(), want * sizeof(double));
+        return out;
+    };
+    r->x = fvec("x", r->n * r->batch_size);
+    r->y = fvec("y", r->m * r->batch_size);
+    r->z = fvec("z", r->n * r->batch_size);
+    r->primal_obj = fvec("primal_obj", r->batch_size);
+    r->residuals = fvec("residuals", r->batch_size);
+    r->gap = fvec("gap", r->batch_size);
+    const JsonValue *it = res->get("iter");
+    if (it && it->kind == JsonValue::Str) {
+        std::vector<double> raw = f64_of_b64(it->str);
+        /* server encodes iter as i64; reinterpret the payload */
+        if ((int64_t)(raw.size()) == r->batch_size) {
+            r->iter = (int64_t *)std::malloc(r->batch_size
+                                             * sizeof(int64_t));
+            if (r->iter)
+                std::memcpy(r->iter, raw.data(),
+                            r->batch_size * sizeof(int64_t));
+            else
+                bad = true;
+        } else {
+            bad = true;
+        }
+    } else {
+        bad = true;
+    }
+    r->status = (char *)std::calloc(r->batch_size, HPRLP_STATUS_STRLEN);
+    const JsonValue *st = res->get("status");
+    if (r->status && st && st->kind == JsonValue::Arr
+        && (int64_t)st->arr.size() == r->batch_size) {
+        for (int64_t k = 0; k < r->batch_size; ++k)
+            std::snprintf(r->status + k * HPRLP_STATUS_STRLEN,
+                          HPRLP_STATUS_STRLEN, "%s",
+                          st->arr[k].kind == JsonValue::Str
+                              ? st->arr[k].str.c_str()
+                              : "ERROR");
+    } else {
+        bad = true;
+    }
+    if (bad) {
+        g_last_error = "malformed batched response";
+        if (r->status)
+            for (int64_t k = 0; k < r->batch_size; ++k)
+                std::snprintf(r->status + k * HPRLP_STATUS_STRLEN,
+                              HPRLP_STATUS_STRLEN, "ERROR");
+    }
+    return r;
+}
+
 void hprlp_free_results(hprlp_results *r) {
     if (!r) return;
     std::free(r->x);
     std::free(r->y);
     std::free(r->z);
+    delete r;
+}
+
+void hprlp_free_batched_results(hprlp_batched_results *r) {
+    if (!r) return;
+    std::free(r->x);
+    std::free(r->y);
+    std::free(r->z);
+    std::free(r->primal_obj);
+    std::free(r->residuals);
+    std::free(r->gap);
+    std::free(r->iter);
+    std::free(r->status);
     delete r;
 }
 

@@ -102,3 +102,194 @@ def test_ctypes_consumer_mps():
     lib.hprlp_free_results(res)
     lib.hprlp_free_model(model)
     lib.hprlp_shutdown()
+
+
+class _BatchedResults(ct.Structure):
+    _fields_ = [("m", ct.c_int64), ("n", ct.c_int64),
+                ("batch_size", ct.c_int64),
+                ("x", ct.POINTER(ct.c_double)),
+                ("y", ct.POINTER(ct.c_double)),
+                ("z", ct.POINTER(ct.c_double)),
+                ("primal_obj", ct.POINTER(ct.c_double)),
+                ("residuals", ct.POINTER(ct.c_double)),
+                ("gap", ct.POINTER(ct.c_double)),
+                ("iter", ct.POINTER(ct.c_int64)),
+                ("status", ct.POINTER(ct.c_char)),
+                ("time", ct.c_double), ("setup_time", ct.c_double),
+                ("solve_time", ct.c_double), ("power_time", ct.c_double)]
+
+
+def _lib_batched():
+    os.environ.setdefault("HPRLP_TPU_PYTHON", sys.executable)
+    os.environ["HPRLP_TPU_ROOT"] = REPO
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    lib = ct.CDLL(LIB)
+    lib.hprlp_parameters_default.argtypes = [ct.POINTER(_Params)]
+    lib.hprlp_create_model_from_arrays.restype = ct.c_void_p
+    lib.hprlp_create_model_from_mps.restype = ct.c_void_p
+    lib.hprlp_create_model_from_mps.argtypes = [ct.c_char_p]
+    dp = ct.POINTER(ct.c_double)
+    lib.hprlp_create_model_from_arrays.argtypes = [
+        ct.c_int64, ct.c_int64, ct.POINTER(ct.c_int64),
+        ct.POINTER(ct.c_int32), dp, dp, dp, dp, dp, dp, ct.c_double]
+    lib.hprlp_solve_batched.restype = ct.POINTER(_BatchedResults)
+    lib.hprlp_solve_batched.argtypes = [
+        ct.c_void_p, ct.c_int64, dp, dp, dp, dp, dp, dp,
+        ct.POINTER(_Params)]
+    lib.hprlp_free_batched_results.argtypes = [ct.POINTER(_BatchedResults)]
+    lib.hprlp_free_model.argtypes = [ct.c_void_p]
+    lib.hprlp_last_error.restype = ct.c_char_p
+    return lib
+
+
+def _demo_model(lib):
+    Ap = (ct.c_int64 * 3)(0, 2, 4)
+    Ai = (ct.c_int32 * 4)(0, 1, 0, 1)
+    Ax = (ct.c_double * 4)(1.0, 2.0, 3.0, 1.0)
+    inf = float("inf")
+    AL = (ct.c_double * 2)(-inf, -inf)
+    AU = (ct.c_double * 2)(10.0, 12.0)
+    lo = (ct.c_double * 2)(0.0, 0.0)
+    hi = (ct.c_double * 2)(inf, inf)
+    c = (ct.c_double * 2)(-3.0, -5.0)
+    return lib.hprlp_create_model_from_arrays(
+        2, 2, Ap, Ai, Ax, AL, AU, lo, hi, c, 0.0)
+
+
+def test_ctypes_solve_batched():
+    """C ABI batched entry point (parity: reference extern-C
+    solve_batched, src/batched_solver.cu:939-1092): B=3 LPs sharing the
+    demo A; member 0 is the ground-truth LP."""
+    lib = _lib_batched()
+    model = _demo_model(lib)
+    assert model
+
+    inf = float("inf")
+    B = 3
+    C = (ct.c_double * (2 * B))(-3, -5, -2, -6, -4, -4)
+    AL = (ct.c_double * (2 * B))(*([-inf] * 6))
+    AU = (ct.c_double * (2 * B))(10, 12, 9, 13, 11, 11)
+    lo = (ct.c_double * (2 * B))(*([0.0] * 6))
+    hi = (ct.c_double * (2 * B))(inf, inf, inf, inf, 4.0, inf)
+
+    p = _Params()
+    lib.hprlp_parameters_default(ct.byref(p))
+    p.stop_tol = 1e-6
+    res = lib.hprlp_solve_batched(model, B, C, AL, AU, lo, hi, None,
+                                  ct.byref(p))
+    assert res, lib.hprlp_last_error()
+    r = res.contents
+    assert (r.m, r.n, r.batch_size) == (2, 2, B)
+    for k in range(B):
+        st = ct.string_at(ct.addressof(r.status.contents) + 64 * k)
+        assert st == b"OPTIMAL", (k, st)
+    assert abs(r.primal_obj[0] - (-26.4)) < 1e-2
+    x0 = np.ctypeslib.as_array(r.x, shape=(B * 2,))[:2].copy()
+    np.testing.assert_allclose(x0, [2.8, 3.6], atol=1e-3)
+    assert r.iter[0] > 0 and r.solve_time >= 0.0
+    lib.hprlp_free_batched_results(res)
+    lib.hprlp_free_model(model)
+    lib.hprlp_shutdown()
+
+
+def test_ctypes_solve_batched_from_mps():
+    """Batched solve over an MPS-backed model: the server parses the
+    file, reuses its A, and reports dims via the mps_dims op."""
+    lib = _lib_batched()
+    model = lib.hprlp_create_model_from_mps(
+        os.path.join(REPO, "data", "model.mps").encode())
+    assert model
+
+    inf = float("inf")
+    B = 2
+    C = (ct.c_double * (2 * B))(-3, -5, -3, -5)
+    AL = (ct.c_double * (2 * B))(*([-inf] * 4))
+    AU = (ct.c_double * (2 * B))(10, 12, 10, 12)
+    lo = (ct.c_double * (2 * B))(*([0.0] * 4))
+    hi = (ct.c_double * (2 * B))(*([inf] * 4))
+    p = _Params()
+    lib.hprlp_parameters_default(ct.byref(p))
+    p.stop_tol = 1e-6
+    res = lib.hprlp_solve_batched(model, B, C, AL, AU, lo, hi, None,
+                                  ct.byref(p))
+    assert res, lib.hprlp_last_error()
+    r = res.contents
+    assert r.batch_size == B
+    for k in range(B):
+        assert abs(r.primal_obj[k] - (-26.4)) < 1e-2
+    lib.hprlp_free_batched_results(res)
+    lib.hprlp_free_model(model)
+    lib.hprlp_shutdown()
+
+
+def test_c_api_hostile_paths():
+    """Protocol hardening: hostile MPS paths (newlines, quotes,
+    backslashes, control chars, non-ASCII) must round-trip the
+    line-delimited JSON pipe without desynchronising it — each solve
+    returns a clean ERROR result (missing file), and a normal solve
+    still works afterwards on the SAME worker."""
+    lib = _lib_batched()
+    lib.hprlp_solve.restype = ct.POINTER(_Results)
+    lib.hprlp_solve.argtypes = [ct.c_void_p, ct.POINTER(_Params)]
+    lib.hprlp_free_results.argtypes = [ct.POINTER(_Results)]
+
+    p = _Params()
+    lib.hprlp_parameters_default(ct.byref(p))
+    p.stop_tol = 1e-4
+    hostile = [b"/no/such\nfile.mps", b'/tmp/we"ird.mps',
+               b"/tmp/back\\slash.mps", b"/tmp/ctrl\x01\x1f.mps",
+               b"/tmp/\xc3\xbcnicode.mps", b"\ttabs\tin\tpath"]
+    for path in hostile:
+        model = lib.hprlp_create_model_from_mps(path)
+        res = lib.hprlp_solve(model, ct.byref(p))
+        # Transport must survive; the solve itself fails cleanly.
+        assert res, (path, lib.hprlp_last_error())
+        assert res.contents.status == b"ERROR", path
+        lib.hprlp_free_results(res)
+        lib.hprlp_free_model(model)
+    # Worker is still in sync: a real solve succeeds.
+    model = lib.hprlp_create_model_from_mps(
+        os.path.join(REPO, "data", "model.mps").encode())
+    res = lib.hprlp_solve(model, ct.byref(p))
+    assert res and res.contents.status == b"OPTIMAL"
+    lib.hprlp_free_results(res)
+    lib.hprlp_free_model(model)
+    lib.hprlp_shutdown()
+
+
+def test_c_batched_example_compiles_and_solves(tmp_path):
+    cc = shutil.which("gcc") or shutil.which("cc")
+    if cc is None:
+        pytest.skip("no C compiler")
+    src = os.path.join(REPO, "examples", "c", "example_batched_lp.c")
+    exe = str(tmp_path / "example_batched")
+    subprocess.run(
+        [cc, src, "-I" + os.path.join(REPO, "native", "include"),
+         "-L" + os.path.join(REPO, "native", "lib"), "-lhprlp_tpu",
+         "-o", exe], check=True)
+    env = _env()
+    env["LD_LIBRARY_PATH"] = os.path.join(REPO, "native", "lib")
+    r = subprocess.run([exe], env=env, capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "OK" in r.stdout
+
+
+def test_c_mps_example_compiles_and_solves(tmp_path):
+    cc = shutil.which("gcc") or shutil.which("cc")
+    if cc is None:
+        pytest.skip("no C compiler")
+    src = os.path.join(REPO, "examples", "c", "example_mps_file.c")
+    exe = str(tmp_path / "example_mps")
+    subprocess.run(
+        [cc, src, "-I" + os.path.join(REPO, "native", "include"),
+         "-L" + os.path.join(REPO, "native", "lib"), "-lhprlp_tpu",
+         "-o", exe], check=True)
+    env = _env()
+    env["LD_LIBRARY_PATH"] = os.path.join(REPO, "native", "lib")
+    r = subprocess.run([exe, os.path.join(REPO, "data", "model.mps")],
+                       env=env, capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "status: OPTIMAL" in r.stdout
+    assert "OK" in r.stdout
