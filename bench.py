@@ -122,12 +122,65 @@ def main():
     dt = time.perf_counter() - t0
 
     its_per_sec = done / dt
+
+    # --- Roofline accounting (SURVEY §6 measurement protocol) ---
+    # Bytes ACTUALLY touched per iteration, from the attached tile
+    # arrays (incl. all padding), so the perf claim is anchored to the
+    # chip's HBM bandwidth rather than only the provisional A100
+    # baseline.  Per iteration = one SpMV(A^T) + one SpMV(A) + the
+    # elementwise halves.
+    def spmv_bytes(A):
+        b = 0
+        for arr in (A.lane_idx1t, A.lane_idx2, A.lane_vals,
+                    A.lane_vals_lo, A.thin_idx1t, A.thin_idx2,
+                    A.thin_invt, A.thin_vals, A.thin_vals_lo):
+            if arr is not None:
+                b += arr.size * arr.dtype.itemsize
+        if A.backend == "lane":
+            # One (128,128) x-window DMA per chunk; y2 accumulates in
+            # VMEM and writes HBM once.
+            n_chunks = sum(int(t.shape[0]) for t in
+                           (A.lane_idx2, A.thin_idx2) if t is not None)
+            b += n_chunks * 128 * 128 * 4
+            b += A.nrows * 4
+            b += A.ncols * 4  # x read once into the window view
+        elif A.backend == "dense":
+            b += A.nrows * A.ncols * A.dense.dtype.itemsize \
+                + (A.nrows + A.ncols) * 4
+        else:  # gather
+            for bk in A.buckets:
+                b += bk.vals.size * (4 + 4) + bk.nrows * 4
+        return b
+
+    # Elementwise halves (x/z then y): reads {x, ATy, c, l, u, last_x}
+    # + writes {x, x_hat} = 8 n-vectors; reads {y, Ax, AL, AU, last_y}
+    # + writes {y, y_hat} = 7 m-vectors (solver/chunk.py update
+    # equations; XLA fuses the intermediates).
+    itemsize = jnp.dtype(lp.c.dtype).itemsize
+    vec_bytes = 8 * lp.A.ncols * itemsize + 7 * lp.A.nrows * itemsize
+    bytes_per_iter = spmv_bytes(lp.AT) + spmv_bytes(lp.A) + vec_bytes
+    achieved_gbps = bytes_per_iter * its_per_sec / 1e9
+
+    # Chip HBM bandwidth by device kind (public specs).
+    kind = jax.devices()[0].device_kind.lower()
+    hbm_gbps = 819.0  # v5e default
+    for pat, bw in (("v5p", 2765.0), ("v5 lite", 819.0), ("v5e", 819.0),
+                    ("v6e", 1640.0), ("v6 lite", 1640.0), ("v4", 1228.0),
+                    ("cpu", 100.0)):
+        if pat in kind:
+            hbm_gbps = bw
+            break
+
     print(json.dumps({
         "metric": (f"hpr_iterations_per_sec[m={M},n={N},"
                    f"nnz={problem.nnz},backend={lp.A.backend}]"),
         "value": round(its_per_sec, 1),
         "unit": "iter/s",
         "vs_baseline": round(its_per_sec / BASELINE_ITERS_PER_SEC, 3),
+        "bytes_per_iter": int(bytes_per_iter),
+        "achieved_gbps": round(achieved_gbps, 1),
+        "roofline_frac": round(achieved_gbps / hbm_gbps, 3),
+        "device_kind": kind,
     }))
 
 

@@ -101,21 +101,25 @@ def banded_lp(m, n, nnz_per_row, halfwidth, seed=0, name=""):
 
 
 def run_single(problem, tol, time_limit, max_iter=500_000,
-               precision=None):
+               precision=None, mesh_shape=None):
     # precision "auto" resolves per-backend: f32 fast mode at 1e-4-grade
     # tolerances, f64 (double-f32 compensated hot loop) below 1e-5.
     if precision is None:
         precision = "auto"
     p = Parameters(verbose=False, stop_tol=tol, time_limit=time_limit,
-                   max_iter=max_iter, precision=precision)
+                   max_iter=max_iter, precision=precision,
+                   mesh_shape=mesh_shape)
     t0 = time.perf_counter()
     res = Model(problem).solve(p)
     wall = time.perf_counter() - t0
     return {
         "m": problem.m, "n": problem.n, "nnz": problem.nnz,
+        "mesh_shape": mesh_shape,
         "status": res.status, "iter": res.iter, "solve_time": res.time,
         "wall_time": wall, "primal_obj": res.primal_obj,
         "kkt": res.residuals,
+        "setup_time": res.setup_time, "scaling_time": res.scaling_time,
+        "power_time": res.power_time, "autotune_time": res.autotune_time,
         "iter4": res.iter4, "time4": res.time4,
         "iter6": res.iter6, "time6": res.time6,
         "iter8": res.iter8, "time8": res.time8,
@@ -152,8 +156,14 @@ def main():
     ap.add_argument("--huge", action="store_true",
                     help="add the 10M-nnz HBM-scale config (slow setup)")
     ap.add_argument("--giant", action="store_true",
-                    help="add the 100M-nnz single-chip config "
+                    help="add the 100M+-nnz single-chip configs "
                          "(BASELINE config 5 scale; minutes of setup)")
+    ap.add_argument("--giant-mesh", type=int, default=0, metavar="N",
+                    help="add the giant banded config sharded over N "
+                         "devices (virtual CPU mesh or real chips)")
+    ap.add_argument("--giant-mesh-scale", type=float, default=0.02,
+                    help="instance scale for --giant-mesh (1.0 = the "
+                         "full 113M-nnz giant)")
     ap.add_argument("--out", default=os.path.join(HERE, "report.json"))
     ap.add_argument("--time-limit", type=float, default=600.0)
     args = ap.parse_args()
@@ -203,22 +213,45 @@ def main():
                                       1e-4, tl))
         if args.giant:
             # BASELINE.md config 5 scale (>100M nnz giant LP) on ONE
-            # chip: the multi-host variant needs N>=2 hosts (validated on
-            # CPU meshes in tests/test_multihost.py); this config proves
-            # the single-chip memory/layout/solve path at 1e8 nnz.
-            # Banded structure: giant real LPs have locality; a giant
-            # UNIFORM pattern exceeds single-chip HBM in the aligned
-            # lane layout (pack_tiles guard) and needs a mesh.  75M nnz
-            # is the single-v5e ceiling for this family (the aligned
-            # layout pays ~8-10x slot padding at giant thin fill —
-            # docs/ROADMAP.md frontier note); 100M+ = mesh territory.
+            # chip.  The round-3 hybrid thin-cell LaneELL kernel +
+            # locality-major layout pack banded giants at ~1.4 slots/nnz
+            # (~0.8 GB of tiles per matrix at 113M nnz) and uniform
+            # giants at ~2-4 slots/nnz — both fit one v5e's HBM, where
+            # the round-2 ALIGNED layout paid 8-11x and capped out at
+            # 75M banded / 0 uniform.  (The reference's own ceiling is
+            # one GPU's memory with int32 nnz, include/structs.h:17-19.)
             record("banded_giant_1e-4",
                    lambda: run_single(
-                       banded_lp(1572864, 3145728, 48, 16384, 5),
+                       banded_lp(1572864, 3145728, 72, 16384, 5),
+                       1e-4, tl))
+            record("uniform_giant_1e-4",
+                   lambda: run_single(
+                       random_lp(786432, 1572864, 128, 6),
                        1e-4, tl))
     else:
         record("batched_64",
                lambda: run_batched(64, 96, 64, 3, 1e-4, tl))
+
+    if args.giant_mesh:
+        # BASELINE.md config 5, MESH variant: the giant banded
+        # family sharded over mesh_shape=N devices (chunk-sharded
+        # hybrid LaneELL under shard_map + psum; each host lays out
+        # and uploads ONLY its window groups — ops/sparse.py
+        # _build_sharded_lane).  --giant-mesh-scale sizes the
+        # instance: 1.0 = the full 113M-nnz giant (expect ~2 v5e
+        # chips' HBM headroom per 8 devices; layout parallelises
+        # per group); CI runs scale=0.02 (~2.3M nnz) green on 8
+        # VIRTUAL CPU devices for correctness + phase times.
+        import jax as _jax
+
+        n_dev = min(args.giant_mesh, len(_jax.devices()))
+        s = args.giant_mesh_scale
+        mm = max(int(1572864 * s) // (256 * n_dev) * 256 * n_dev,
+                 256 * n_dev)
+        record(f"banded_giant_mesh{n_dev}_1e-4",
+               lambda: run_single(
+                   banded_lp(mm, 2 * mm, 72, 16384, 5),
+                   1e-4, tl, mesh_shape=n_dev))
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2, default=float)

@@ -71,27 +71,51 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
     row_multiple also controls shardability: pass n_devices*8 (or more) to
     make every bucket's row count divisible by the mesh size.
     """
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _verbose = _os.environ.get("HPRLP_LAYOUT_VERBOSE") == "1"
+    _t0 = _time.perf_counter()
+
+    def _tick(label):
+        nonlocal _t0
+        if _verbose:
+            print(f"[layout] {label}: {_time.perf_counter() - _t0:.1f}s",
+                  file=_sys.stderr, flush=True)
+        _t0 = _time.perf_counter()
+
     A = problem.A.tocsr()
     A.sum_duplicates()
     AT = A.T.tocsr()
     AT.sum_duplicates()
     m, n = A.shape
+    _tick("csr/transpose")
 
     row_nnz = np.diff(A.indptr)
     col_nnz = np.diff(AT.indptr)
 
-    def locality_key(nnz_per, indices):
-        """Mean partner index per row — rows with nearby keys are packed
-        into the same 128-row LaneELL group, so structured matrices touch
-        fewer x-windows per group (no effect on correctness)."""
-        ids = np.repeat(np.arange(len(nnz_per)), nnz_per)
-        s = np.bincount(ids, weights=indices, minlength=len(nnz_per))
-        return s / np.maximum(nnz_per, 1)
+    def locality_key(indptr, indices):
+        """MEDIAN partner index per row — rows with nearby keys are
+        packed into the same 128-row LaneELL group / 16384-position
+        window, so structured matrices touch few x-windows per group.
+        Median, not mean: a row with two far-apart support clusters
+        (periodic wraparound, a few global couplings) gets a key INSIDE
+        one of its clusters instead of in the empty middle — a
+        mean-keyed sort scattered such rows over every window and
+        exploded the (window, grange) cell count (measured 15992 vs
+        ~500 cells on the 75M banded-giant family).  CSR canonical form
+        keeps indices sorted per row, so the median is O(1) per row."""
+        cnt = np.diff(indptr)
+        mid = indptr[:-1] + cnt // 2
+        key = indices[np.minimum(mid, max(len(indices) - 1, 0))] \
+            .astype(np.float64) if len(indices) else np.zeros(len(cnt))
+        return np.where(cnt > 0, key, 0.0)
 
-    plan_A = plan_buckets(row_nnz, min_width, min_bucket_rows,
-                          locality_key(row_nnz, A.indices))
-    plan_AT = plan_buckets(col_nnz, min_width, min_bucket_rows,
-                           locality_key(col_nnz, AT.indices))
+    key_A = locality_key(A.indptr, A.indices)
+    key_AT = locality_key(AT.indptr, AT.indices)
+    plan_A = plan_buckets(row_nnz, min_width, min_bucket_rows, key_A)
+    plan_AT = plan_buckets(col_nnz, min_width, min_bucket_rows, key_AT)
 
     # Window-balance both spaces for the LaneELL kernel: the kernel's cost
     # is sum over (window, 16384-row block) of the block's max per-row
@@ -109,23 +133,54 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
     # fit HBM).  Both layouts are cheap to SCORE exactly (the per-lane
     # depth term of the aligned cost), so compute both and keep the
     # cheaper pair.
+    _tick("plan_buckets")
     plan_A_bal = _layout_windows(plan_A, A.indptr, A.indices, n,
                                  row_multiple)
     plan_AT_bal = _layout_windows(plan_AT, AT.indptr, AT.indices, m,
                                   row_multiple)
-    if plan_A_bal is not plan_A or plan_AT_bal is not plan_AT:
+    _tick("window_balance")
+    # Third candidate: LOCALITY-major windows (banded giants — see
+    # _locality_major_plan).  Built only when its precondition holds and
+    # a choice is actually available.
+    plan_A_loc = _locality_major_plan(plan_A, key_A, row_multiple)
+    plan_AT_loc = _locality_major_plan(plan_AT, key_AT, row_multiple)
+    have_loc = plan_A_loc is not None and plan_AT_loc is not None
+    if (plan_A_bal is not plan_A or plan_AT_bal is not plan_AT
+            or have_loc):
+        from .lane_ell import hybrid_cost
+
         def pair_cost(pa, pat):
+            # Routed HYBRID cost (aligned vs thin per cell) — the metric
+            # the kernel actually pays.  Round 2 compared the aligned
+            # cost only, which made window balancing look profitable on
+            # banded giants when it actually destroyed the band locality
+            # that lets the thin router pack at ~1.3 slots/nnz.
             rp = _positions_from_plan(pa, m, row_multiple)
             cp = _positions_from_plan(pat, n, row_multiple)
-            return (_aligned_lane_cost(A.indptr, A.indices, rp, cp)
-                    + _aligned_lane_cost(AT.indptr, AT.indices, cp, rp))
+            rows_pa = np.repeat(rp, np.diff(A.indptr))
+            rows_pat = np.repeat(cp, np.diff(AT.indptr))
+            m_pad_a = padded_size(bucketed_row_total(pa, row_multiple),
+                                  vec_multiple)
+            n_pad_a = padded_size(bucketed_row_total(pat, row_multiple),
+                                  vec_multiple)
+            return (hybrid_cost(rows_pa, cp[A.indices], m_pad_a)
+                    + hybrid_cost(rows_pat, rp[AT.indices], n_pad_a))
 
         cost_bal = pair_cost(plan_A_bal, plan_AT_bal)
         cost_plain = pair_cost(plan_A, plan_AT)
+        cost_loc = (pair_cost(plan_A_loc, plan_AT_loc) if have_loc
+                    else cost_plain + 1)
+        if _verbose:
+            print(f"[layout] chooser: bal={cost_bal} plain={cost_plain} "
+                  f"loc={cost_loc}", file=_sys.stderr, flush=True)
+        _tick("layout_chooser")
         # Prefer the balanced layout on ties (residue balancing composes
         # better with it; measured equal-or-better everywhere dense).
-        if cost_bal <= cost_plain * 1.1:
+        best_other = min(cost_plain, cost_loc)
+        if cost_bal <= best_other * 1.1:
             plan_A, plan_AT = plan_A_bal, plan_AT_bal
+        elif have_loc and cost_loc < cost_plain:
+            plan_A, plan_AT = plan_A_loc, plan_AT_loc
     else:
         plan_A, plan_AT = plan_A_bal, plan_AT_bal
 
@@ -141,6 +196,7 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
     col_pos_prov = _positions_from_plan(plan_AT, n, row_multiple)
     plan_A = _balance_plan_residues(plan_A, A.indptr, A.indices,
                                     col_pos_prov, row_multiple)
+    _tick("residue_balance")
 
     m_pad = padded_size(bucketed_row_total(plan_A, row_multiple), vec_multiple)
     n_pad = padded_size(bucketed_row_total(plan_AT, row_multiple), vec_multiple)
@@ -160,6 +216,7 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
         row_multiple, np_dtype)
     assert np.array_equal(row_pos, row_pos2)
     assert np.array_equal(col_pos, col_pos2)
+    _tick("ell_build")
 
     def scatter_vec(vals, pos, size, fill):
         out = np.full(size, fill, dtype=np.float64)
@@ -204,6 +261,43 @@ def _aligned_lane_cost(indptr, indices, row_pos, col_pos) -> int:
     wg = (cells // G) * n_gr + (cells % G) // LANES  # (w, grange), sorted
     starts2 = np.concatenate([[0], np.nonzero(np.diff(wg))[0] + 1])
     return int(np.maximum.reduceat(cell_max, starts2).sum())
+
+
+def _locality_major_plan(plan, key: np.ndarray, row_multiple: int):
+    """Rebuild a bucket plan LOCALITY-major: rows sorted by `key` (mean
+    partner position) are cut into WINDOW-sized position segments, with
+    width sub-buckets inside each segment (exact sizes, so segments stay
+    window-aligned with no fillers).
+
+    Width-major bucketing (the default plan) CONCATENATES the width
+    groups, so each 16384-position window mixes rows from the whole
+    matrix — on a banded giant that touches nearly every (window,
+    group-range) cell and the hybrid router can't win (measured 5.2
+    slots/nnz at 75M nnz vs ~1.3 with this plan).  Only valid when
+    row_multiple divides WINDOW segments trivially (single-chip
+    layouts); mesh layouts keep the rounded plans."""
+    from .lane_ell import WINDOW
+
+    if row_multiple > 8:
+        return None
+    n_rows = sum(len(e[1]) for e in plan)
+    if n_rows <= WINDOW:
+        return None
+    rows_all = np.concatenate([np.asarray(e[1]) for e in plan])
+    width_all = np.concatenate(
+        [np.full(len(e[1]), e[0], np.int64) for e in plan])
+    o = np.argsort(key[rows_all], kind="stable")
+    rows_s = rows_all[o]
+    width_s = width_all[o]
+    new_plan = []
+    for a in range(0, n_rows, WINDOW):
+        b = min(a + WINDOW, n_rows)
+        seg_rows = rows_s[a:b]
+        seg_w = width_s[a:b]
+        for w in np.unique(seg_w):
+            members = seg_rows[seg_w == w]
+            new_plan.append((int(w), members, len(members)))
+    return new_plan
 
 
 def _layout_windows(plan, indptr, indices, n_partners: int,

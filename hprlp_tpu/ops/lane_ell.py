@@ -121,9 +121,93 @@ def _greedy_schedule(rows_s: np.ndarray, cols_s: np.ndarray,
             np.asarray(sublanes_wid, np.int64))
 
 
+def _window_splits(w_sorted: np.ndarray, n_parts: int):
+    """Split a (window-major sorted) entry range into <= n_parts
+    contiguous segments that cut ONLY at window boundaries, balanced by
+    entry count.  Window-level independence makes this exact: the lane
+    scheduler, the thin packer and the per-window chunk padding all
+    treat windows independently, so concatenating per-segment tiles is
+    BIT-IDENTICAL to the full serial run."""
+    n = len(w_sorted)
+    if n == 0 or n_parts <= 1:
+        return [(0, n)]
+    starts = np.concatenate([[0], np.nonzero(np.diff(w_sorted))[0] + 1])
+    targets = (np.arange(1, n_parts) * n) // n_parts
+    cuts = starts[np.minimum(np.searchsorted(starts, targets),
+                             len(starts) - 1)]
+    bounds = np.unique(np.concatenate([[0], cuts, [n]]))
+    return [(int(a), int(b)) for a, b in zip(bounds[:-1], bounds[1:])
+            if b > a]
+
+
+# Parallel scheduling kicks in above this entry count (the native
+# scheduler releases the GIL, so window segments run on real threads).
+PARALLEL_SCHED_MIN_NNZ = 2_000_000
+
+
+def _concat_tiles(parts: list[dict], keys=("idx1t", "idx2", "vals",
+                                           "cols", "gid", "gbase", "wid",
+                                           "invt")) -> dict:
+    out = dict(parts[0])
+    for k in keys:
+        if out.get(k) is not None:
+            out[k] = (parts[0][k] if len(parts) == 1 else
+                      np.concatenate([p[k] for p in parts], axis=0))
+    return out
+
+
+def _parallel_windows(fn, w_sorted: np.ndarray, n_entries: int):
+    """Run fn(a, b) -> tiles over window-boundary segments in a thread
+    pool and concatenate (None when the input is too small to bother)."""
+    import os as _os
+
+    if n_entries < PARALLEL_SCHED_MIN_NNZ:
+        return None
+    n_parts = min(_os.cpu_count() or 1, 16)
+    spans = _window_splits(w_sorted, n_parts)
+    if len(spans) <= 1:
+        return None
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(spans)) as ex:
+        parts = list(ex.map(lambda ab: fn(*ab), spans))
+    return _concat_tiles(parts)
+
+
 def schedule_lane_ell(rows_p: np.ndarray, cols_p: np.ndarray,
                       vals: np.ndarray, m_pad: int, n_pad: int,
                       with_cols: bool = False):
+    """Parallel wrapper over _schedule_lane_ell_serial: entries are
+    sorted (window, group) once, split at window boundaries, scheduled
+    per segment on threads, and the tile sets concatenated — exact (see
+    _window_splits)."""
+    rows_p = np.asarray(rows_p)
+    cols_p = np.asarray(cols_p)
+    vals = np.asarray(vals)
+    g_all = rows_p // LANES
+    l_all = rows_p % LANES
+    w_all = cols_p // WINDOW
+    order = np.lexsort((l_all, g_all, w_all))
+    rs, cs, vs = rows_p[order], cols_p[order], vals[order]
+
+    def seg(a, b):
+        return _schedule_lane_ell_serial(rs[a:b], cs[a:b], vs[a:b],
+                                         m_pad, n_pad,
+                                         with_cols=with_cols,
+                                         presorted=True)
+
+    out = _parallel_windows(seg, w_all[order], len(rs))
+    if out is None:
+        return _schedule_lane_ell_serial(rs, cs, vs, m_pad, n_pad,
+                                         with_cols=with_cols,
+                                         presorted=True)
+    return out
+
+
+def _schedule_lane_ell_serial(rows_p: np.ndarray, cols_p: np.ndarray,
+                              vals: np.ndarray, m_pad: int, n_pad: int,
+                              with_cols: bool = False,
+                              presorted: bool = False):
     """Schedule entries into windowed LaneELL chunk tiles.
 
     rows_p/cols_p: PADDED row/col positions per nonzero; vals: values.
@@ -156,13 +240,16 @@ def schedule_lane_ell(rows_p: np.ndarray, cols_p: np.ndarray,
     rho_all = (cols_p % LANES).astype(np.int64)
 
     # Sort entries by (window, group) — the global sublane order.
-    order = np.lexsort((l_all, g_all, w_all))
-
-    sub_sorted = np.zeros(len(order), np.int64)
-    gid_arr, wid_arr = _greedy_schedule(rows_p[order], cols_p[order],
-                                        sub_sorted)
-    sub_of = np.zeros(len(order), np.int64)  # global sublane per entry
-    sub_of[order] = sub_sorted
+    if presorted:
+        sub_of = np.zeros(len(rows_p), np.int64)
+        gid_arr, wid_arr = _greedy_schedule(rows_p, cols_p, sub_of)
+    else:
+        order = np.lexsort((l_all, g_all, w_all))
+        sub_sorted = np.zeros(len(order), np.int64)
+        gid_arr, wid_arr = _greedy_schedule(rows_p[order], cols_p[order],
+                                            sub_sorted)
+        sub_of = np.zeros(len(order), np.int64)  # global sublane per entry
+        sub_of[order] = sub_sorted
     T = len(gid_arr)
 
     # ALIGNED placement: for each (window, 128-aligned group range), emit
@@ -430,6 +517,34 @@ def _pack_thin(rows_s: np.ndarray, cols_s: np.ndarray, phi: int):
 def schedule_thin(rows_p: np.ndarray, cols_p: np.ndarray, vals: np.ndarray,
                   m_pad: int, n_pad: int, phi: int = 4,
                   with_cols: bool = False) -> dict:
+    """Parallel wrapper over _schedule_thin_serial (same window-boundary
+    segmentation as schedule_lane_ell — exact, see _window_splits)."""
+    rows_p = np.asarray(rows_p)
+    cols_p = np.asarray(cols_p)
+    vals = np.asarray(vals)
+    G = m_pad // LANES
+    GR = np.int64(max(1, -(-G // LANES)))
+    w_all = cols_p // WINDOW
+    gr_all = rows_p // (LANES * LANES)
+    order = np.lexsort((cols_p, rows_p, w_all * GR + gr_all))
+    rs, cs, vs = rows_p[order], cols_p[order], vals[order]
+
+    def seg(a, b):
+        return _schedule_thin_serial(rs[a:b], cs[a:b], vs[a:b], m_pad,
+                                     n_pad, phi=phi, with_cols=with_cols,
+                                     presorted=True)
+
+    out = _parallel_windows(seg, w_all[order], len(rs))
+    if out is None:
+        return _schedule_thin_serial(rs, cs, vs, m_pad, n_pad, phi=phi,
+                                     with_cols=with_cols, presorted=True)
+    return out
+
+
+def _schedule_thin_serial(rows_p: np.ndarray, cols_p: np.ndarray,
+                          vals: np.ndarray, m_pad: int, n_pad: int,
+                          phi: int = 4, with_cols: bool = False,
+                          presorted: bool = False) -> dict:
     """Schedule entries into thin (packed) LaneELL chunk tiles.
 
     Same idx1t/idx2/vals tile formats as schedule_lane_ell; the aligned
@@ -443,12 +558,17 @@ def schedule_thin(rows_p: np.ndarray, cols_p: np.ndarray, vals: np.ndarray,
     n_win = -(-n_pad // WINDOW)
     n = len(rows_p)
 
-    w_all = cols_p // WINDOW
-    gr_all = rows_p // (LANES * LANES)
-    order = np.lexsort((cols_p, rows_p, w_all * np.int64(max(1, -(-G // LANES))) + gr_all))
-    rs = rows_p[order]
-    cs = cols_p[order]
-    vs = np.asarray(vals)[order]
+    if presorted:
+        rs, cs, vs = rows_p, cols_p, np.asarray(vals)
+    else:
+        w_all = cols_p // WINDOW
+        gr_all = rows_p // (LANES * LANES)
+        order = np.lexsort((cols_p, rows_p,
+                            w_all * np.int64(max(1, -(-G // LANES)))
+                            + gr_all))
+        rs = rows_p[order]
+        cs = cols_p[order]
+        vs = np.asarray(vals)[order]
 
     out_sb, out_sub, sb_wid, sb_gbase = _pack_thin(rs, cs, phi)
     n_sb = len(sb_wid)
@@ -581,35 +701,60 @@ def route_cells(rows_p: np.ndarray, cols_p: np.ndarray, m_pad: int,
     GR = max(1, -(-G // LANES))
     w_all = cols_p // WINDOW
     cell_all = w_all * np.int64(GR) + rows_p // (LANES * LANES)
-    order = np.lexsort((rows_p, cell_all))
-    cell_s = cell_all[order]
-    rows_s = rows_p[order]
 
-    # (cell, row) runs.
-    new_row = np.ones(n, bool)
-    new_row[1:] = (rows_s[1:] != rows_s[:-1]) | (cell_s[1:] != cell_s[:-1])
-    row_start = np.nonzero(new_row)[0]
-    row_cnt = np.diff(np.append(row_start, n))
-    row_cell = cell_s[row_start]
-    row_lane = rows_s[row_start] % LANES
-    row_g = rows_s[row_start] // LANES
+    # Per-(cell, row) counts WITHOUT an entry sort: a cell is a function
+    # of (window, row) — cell = w*GR + row//16384 — so the pair key
+    # (w, row) enumerates (cell, row) pairs, and its key space n_win *
+    # m_pad is small enough to bincount directly (O(nnz) + O(keyspace),
+    # vs the previous lexsort's O(nnz log nnz): measured ~25 s -> ~2 s
+    # per call at 19.5M nnz).  nonzero() returns keys ascending, which
+    # IS (cell, row) order.  Falls back to the sort above ~1e9 keys.
+    n_win_touch = int(w_all.max()) + 1
+    keyspace = n_win_touch * m_pad
+    if keyspace <= 1_000_000_000:
+        cnt = np.bincount(w_all * np.int64(m_pad) + rows_p,
+                          minlength=keyspace)
+        nz = np.nonzero(cnt)[0]
+        row_cnt = cnt[nz]
+        del cnt
+        pair_row = nz % m_pad
+        row_cell = (nz // m_pad) * np.int64(GR) \
+            + pair_row // (LANES * LANES)
+        row_lane = pair_row % LANES
+        row_g = pair_row // LANES
+    else:
+        order = np.lexsort((rows_p, cell_all))
+        cell_s = cell_all[order]
+        rows_s = rows_p[order]
+        new_row = np.ones(n, bool)
+        new_row[1:] = ((rows_s[1:] != rows_s[:-1])
+                       | (cell_s[1:] != cell_s[:-1]))
+        row_start = np.nonzero(new_row)[0]
+        row_cnt = np.diff(np.append(row_start, n))
+        row_cell = cell_s[row_start]
+        row_lane = rows_s[row_start] % LANES
+        row_g = rows_s[row_start] // LANES
 
     # Cell runs over rows.
-    new_cell = np.ones(len(row_start), bool)
+    new_cell = np.ones(len(row_cnt), bool)
     new_cell[1:] = row_cell[1:] != row_cell[:-1]
     cell_start = np.nonzero(new_cell)[0]
     cell_ids = row_cell[cell_start]
     n_cells = len(cell_ids)
     cell_E = np.add.reduceat(row_cnt, cell_start)
 
-    # Aligned: max per-(w,g) block of max row count.
+    # Aligned: max per-(w,g) block of max row count.  (reduceat/reshape
+    # maxes throughout — np.maximum.at is a buffered ufunc, measured
+    # ~10x slower on the 70M-pair giant inputs.)
     new_blk = new_cell | np.concatenate(
         [[True], row_g[1:] != row_g[:-1]])
     blk_start = np.nonzero(new_blk)[0]
     blk_max = np.maximum.reduceat(row_cnt, blk_start)
     blk_cell_idx = np.cumsum(new_cell) - 1
-    aligned_sb = np.zeros(n_cells, np.int64)
-    np.maximum.at(aligned_sb, blk_cell_idx[blk_start], blk_max)
+    blk_cells = blk_cell_idx[blk_start]  # ascending (cells sorted)
+    cell_blk_start = np.concatenate(
+        [[0], np.nonzero(np.diff(blk_cells))[0] + 1])
+    aligned_sb = np.maximum.reduceat(blk_max, cell_blk_start)
 
     # Thin terms per phi.
     cell_of_row = np.cumsum(new_cell) - 1
@@ -617,9 +762,8 @@ def route_cells(rows_p: np.ndarray, cols_p: np.ndarray, m_pad: int,
     cnt_cl = np.bincount(lane_key, weights=row_cnt,
                          minlength=n_cells * LANES).astype(np.int64)
     slots_term = -(-cell_E // (LANES * LANES))
-    lane_slot_term = np.zeros(n_cells, np.int64)
-    np.maximum.at(lane_slot_term.reshape(-1),
-                  lane_key // LANES, -(-cnt_cl[lane_key] // LANES))
+    lane_slot_term = (-(-cnt_cl.reshape(n_cells, LANES) // LANES)) \
+        .max(axis=1)
 
     best = None
     for phi in phis:
@@ -627,13 +771,11 @@ def route_cells(rows_p: np.ndarray, cols_p: np.ndarray, m_pad: int,
         if K < 2:
             continue
         pos_rows = -(-row_cnt // phi)
-        mult_term = np.zeros(n_cells, np.int64)
-        np.maximum.at(mult_term, cell_of_row, pos_rows)
+        mult_term = np.maximum.reduceat(pos_rows, cell_start)
         pos_cl = np.bincount(lane_key, weights=pos_rows,
                              minlength=n_cells * LANES).astype(np.int64)
-        lane_pos_term = np.zeros(n_cells, np.int64)
-        np.maximum.at(lane_pos_term, lane_key // LANES,
-                      -(-pos_cl[lane_key] // (K - 1)))
+        lane_pos_term = (-(-pos_cl.reshape(n_cells, LANES) // (K - 1))) \
+            .max(axis=1)
         thin_sb = np.maximum.reduce(
             [slots_term, mult_term, lane_slot_term, lane_pos_term])
         cost = np.minimum(aligned_sb,
@@ -641,7 +783,7 @@ def route_cells(rows_p: np.ndarray, cols_p: np.ndarray, m_pad: int,
         total = int(cost.sum())
         if best is None or total < best[0]:
             best = (total, phi, thin_sb)
-    _, phi, thin_sb = best
+    total_cost, phi, thin_sb = best
 
     thin_cells = factor * thin_sb < aligned_sb
     # Entry mask: cells sorted by id; map each entry's cell to its index.
@@ -654,8 +796,25 @@ def route_cells(rows_p: np.ndarray, cols_p: np.ndarray, m_pad: int,
         "n_cells": n_cells,
         "n_thin_cells": int(thin_cells.sum()),
         "phi": phi,
+        # Total routed cost in ALIGNED-sub-block units (thin sub-blocks
+        # weighted by THIN_COST_FACTOR): the layout chooser's metric.
+        "total_cost": int(total_cost),
     }
     return thin_mask, phi, stats
+
+
+def hybrid_cost(rows_p: np.ndarray, cols_p: np.ndarray, m_pad: int) -> int:
+    """Routed hybrid-kernel cost of a candidate layout (sub-block units,
+    thin weighted by THIN_COST_FACTOR).  The layout chooser compares
+    candidate row/col permutations with THIS metric — comparing with the
+    aligned-only cost (round 2) made window balancing look like a win on
+    banded giants when it actually destroyed the locality the thin
+    router exploits (measured 6.4 vs 2.0 slots/nnz at 39M nnz)."""
+    if len(rows_p) == 0:
+        return 0
+    _, _, stats = route_cells(np.asarray(rows_p), np.asarray(cols_p),
+                              m_pad)
+    return stats["total_cost"]
 
 
 def schedule_hybrid(rows_p: np.ndarray, cols_p: np.ndarray,

@@ -437,18 +437,45 @@ def thin_spmv_df64(xh: jax.Array, xl: jax.Array, idx1t, idx2, invt,
     return y2h[:g_real].reshape(-1), y2l[:g_real].reshape(-1)
 
 
-def pack_tiles(tiles: dict, n_pad: int, dtype) -> dict:
-    """Upload scheduler output as device tiles for lane_spmv.
-
-    f64 problems get DOUBLE-F32 value tiles (hi = f32 rounding, lo = the
-    f32 residual) consumed by lane_spmv_df64 — Mosaic has no f64, and the
-    compensated kernel keeps ~2^-48 relative accuracy."""
+def pack_tiles_np(tiles: dict, dtype) -> dict:
+    """Host-side packing stage of pack_tiles: cast scheduler output to
+    the device tile dtypes (int8 indices, f32/df64 values) WITHOUT
+    uploading.  The mesh-sharded giant path packs per window-group and
+    uploads shard-wise (ops/sparse.attach_lane)."""
     gbase = tiles["gbase"].astype(np.int64)           # (C, SUBBLOCKS)
     G = tiles["G"]
     g_alloc = -(-max(G, LANES) // LANES) * LANES
     if gbase.size and (gbase.min() < 0
                        or gbase.max() + LANES > g_alloc):
         raise AssertionError("lane scheduler emitted an out-of-range gbase")
+    out = {
+        "idx1t": np.ascontiguousarray(tiles["idx1t"].astype(np.int8)),
+        "idx2": np.ascontiguousarray(tiles["idx2"].astype(np.int8)),
+        "gbase": np.ascontiguousarray(
+            gbase.reshape(-1).astype(np.int32)),
+        "wid": np.asarray(tiles["wid"]),
+        "G": G,
+    }
+    if np.dtype(dtype) == np.float64:
+        v64 = tiles["vals"].astype(np.float64)
+        vh = v64.astype(np.float32)
+        out["vals"] = vh
+        out["vals_lo"] = (v64 - vh).astype(np.float32)
+    else:
+        out["vals"] = tiles["vals"].astype(np.dtype(dtype))
+        out["vals_lo"] = None
+    if tiles.get("invt") is not None:  # thin (packed) tiles
+        out["invt"] = np.asarray(tiles["invt"])
+        out["phi"] = tiles["phi"]
+    return out
+
+
+def pack_tiles(tiles: dict, n_pad: int, dtype) -> dict:
+    """Upload scheduler output as device tiles for lane_spmv.
+
+    f64 problems get DOUBLE-F32 value tiles (hi = f32 rounding, lo = the
+    f32 residual) consumed by lane_spmv_df64 — Mosaic has no f64, and the
+    compensated kernel keeps ~2^-48 relative accuracy."""
 
     # HBM guard: the ALIGNED layout pays the (window, 128-group-range)
     # max depth for every group, so a giant matrix whose nnz spread
@@ -471,24 +498,10 @@ def pack_tiles(tiles: dict, n_pad: int, dtype) -> dict:
             f"layout ({tiles['vals'].size / 1e6:.0f}M slots). Shard over "
             f"more chips, or raise HPRLP_LANE_TILE_BUDGET_GB.")
 
-    out = {
-        "idx1t": jnp.asarray(tiles["idx1t"].astype(np.int8)),
-        "idx2": jnp.asarray(tiles["idx2"].astype(np.int8)),
-        "gbase": jnp.asarray(gbase.reshape(-1).astype(np.int32)),
-        "wid": jnp.asarray(tiles["wid"]),
-        "G": G,
-    }
-    if np.dtype(dtype) == np.float64:
-        v64 = tiles["vals"].astype(np.float64)
-        vh = v64.astype(np.float32)
-        out["vals"] = jnp.asarray(vh)
-        out["vals_lo"] = jnp.asarray((v64 - vh).astype(np.float32))
-    else:
-        out["vals"] = jnp.asarray(tiles["vals"].astype(np.dtype(dtype)))
-        out["vals_lo"] = None
-    if tiles.get("invt") is not None:  # thin (packed) tiles
-        out["invt"] = jnp.asarray(tiles["invt"])
-        out["phi"] = tiles["phi"]
+    host = pack_tiles_np(tiles, dtype)
+    out = {k: (jnp.asarray(v)
+               if isinstance(v, np.ndarray) else v)
+           for k, v in host.items()}
     return out
 
 

@@ -137,41 +137,154 @@ def to_coo(A: EllMatrix):
             np.concatenate(vals).astype(np.float64))
 
 
-def _shard_packed(packed: dict, mesh, mesh_axis: str,
-                  keys=("idx1t", "idx2", "invt", "vals", "vals_lo", "wid",
-                        "gbase")) -> dict:
-    """Pad the chunk axis to the mesh size and chunk-shard the tiles
-    (empty padding chunks contribute exact zeros)."""
+def _group_windows(w_of_entry: np.ndarray, n_groups: int) -> np.ndarray:
+    """Partition windows into n_groups CONTIGUOUS ranges balanced by
+    entry count; returns the window-range boundaries (n_groups+1,).
+    Deterministic from the (replicated) entry data, so every process of
+    a multi-host solve computes the same partition."""
+    if len(w_of_entry) == 0:
+        return np.zeros(n_groups + 1, np.int64)
+    n_win = int(w_of_entry.max()) + 1
+    cnt = np.bincount(w_of_entry, minlength=n_win)
+    csum = np.concatenate([[0], np.cumsum(cnt)])
+    targets = (np.arange(1, n_groups) * csum[-1]) // n_groups
+    cuts = np.searchsorted(csum, targets, side="left")
+    return np.concatenate([[0], np.clip(cuts, 0, n_win), [n_win]])
+
+
+def _build_sharded_lane(A: EllMatrix, rows_p, cols_p, vals, dtype):
+    """Mesh-sharded hybrid LaneELL build: each window GROUP (one per
+    mesh device) is routed, scheduled and packed independently, and each
+    process materialises ONLY the groups of its addressable devices —
+    per-host layout time and tile memory drop ~1/N on multi-host solves
+    (round-2 gap: the mesh path built the FULL tile set on every host).
+
+    Window-level independence makes the partition exact (ops/lane_ell
+    _window_splits); the group axis becomes the chunk-shard axis, each
+    group zero-padded to the max group chunk count (padding chunks
+    compute exact zeros).  Returns (packed_aligned | None,
+    packed_thin | None, phi)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from .lane_ell import SUBBLOCKS
-
-    n_dev = mesh.devices.size
-    C = int(packed["idx2"].shape[0])
-    C_pad = -(-C // n_dev) * n_dev
-    if C_pad != C:
-        pad = C_pad - C
-
-        def padc(arr, fill=0):
-            shape = (pad,) + tuple(arr.shape[1:])
-            return jnp.concatenate(
-                [arr, jnp.full(shape, fill, arr.dtype)], axis=0)
-
-        packed = dict(packed)
-        for k in ("idx1t", "idx2", "invt", "vals", "vals_lo", "wid"):
-            if packed.get(k) is not None:
-                packed[k] = padc(packed[k])
-        packed["gbase"] = jnp.concatenate(
-            [packed["gbase"],
-             jnp.zeros(pad * SUBBLOCKS, packed["gbase"].dtype)])
     from ..parallel.distributed import global_put
+    from .lane_ell import (LANES, SUBBLOCKS, WINDOW, route_cells,
+                           schedule_lane_ell, schedule_thin)
+    from .pallas_spmv import pack_tiles_np
 
-    shard = NamedSharding(mesh, P(mesh_axis))
-    packed = dict(packed)
-    for k in keys:
-        if packed.get(k) is not None:
-            packed[k] = global_put(np.asarray(packed[k]), shard)
-    return packed
+    mesh = A.mesh
+    devs = mesh.devices.reshape(-1)
+    n_dev = devs.size
+    thin_mask, phi, _stats = route_cells(rows_p, cols_p, A.nrows)
+    w_all = cols_p // WINDOW
+    bounds = _group_windows(w_all, n_dev)
+    group_of_entry = np.searchsorted(bounds[1:-1], w_all, side="right")
+
+    import jax as _jax
+
+    multi = _jax.process_count() > 1
+    mine = [g for g in range(n_dev)
+            if not multi or devs[g].process_index == _jax.process_index()]
+
+    def build_group(g):
+        sel = group_of_entry == g
+        out = {}
+        for kind in ("aligned", "thin"):
+            mask = sel & (thin_mask if kind == "thin" else ~thin_mask)
+            if not mask.any():
+                out[kind] = None
+                continue
+            if kind == "aligned":
+                t = schedule_lane_ell(rows_p[mask], cols_p[mask],
+                                      vals[mask], A.nrows, A.ncols)
+            else:
+                t = schedule_thin(rows_p[mask], cols_p[mask], vals[mask],
+                                  A.nrows, A.ncols, phi=phi)
+            out[kind] = pack_tiles_np(t, dtype)
+        return out
+
+    local = {g: build_group(g) for g in mine}
+
+    # Agree on per-group chunk counts (multi-host: one small allgather).
+    counts = np.zeros((n_dev, 2), np.int64)
+    for g, tiles in local.items():
+        for j, kind in enumerate(("aligned", "thin")):
+            if tiles[kind] is not None:
+                counts[g, j] = tiles[kind]["idx2"].shape[0]
+    if multi:
+        from jax.experimental import multihost_utils
+
+        counts = np.max(
+            multihost_utils.process_allgather(counts), axis=0)
+    C_max = counts.max(axis=0)  # (aligned, thin)
+
+    df64 = np.dtype(dtype) == np.float64
+    # Per-DEVICE HBM guard (the single-chip guard's mesh analogue): each
+    # device holds C_max chunks of each kind.
+    import os as _os
+
+    per_slot = 10 if df64 else 6
+    per_dev = (int(C_max[0]) * (per_slot)
+               + int(C_max[1]) * (per_slot + 1)) * SUBBLOCKS * LANES * LANES
+    budget_gb = float(_os.environ.get("HPRLP_LANE_TILE_BUDGET_GB", "5.5"))
+    if per_dev > budget_gb * 1e9:
+        raise MemoryError(
+            f"sharded lane tiles would need ~{per_dev / 1e9:.1f} GB per "
+            f"device (> {budget_gb:.1f} GB budget) on a {n_dev}-device "
+            f"mesh. Shard over more chips, or raise "
+            f"HPRLP_LANE_TILE_BUDGET_GB.")
+    shard = NamedSharding(mesh, P(A.mesh_axis))
+
+    def assemble(kind, j):
+        Cm = int(C_max[j])
+        if Cm == 0:
+            return None
+        spec = {
+            "idx1t": ((Cm, LANES, SUBBLOCKS * LANES), np.int8),
+            "idx2": ((Cm, SUBBLOCKS * LANES, LANES), np.int8),
+            "vals": ((Cm, SUBBLOCKS * LANES, LANES), np.float32),
+            "gbase": ((Cm * SUBBLOCKS,), np.int32),
+            "wid": ((Cm,), np.int32),
+        }
+        if df64:
+            spec["vals_lo"] = spec["vals"]
+        if kind == "thin":
+            spec["invt"] = spec["idx1t"]
+
+        def group_block(key, g):
+            shape, dt = spec[key]
+            tiles = local[g][kind] if g in local else None
+            blk = np.zeros(shape, dt)
+            if tiles is not None and tiles.get(key) is not None:
+                src = tiles[key]
+                blk[:src.shape[0]] = src
+            return blk
+
+        out = {}
+        for key in spec:
+            gshape = (n_dev * spec[key][0][0],) + spec[key][0][1:]
+            if multi:
+                blk_sz = spec[key][0][0]
+
+                def cb(idx, key=key, blk_sz=blk_sz):
+                    g = idx[0].start // blk_sz
+                    return group_block(key, g)
+
+                out[key] = _jax.make_array_from_callback(
+                    gshape, shard, cb)
+            else:
+                out[key] = global_put(
+                    np.concatenate([group_block(key, g)
+                                    for g in range(n_dev)], axis=0),
+                    shard)
+        if not df64:
+            out["vals_lo"] = None
+        if kind == "thin":
+            out["phi"] = phi
+        return out
+
+    packed_a = assemble("aligned", 0)
+    packed_t = assemble("thin", 1)
+    return packed_a, packed_t, phi
 
 
 def attach_lane(A: EllMatrix) -> EllMatrix:
@@ -188,28 +301,30 @@ def attach_lane(A: EllMatrix) -> EllMatrix:
     from .lane_ell import schedule_hybrid
     from .pallas_spmv import estimate_tile_bytes, pack_tiles
 
-    rows_p, cols_p, vals = to_coo(A)
-    hy = schedule_hybrid(rows_p, cols_p, vals, A.nrows, A.ncols)
-
-    budget_gb = float(os.environ.get("HPRLP_LANE_TILE_BUDGET_GB", "5.5"))
-    total = sum(estimate_tile_bytes(t, A.dtype)
-                for t in (hy["aligned"], hy["thin"]) if t is not None)
-    if total > budget_gb * 1e9:
-        raise MemoryError(
-            f"hybrid lane tiles would need ~{total / 1e9:.1f} GB "
-            f"(> {budget_gb:.1f} GB budget). Shard over more chips, or "
-            f"raise HPRLP_LANE_TILE_BUDGET_GB.")
-
-    packed_a = (pack_tiles(hy["aligned"], A.ncols, A.dtype)
-                if hy["aligned"] is not None else None)
-    packed_t = (pack_tiles(hy["thin"], A.ncols, A.dtype)
-                if hy["thin"] is not None else None)
-
     if A.mesh is not None:
-        if packed_a is not None:
-            packed_a = _shard_packed(packed_a, A.mesh, A.mesh_axis)
-        if packed_t is not None:
-            packed_t = _shard_packed(packed_t, A.mesh, A.mesh_axis)
+        # Sharded layout: schedule/pack per window group, per-host only
+        # the addressable shards (_build_sharded_lane).
+        rows_p, cols_p, vals = to_coo(A)
+        packed_a, packed_t, _phi = _build_sharded_lane(
+            A, rows_p, cols_p, vals, np.dtype(A.dtype))
+    else:
+        rows_p, cols_p, vals = to_coo(A)
+        hy = schedule_hybrid(rows_p, cols_p, vals, A.nrows, A.ncols)
+
+        budget_gb = float(os.environ.get("HPRLP_LANE_TILE_BUDGET_GB",
+                                         "5.5"))
+        total = sum(estimate_tile_bytes(t, A.dtype)
+                    for t in (hy["aligned"], hy["thin"]) if t is not None)
+        if total > budget_gb * 1e9:
+            raise MemoryError(
+                f"hybrid lane tiles would need ~{total / 1e9:.1f} GB "
+                f"(> {budget_gb:.1f} GB budget). Shard over more chips, "
+                f"or raise HPRLP_LANE_TILE_BUDGET_GB.")
+
+        packed_a = (pack_tiles(hy["aligned"], A.ncols, A.dtype)
+                    if hy["aligned"] is not None else None)
+        packed_t = (pack_tiles(hy["thin"], A.ncols, A.dtype)
+                    if hy["thin"] is not None else None)
 
     kw: dict = dict(backend="lane", dense=None)
     if packed_a is not None:
