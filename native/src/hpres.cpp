@@ -725,88 +725,122 @@ class Presolver {
         return changed;
     }
 
+    // Parallel rows/cols share a two-level detection scheme: a cheap u64
+    // fingerprint per item (sorted pattern + 1e-9-quantised value ratios,
+    // computed with no per-item heap key), then exact ratio comparison only
+    // inside colliding fingerprint buckets.  PSLP hashes pattern first and
+    // coefficients second the same way (include/explorers/Parallel_rows.h:
+    // 37-60); the flat fingerprint pass replaces the per-item vector key +
+    // unordered_map that dominated the 10M-nnz profile (parallel_rows +
+    // parallel_cols were 6.7 s of a 9.5 s loop, benchmarks/
+    // report_presolve_scale.json).
+    static uint64_t pattern_fingerprint(
+        const std::vector<std::pair<int32_t, double>> &buf) {
+        uint64_t h = 1469598103934665603ull;
+        const double v0 = buf[0].second;
+        for (const auto &[idx, v] : buf) {
+            h = (h ^ (uint64_t)(uint32_t)idx) * 1099511628211ull;
+            // Quantised ratio hash; equality is verified exactly below.
+            const int64_t q = (int64_t)std::llround(v / v0 * 1e9);
+            h = (h ^ (uint64_t)q) * 1099511628211ull;
+        }
+        return h;
+    }
+
+    static bool patterns_parallel(
+        const std::vector<std::pair<int32_t, double>> &a,
+        const std::vector<std::pair<int32_t, double>> &b) {
+        if (a.size() != b.size()) return false;
+        const double va = a[0].second, vb = b[0].second;
+        for (size_t t = 0; t < a.size(); ++t) {
+            if (a[t].first != b[t].first) return false;
+            const double ra = a[t].second / va, rb = b[t].second / vb;
+            if (std::fabs(ra - rb) > 1e-12 * std::max(1.0, std::fabs(ra)))
+                return false;
+        }
+        return true;
+    }
+
     bool pass_parallel_rows() {
-        // Hash rows by (sorted col pattern, value ratios).
-        struct RowKey {
-            std::vector<int32_t> cols;
-            std::vector<double> ratio;  // v_k / v_0
-            bool operator==(const RowKey &o) const {
-                if (cols != o.cols) return false;
-                for (size_t k = 0; k < ratio.size(); ++k)
-                    if (std::fabs(ratio[k] - o.ratio[k]) >
-                        1e-12 * std::max(1.0, std::fabs(ratio[k])))
-                        return false;
-                return true;
-            }
-        };
-        struct KeyHash {
-            size_t operator()(const RowKey &k) const {
-                size_t h = 1469598103934665603ull;
-                for (int32_t c : k.cols) h = (h ^ (size_t)c) * 1099511628211ull;
-                for (double r : k.ratio) {
-                    // Quantised ratio hash; equality is verified exactly.
-                    int64_t q = (int64_t)std::llround(r * 1e9);
-                    h = (h ^ (size_t)q) * 1099511628211ull;
-                }
-                return h;
-            }
-        };
-        std::unordered_map<RowKey, int64_t, KeyHash> seen;
+        std::vector<std::pair<uint64_t, int32_t>> fps;
         std::vector<std::pair<int32_t, double>> buf;
-        bool changed = false;
-        for (int64_t i = 0; i < P.m; ++i) {
-            if (!P.ralive[i] || P.rlen[i] < 2) continue;
-            buf.clear();
+        auto load_row = [&](int64_t i,
+                            std::vector<std::pair<int32_t, double>> &out) {
+            out.clear();
             for (int64_t e : P.rowe[i]) {
                 const Ent &en = P.ents[e];
-                if (en.alive) buf.push_back({en.c, en.v});
+                if (en.alive) out.push_back({en.c, en.v});
             }
-            std::sort(buf.begin(), buf.end());
-            RowKey key;
-            key.cols.reserve(buf.size());
-            key.ratio.reserve(buf.size());
-            const double v0 = buf[0].second;
-            if (std::fabs(v0) < 1e-300) continue;
-            for (auto &[cc, vv] : buf) {
-                key.cols.push_back(cc);
-                key.ratio.push_back(vv / v0);
+            std::sort(out.begin(), out.end());
+        };
+        for (int64_t i = 0; i < P.m; ++i) {
+            if (!P.ralive[i] || P.rlen[i] < 2) continue;
+            load_row(i, buf);
+            if (std::fabs(buf[0].second) < 1e-300) continue;
+            fps.push_back({pattern_fingerprint(buf), (int32_t)i});
+        }
+        // Sort is (fp, row index): within a bucket rows keep their original
+        // order, so the merge target stays the FIRST row of each parallel
+        // class exactly as the previous first-seen hash-map scheme.
+        std::sort(fps.begin(), fps.end());
+        bool changed = false;
+        std::vector<std::pair<int64_t,
+                              std::vector<std::pair<int32_t, double>>>> reps;
+        for (size_t a = 0; a < fps.size();) {
+            size_t b = a + 1;
+            while (b < fps.size() && fps[b].first == fps[a].first) ++b;
+            if (b - a < 2) { a = b; continue; }
+            reps.clear();
+            for (size_t t = a; t < b; ++t) {
+                const int64_t i = fps[t].second;
+                if (!P.ralive[i]) continue;
+                load_row(i, buf);
+                int64_t i1 = -1;
+                for (const auto &rep : reps)
+                    if (patterns_parallel(rep.second, buf)) {
+                        i1 = rep.first;
+                        break;
+                    }
+                if (i1 < 0) {
+                    reps.push_back({i, buf});
+                    continue;
+                }
+                // Row i parallel to row i1: a_i = s * a_i1.
+                const double v0 = buf[0].second;
+                double v0_1 = 0.0;
+                for (int64_t e : P.rowe[i1]) {
+                    const Ent &en = P.ents[e];
+                    if (en.alive && en.c == buf[0].first) {
+                        v0_1 = en.v;
+                        break;
+                    }
+                }
+                if (std::fabs(v0_1) < 1e-300) continue;
+                const double s = v0 / v0_1;
+                // Row i's bounds in row-i1 units.
+                double lo2 = (s > 0 ? P.AL[i] : P.AU[i]) / s;
+                double up2 = (s > 0 ? P.AU[i] : P.AL[i]) / s;
+                Rec r;
+                r.type = RecType::ParallelRow;
+                r.i = (int32_t)i1;
+                r.j = (int32_t)i;
+                r.a = s;
+                r.d0 = P.AL[i1];
+                r.d1 = P.AU[i1];
+                uint8_t lo_from_2 = 0, up_from_2 = 0;
+                if (lo2 > P.AL[i1]) { P.AL[i1] = lo2; lo_from_2 = 1; }
+                if (up2 < P.AU[i1]) { P.AU[i1] = up2; up_from_2 = 1; }
+                r.flag = (uint8_t)(lo_from_2 | (up_from_2 << 1));
+                if (infeas(P.AL[i1] > P.AU[i1] + tol)) return changed;
+                log.push_back(std::move(r));
+                remove_row_only(i, RecType::RedundantRow);
+                // Pop the RedundantRow marker: ParallelRow's own replay
+                // sets y_i from the merged dual, so the marker must not
+                // zero it afterwards.  (remove_row_only pushed it last.)
+                log.pop_back();
+                changed = true;
             }
-            auto it = seen.find(key);
-            if (it == seen.end()) {
-                seen.emplace(std::move(key), i);
-                continue;
-            }
-            // Row i parallel to row i1 = it->second: a_i = s * a_i1.
-            const int64_t i1 = it->second;
-            double v0_1 = 0.0;
-            for (int64_t e : P.rowe[i1]) {
-                const Ent &en = P.ents[e];
-                if (en.alive && en.c == buf[0].first) { v0_1 = en.v; break; }
-            }
-            if (std::fabs(v0_1) < 1e-300) continue;
-            const double s = v0 / v0_1;
-            // Row i's bounds in row-i1 units.
-            double lo2 = (s > 0 ? P.AL[i] : P.AU[i]) / s;
-            double up2 = (s > 0 ? P.AU[i] : P.AL[i]) / s;
-            Rec r;
-            r.type = RecType::ParallelRow;
-            r.i = (int32_t)i1;
-            r.j = (int32_t)i;
-            r.a = s;
-            r.d0 = P.AL[i1];
-            r.d1 = P.AU[i1];
-            uint8_t lo_from_2 = 0, up_from_2 = 0;
-            if (lo2 > P.AL[i1]) { P.AL[i1] = lo2; lo_from_2 = 1; }
-            if (up2 < P.AU[i1]) { P.AU[i1] = up2; up_from_2 = 1; }
-            r.flag = (uint8_t)(lo_from_2 | (up_from_2 << 1));
-            if (infeas(P.AL[i1] > P.AU[i1] + tol)) return changed;
-            log.push_back(std::move(r));
-            remove_row_only(i, RecType::RedundantRow);
-            // Pop the RedundantRow marker: ParallelRow's own replay sets
-            // y_i from the merged dual, so the marker must not zero it
-            // afterwards.  (remove_row_only pushed it last.)
-            log.pop_back();
-            changed = true;
+            a = b;
         }
         return changed;
     }
@@ -929,87 +963,87 @@ class Presolver {
     // postsolve splits w back and sets z_j = z_w, z_k = s z_w (always
     // stationarity- and sign-consistent since the columns are parallel).
     bool pass_parallel_cols() {
-        struct ColKey {
-            std::vector<int32_t> rows;
-            std::vector<double> ratio;
-            bool operator==(const ColKey &o) const {
-                if (rows != o.rows) return false;
-                for (size_t t = 0; t < ratio.size(); ++t)
-                    if (std::fabs(ratio[t] - o.ratio[t]) >
-                        1e-12 * std::max(1.0, std::fabs(ratio[t])))
-                        return false;
-                return true;
-            }
-        };
-        struct KeyHash {
-            size_t operator()(const ColKey &k) const {
-                size_t h = 1469598103934665603ull;
-                for (int32_t r : k.rows) h = (h ^ (size_t)r) * 1099511628211ull;
-                for (double q : k.ratio) {
-                    int64_t v = (int64_t)std::llround(q * 1e9);
-                    h = (h ^ (size_t)v) * 1099511628211ull;
-                }
-                return h;
-            }
-        };
-        std::unordered_map<ColKey, int64_t, KeyHash> seen;
+        std::vector<std::pair<uint64_t, int32_t>> fps;
         std::vector<std::pair<int32_t, double>> buf;
-        bool changed = false;
+        auto load_col = [&](int64_t k,
+                            std::vector<std::pair<int32_t, double>> &out) {
+            out.clear();
+            for (int64_t e : P.cole[k]) {
+                const Ent &en = P.ents[e];
+                if (en.alive) out.push_back({en.r, en.v});
+            }
+            std::sort(out.begin(), out.end());
+        };
         for (int64_t k = 0; k < P.n; ++k) {
             if (!P.calive[k] || P.clen[k] < 1) continue;
-            buf.clear();
-            for (int64_t e : P.cole[k]) {
-                const Ent &en = P.ents[e];
-                if (en.alive) buf.push_back({en.r, en.v});
-            }
-            std::sort(buf.begin(), buf.end());
-            const double v0 = buf[0].second;
-            if (std::fabs(v0) < 1e-300) continue;
-            ColKey key;
-            for (auto &[rr, vv] : buf) {
-                key.rows.push_back(rr);
-                key.ratio.push_back(vv / v0);
-            }
-            auto it = seen.find(key);
-            if (it == seen.end()) {
-                seen.emplace(std::move(key), k);
-                continue;
-            }
-            const int64_t j = it->second;
-            // Ratio s with A_k = s * A_j.
-            double v0_j = 0.0;
-            for (int64_t e : P.cole[j]) {
-                const Ent &en = P.ents[e];
-                if (en.alive && en.r == buf[0].first) { v0_j = en.v; break; }
-            }
-            if (std::fabs(v0_j) < 1e-300) continue;
-            const double s = v0 / v0_j;
-            // Costs must be in the same ratio.
-            if (std::fabs(P.c[k] - s * P.c[j]) >
-                1e-10 * std::max(1.0, std::fabs(P.c[k])))
-                continue;
-            Rec r;
-            r.type = RecType::ParallelCol;
-            r.j = (int32_t)j;
-            r.i = (int32_t)k;  // merged-away column
-            r.a = s;
-            r.val = {P.l[j], P.u[j], P.l[k], P.u[k]};
-            // w = x_j + s x_k bounds (sign-aware, inf-propagating).
-            const double lo_k = s > 0 ? s * P.l[k] : s * P.u[k];
-            const double up_k = s > 0 ? s * P.u[k] : s * P.l[k];
-            P.l[j] = P.l[j] + lo_k;
-            P.u[j] = P.u[j] + up_k;
-            P.touch_col(j);
-            log.push_back(std::move(r));
-            for (int64_t e : P.cole[k]) {
-                if (P.ents[e].alive) {
-                    P.kill_entry(e);
-                    stats.nnz_removed++;
+            load_col(k, buf);
+            if (std::fabs(buf[0].second) < 1e-300) continue;
+            fps.push_back({pattern_fingerprint(buf), (int32_t)k});
+        }
+        std::sort(fps.begin(), fps.end());
+        bool changed = false;
+        std::vector<std::pair<int64_t,
+                              std::vector<std::pair<int32_t, double>>>> reps;
+        for (size_t a = 0; a < fps.size();) {
+            size_t b = a + 1;
+            while (b < fps.size() && fps[b].first == fps[a].first) ++b;
+            if (b - a < 2) { a = b; continue; }
+            reps.clear();
+            for (size_t t = a; t < b; ++t) {
+                const int64_t k = fps[t].second;
+                if (!P.calive[k]) continue;
+                load_col(k, buf);
+                int64_t j = -1;
+                for (const auto &rep : reps)
+                    if (patterns_parallel(rep.second, buf)) {
+                        j = rep.first;
+                        break;
+                    }
+                if (j < 0) {
+                    reps.push_back({k, buf});
+                    continue;
                 }
+                // Ratio s with A_k = s * A_j.
+                const double v0 = buf[0].second;
+                double v0_j = 0.0;
+                for (int64_t e : P.cole[j]) {
+                    const Ent &en = P.ents[e];
+                    if (en.alive && en.r == buf[0].first) {
+                        v0_j = en.v;
+                        break;
+                    }
+                }
+                if (std::fabs(v0_j) < 1e-300) continue;
+                const double s = v0 / v0_j;
+                // Costs must be in the same ratio (a mismatch neither
+                // merges nor replaces the representative, as before).
+                if (std::fabs(P.c[k] - s * P.c[j]) >
+                    1e-10 * std::max(1.0, std::fabs(P.c[k])))
+                    continue;
+                Rec r;
+                r.type = RecType::ParallelCol;
+                r.j = (int32_t)j;
+                r.i = (int32_t)k;  // merged-away column
+                r.a = s;
+                r.val = {P.l[j], P.u[j], P.l[k], P.u[k]};
+                // w = x_j + s x_k bounds (sign-aware, inf-propagating).
+                const double lo_k = s > 0 ? s * P.l[k] : s * P.u[k];
+                const double up_k = s > 0 ? s * P.u[k] : s * P.l[k];
+                P.l[j] = P.l[j] + lo_k;
+                P.u[j] = P.u[j] + up_k;
+                P.touch_col(j);
+                log.push_back(std::move(r));
+                for (int64_t e : P.cole[k]) {
+                    if (P.ents[e].alive) {
+                        P.kill_entry(e);
+                        stats.nnz_removed++;
+                    }
+                }
+                P.calive[k] = 0;
+                stats.cols_removed++;
+                changed = true;
             }
-            P.calive[k] = 0;
-            stats.cols_removed++;
-            changed = true;
+            a = b;
         }
         return changed;
     }
