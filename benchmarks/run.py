@@ -166,12 +166,18 @@ def main():
                          "full 113M-nnz giant)")
     ap.add_argument("--out", default=os.path.join(HERE, "report.json"))
     ap.add_argument("--time-limit", type=float, default=600.0)
+    ap.add_argument("--only", default="",
+                    help="run only configs whose name contains this "
+                         "substring (still requires the gating flag, "
+                         "e.g. --giant --only giant)")
     args = ap.parse_args()
 
     tl = args.time_limit
     report = {"timestamp": time.time(), "configs": {}}
 
     def record(name, fn):
+        if args.only and args.only not in name:
+            return
         t0 = time.perf_counter()
         try:
             out = fn()
