@@ -18,8 +18,10 @@
 #include <cmath>
 #include <cstdio>
 #include <cstring>
+#include <deque>
 #include <limits>
 #include <string>
+#include <string_view>
 #include <unordered_map>
 #include <vector>
 
@@ -28,43 +30,86 @@ namespace {
 constexpr double INF = std::numeric_limits<double>::infinity();
 constexpr double NaN = std::numeric_limits<double>::quiet_NaN();
 
-/* Line source reading transparently from plain or gzip files. */
+/* Line source reading transparently from plain or gzip files.
+ *
+ * Reads in 1 MB blocks and serves lines as string_views into the block
+ * (a partial tail line is carried to the front of the next block), so the
+ * per-line cost is one memchr — no per-line heap traffic.  MPS parsing is
+ * one of the reference's three hot loops (SURVEY 3.2; reference reads
+ * via fgets + per-line field copies, src/mps_reader.cpp:977). */
 class LineReader {
   public:
     explicit LineReader(const char *path) {
         gz_ = gzopen(path, "rb");  // zlib reads uncompressed files too
+        buf_.resize(1 << 20);
     }
     ~LineReader() {
         if (gz_) gzclose(gz_);
     }
     bool ok() const { return gz_ != nullptr; }
-    bool getline(std::string &out) {
-        out.clear();
-        if (!gz_) return false;
-        char buf[4096];
-        bool got = false;
-        while (gzgets(gz_, buf, sizeof buf)) {
-            got = true;
-            out += buf;
-            if (!out.empty() && out.back() == '\n') break;
+
+    bool getline(std::string_view &out) {
+        while (true) {
+            if (pos_ < len_) {
+                const char *base = buf_.data();
+                const char *nl = (const char *)std::memchr(
+                    base + pos_, '\n', len_ - pos_);
+                if (nl) {
+                    size_t eol = (size_t)(nl - base);
+                    out = trim_cr(base + pos_, eol - pos_);
+                    pos_ = eol + 1;
+                    return true;
+                }
+                if (eof_) {  // final line without trailing newline
+                    out = trim_cr(base + pos_, len_ - pos_);
+                    pos_ = len_;
+                    return true;
+                }
+            } else if (eof_) {
+                return false;
+            }
+            refill();
         }
-        if (!got) {
-            // Distinguish real EOF from a truncated/corrupt gzip stream:
-            // silently treating a mid-COLUMNS truncation as EOF would
-            // hand back a shorter but "valid" model (the Python reader
-            // raises EOFError on the same file).
-            int errnum = Z_OK;
-            gzerror(gz_, &errnum);
-            if (errnum != Z_OK && errnum != Z_STREAM_END) bad_ = true;
-        }
-        while (!out.empty() && (out.back() == '\n' || out.back() == '\r'))
-            out.pop_back();
-        return got;
     }
     bool bad() const { return bad_; }
 
   private:
+    static std::string_view trim_cr(const char *s, size_t n) {
+        while (n && (s[n - 1] == '\r' || s[n - 1] == '\n')) --n;
+        return {s, n};
+    }
+
+    void refill() {
+        // Move the unconsumed tail (a partial line) to the front.
+        const size_t tail = len_ - pos_;
+        if (tail && pos_) std::memmove(buf_.data(), buf_.data() + pos_, tail);
+        len_ = tail;
+        pos_ = 0;
+        if (len_ == buf_.size()) buf_.resize(buf_.size() * 2);  // huge line
+        const int got = gzread(gz_, buf_.data() + len_,
+                               (unsigned)(buf_.size() - len_));
+        if (got > 0) {
+            len_ += (size_t)got;
+        } else {
+            eof_ = true;
+            if (got < 0) {
+                bad_ = true;
+            } else {
+                // Distinguish real EOF from a truncated/corrupt gzip
+                // stream: silently treating a mid-COLUMNS truncation as
+                // EOF would hand back a shorter but "valid" model (the
+                // Python reader raises EOFError on the same file).
+                int errnum = Z_OK;
+                gzerror(gz_, &errnum);
+                if (errnum != Z_OK && errnum != Z_STREAM_END) bad_ = true;
+            }
+        }
+    }
+
     gzFile gz_ = nullptr;
+    std::vector<char> buf_;
+    size_t pos_ = 0, len_ = 0;
+    bool eof_ = false;
     bool bad_ = false;
 };
 
@@ -73,25 +118,25 @@ class LineReader {
 // f5 40-47, f6 50-61 (1-based, inclusive).  Trailing empties dropped and a
 // leading empty field shifts the rest left, so the result reads like a
 // free-format token list; fixed format is what allows spaces in names.
-void split_fixed(const std::string &line, std::vector<std::string> &out) {
+void split_fixed(std::string_view line, std::vector<std::string_view> &out) {
     out.clear();
-    auto fld = [&](size_t a, size_t b) -> std::string {
-        if (line.size() <= a) return std::string();
-        std::string s = line.substr(a, std::min(b, line.size()) - a);
+    auto fld = [&](size_t a, size_t b) -> std::string_view {
+        if (line.size() <= a) return {};
+        std::string_view s = line.substr(a, std::min(b, line.size()) - a);
         size_t x = s.find_first_not_of(" \t");
-        if (x == std::string::npos) return std::string();
+        if (x == std::string_view::npos) return {};
         size_t y = s.find_last_not_of(" \t");
         return s.substr(x, y - x + 1);
     };
-    std::string fs[6] = {fld(1, 3),   fld(4, 12),  fld(14, 22),
-                         fld(24, 36), fld(39, 47), fld(49, 61)};
+    std::string_view fs[6] = {fld(1, 3),   fld(4, 12),  fld(14, 22),
+                              fld(24, 36), fld(39, 47), fld(49, 61)};
     int nf = 6;
     while (nf > 0 && fs[nf - 1].empty()) --nf;
     const int start = (nf > 0 && fs[0].empty()) ? 1 : 0;
     for (int i = start; i < nf; ++i) out.push_back(fs[i]);
 }
 
-void split(const std::string &line, std::vector<std::string> &out) {
+void split(std::string_view line, std::vector<std::string_view> &out) {
     out.clear();
     size_t i = 0;
     const size_t len = line.size();
@@ -99,36 +144,122 @@ void split(const std::string &line, std::vector<std::string> &out) {
         while (i < len && std::isspace((unsigned char)line[i])) ++i;
         size_t start = i;
         while (i < len && !std::isspace((unsigned char)line[i])) ++i;
-        if (i > start) out.emplace_back(line, start, i - start);
+        if (i > start) out.push_back(line.substr(start, i - start));
     }
 }
 
-std::string upper(std::string s) {
+std::string upper(std::string_view sv) {
+    std::string s(sv);
     for (char &ch : s) ch = (char)std::toupper((unsigned char)ch);
     return s;
 }
 
-std::string strip_quotes(const std::string &s) {
+/* Case-insensitive compare against an UPPERCASE literal, optionally
+ * ignoring surrounding quotes — the hot-path replacement for
+ * upper(strip_quotes(tok)) == "MARKER" which allocated two strings per
+ * COLUMNS card. */
+bool eq_ci_unquoted(std::string_view s, std::string_view upper_lit) {
     size_t a = 0, b = s.size();
     while (a < b && (s[a] == '\'' || s[a] == '"')) ++a;
     while (b > a && (s[b - 1] == '\'' || s[b - 1] == '"')) --b;
-    return s.substr(a, b - a);
+    if (b - a != upper_lit.size()) return false;
+    for (size_t k = 0; k < upper_lit.size(); ++k)
+        if ((char)std::toupper((unsigned char)s[a + k]) != upper_lit[k])
+            return false;
+    return true;
 }
 
-bool parse_num(const std::string &s, double &out) {
+bool parse_num(std::string_view s, double &out) {
+    char buf[64];
+    if (s.empty() || s.size() >= sizeof buf) return false;
+    std::memcpy(buf, s.data(), s.size());
+    buf[s.size()] = '\0';
     char *end = nullptr;
-    out = std::strtod(s.c_str(), &end);
-    return end && *end == '\0';
+    out = std::strtod(buf, &end);
+    return end == buf + s.size();
 }
+
+/* Open-addressing name table (linear probing, power-of-two capacity,
+ * hash stored inline).  A node-based unordered_map<string_view,...> cost
+ * ~500 ns per lookup at 1M names (2+ cache misses chasing the bucket
+ * chain) and was 77% of the whole-parse gprof profile; a flat probe is
+ * ~one cache line.  The reference sizes a djb2 chained table from the
+ * file size for the same reason (reference: mps_reader.cpp:117-215,
+ * :222-256).  Keys must point at stable storage (the Parser name arena).
+ */
+class NameMap {
+  public:
+    NameMap() { slots_.resize(cap_); }
+
+    int64_t *find(std::string_view k) {
+        const uint64_t h = mix(k);
+        size_t i = (size_t)h & (cap_ - 1);
+        while (slots_[i].used) {
+            if (slots_[i].h == h && slots_[i].key == k)
+                return &slots_[i].val;
+            i = (i + 1) & (cap_ - 1);
+        }
+        return nullptr;
+    }
+    size_t count(std::string_view k) { return find(k) ? 1 : 0; }
+
+    void emplace(std::string_view stable_key, int64_t v) {
+        if ((size_ + 1) * 4 > cap_ * 3) grow();
+        insert_nogrow({stable_key, mix(stable_key), v, true});
+        ++size_;
+    }
+
+  private:
+    struct Slot {
+        std::string_view key;
+        uint64_t h = 0;
+        int64_t val = 0;
+        bool used = false;
+    };
+
+    static uint64_t mix(std::string_view k) {
+        uint64_t h = std::hash<std::string_view>{}(k);
+        h ^= h >> 33;                 // spread into the probe bits
+        return h | 1;                 // never 0, 'used' carries emptiness
+    }
+
+    void insert_nogrow(const Slot &s) {
+        size_t i = (size_t)s.h & (cap_ - 1);
+        while (slots_[i].used) i = (i + 1) & (cap_ - 1);
+        slots_[i] = s;
+    }
+
+    void grow() {
+        std::vector<Slot> old = std::move(slots_);
+        cap_ *= 2;
+        slots_.assign(cap_, Slot());
+        for (const Slot &s : old)
+            if (s.used) insert_nogrow(s);
+    }
+
+    size_t cap_ = 1 << 12;
+    size_t size_ = 0;
+    std::vector<Slot> slots_;
+};
 
 struct Parser {
+    // Name maps are keyed by string_view into an arena of stable
+    // std::strings (deque never relocates elements), so lookups from
+    // in-buffer line tokens are allocation-free; only first-seen names
+    // are copied.
+    std::deque<std::string> name_arena;
+    std::string_view intern(std::string_view s) {
+        name_arena.emplace_back(s);
+        return name_arena.back();
+    }
+
     // Row bookkeeping: objective = 0, constraints 1-based, rim obj = -1,
     // unknown = absent (mirrors hprlp_tpu/io/mps.py).
-    std::unordered_map<std::string, int64_t> con_index;
+    NameMap con_index;
     std::vector<char> con_types;
     std::vector<double> lcon, ucon;
 
-    std::unordered_map<std::string, int64_t> var_index;
+    NameMap var_index;
     std::vector<double> lvar, uvar, cvec;
 
     std::vector<int64_t> rows_i, cols_j;
@@ -144,21 +275,20 @@ struct Parser {
     bool have_rhsname = false, have_rngname = false, have_bndname = false;
     bool have_objname = false;
 
-    int64_t get_var(const std::string &vname) {
-        auto it = var_index.find(vname);
-        if (it != var_index.end()) return it->second;
+    int64_t get_var(std::string_view vname) {
+        if (const int64_t *v = var_index.find(vname)) return *v;
         int64_t j = (int64_t)lvar.size();
-        var_index.emplace(vname, j);
+        var_index.emplace(intern(vname), j);
         lvar.push_back(NaN);
         uvar.push_back(NaN);
         cvec.push_back(0.0);
         return j;
     }
 
-    void apply_rhs(const std::string &rowname, double val) {
-        auto it = con_index.find(rowname);
-        if (it == con_index.end()) return;  // unknown row: warn-and-skip
-        int64_t row = it->second;
+    void apply_rhs(std::string_view rowname, double val) {
+        const int64_t *rp = con_index.find(rowname);
+        if (!rp) return;  // unknown row: warn-and-skip
+        int64_t row = *rp;
         if (row == 0) {
             c0 = -val;  // objective constant (reference: :767)
         } else if (row > 0) {
@@ -171,10 +301,10 @@ struct Parser {
         }
     }
 
-    void apply_range(const std::string &rowname, double val) {
-        auto it = con_index.find(rowname);
-        if (it == con_index.end() || it->second <= 0) return;
-        int64_t idx = it->second - 1;
+    void apply_range(std::string_view rowname, double val) {
+        const int64_t *rp = con_index.find(rowname);
+        if (!rp || *rp <= 0) return;
+        int64_t idx = *rp - 1;
         switch (con_types[idx]) {
             case 'E':
                 if (val >= 0.0) ucon[idx] += val;
@@ -282,13 +412,13 @@ hpmps_handle *hpmps_read_ex(const char *path, int ignore_quadobj,
     enum Sec { NONE, NAME, OBJSENSE, ROWS, COLUMNS, RHS, RANGES, BOUNDS,
                QUAD } sec = NONE;
     bool pending_objsense = false;
-    std::string line;
-    std::vector<std::string> f;
+    std::string_view line;
+    std::vector<std::string_view> f;
 
     while (rd.getline(line)) {
         if (line.empty()) continue;
         size_t first_ns = line.find_first_not_of(" \t");
-        if (first_ns == std::string::npos) continue;
+        if (first_ns == std::string_view::npos) continue;
         if (line[first_ns] == '*') continue;
 
         const bool is_header = !std::isspace((unsigned char)line[0]);
@@ -303,17 +433,18 @@ hpmps_handle *hpmps_read_ex(const char *path, int ignore_quadobj,
                     // Fixed format: model name starts at column 15 and may
                     // contain spaces (reference: :394-398).
                     if (line.size() > 14) {
-                        std::string nm = line.substr(14);
+                        std::string_view nm = line.substr(14);
                         size_t x = nm.find_first_not_of(" \t");
                         size_t y = nm.find_last_not_of(" \t\r");
-                        p.model_name = (x == std::string::npos)
+                        p.model_name = (x == std::string_view::npos)
                                            ? std::string()
-                                           : nm.substr(x, y - x + 1);
+                                           : std::string(
+                                                 nm.substr(x, y - x + 1));
                     } else {
                         p.model_name.clear();
                     }
                 } else {
-                    p.model_name = f.size() > 1 ? f[1] : "";
+                    p.model_name = f.size() > 1 ? std::string(f[1]) : "";
                 }
                 sec = NAME;
             } else if (head == "OBJSENSE") {
@@ -345,27 +476,28 @@ hpmps_handle *hpmps_read_ex(const char *path, int ignore_quadobj,
             case ROWS: {
                 if (f.size() < 2) continue;
                 const std::string rtype = upper(f[0]);
-                const std::string &rowname = f[1];
+                const std::string_view rowname = f[1];
                 // Duplicate row names are malformed MPS: routing the
                 // entries to either the first or the last row of the
                 // name silently builds a different matrix (and the two
                 // framework readers used to disagree on which).
                 if (p.con_index.count(rowname)) {
                     p.status = HPMPS_FORMAT_ERROR;
-                    p.error = "duplicate row name " + rowname;
+                    p.error = "duplicate row name " + std::string(rowname);
                     break;
                 }
                 if (rtype == "N") {
                     if (!p.have_objname) {
                         p.have_objname = true;
-                        p.con_index.emplace(rowname, 0);
+                        p.con_index.emplace(p.intern(rowname), 0);
                     } else {
-                        p.con_index.emplace(rowname, -1);  // rim objective
+                        // rim objective
+                        p.con_index.emplace(p.intern(rowname), -1);
                     }
                     continue;
                 }
                 if (rtype != "E" && rtype != "L" && rtype != "G") continue;
-                p.con_index.emplace(rowname,
+                p.con_index.emplace(p.intern(rowname),
                                     (int64_t)p.con_types.size() + 1);
                 p.con_types.push_back(rtype[0]);
                 if (rtype == "E") {
@@ -381,7 +513,7 @@ hpmps_handle *hpmps_read_ex(const char *path, int ignore_quadobj,
                 break;
             }
             case COLUMNS: {
-                if (f.size() >= 3 && upper(strip_quotes(f[1])) == "MARKER")
+                if (f.size() >= 3 && eq_ci_unquoted(f[1], "MARKER"))
                     continue;  // INTORG/INTEND: integrality dropped for LP
                 if (f.size() < 3) continue;
                 const int64_t j = p.get_var(f[0]);
@@ -392,13 +524,13 @@ hpmps_handle *hpmps_read_ex(const char *path, int ignore_quadobj,
                         // the coefficient (Python reader parity: float()
                         // raises).
                         p.status = HPMPS_FORMAT_ERROR;
-                        p.error = "bad number '" + f[k + 1]
+                        p.error = "bad number '" + std::string(f[k + 1])
                                   + "' in COLUMNS";
                         break;
                     }
-                    auto it = p.con_index.find(f[k]);
-                    if (it == p.con_index.end()) continue;
-                    const int64_t row = it->second;
+                    const int64_t *rp = p.con_index.find(f[k]);
+                    if (!rp) continue;
+                    const int64_t row = *rp;
                     if (row == 0) p.cvec[j] += val;
                     else if (row > 0) {
                         p.rows_i.push_back(row - 1);
@@ -419,9 +551,9 @@ hpmps_handle *hpmps_read_ex(const char *path, int ignore_quadobj,
                     std::string &setname = sec == RHS ? p.rhsname : p.rngname;
                     bool &have = sec == RHS ? p.have_rhsname : p.have_rngname;
                     if (!have) {
-                        setname = f[0];
+                        setname = std::string(f[0]);
                         have = true;
-                    } else if (setname != f[0]) {
+                    } else if (std::string_view(setname) != f[0]) {
                         continue;  // rim set skipped
                     }
                     start = 1;
@@ -430,7 +562,8 @@ hpmps_handle *hpmps_read_ex(const char *path, int ignore_quadobj,
                     double val;
                     if (!parse_num(f[k + 1], val)) {
                         p.status = HPMPS_FORMAT_ERROR;
-                        p.error = "bad number '" + f[k + 1] + "' in "
+                        p.error = "bad number '" + std::string(f[k + 1])
+                                  + "' in "
                                   + (sec == RHS ? "RHS" : "RANGES");
                         break;
                     }
@@ -444,7 +577,7 @@ hpmps_handle *hpmps_read_ex(const char *path, int ignore_quadobj,
                 const std::string btype = upper(f[0]);
                 const bool valueless = btype == "FR" || btype == "MI" ||
                                        btype == "PL" || btype == "BV";
-                std::string setn, vname;
+                std::string_view setn, vname;
                 double val = 0.0;
                 bool have_set = false;
                 if (valueless) {
@@ -461,7 +594,8 @@ hpmps_handle *hpmps_read_ex(const char *path, int ignore_quadobj,
                     if (f.size() >= 4) {
                         if (!parse_num(f[3], val)) {
                             p.status = HPMPS_FORMAT_ERROR;
-                            p.error = "bad number '" + f[3] + "' in BOUNDS";
+                            p.error = "bad number '" + std::string(f[3])
+                                      + "' in BOUNDS";
                             break;
                         }
                         setn = f[1];
@@ -470,7 +604,8 @@ hpmps_handle *hpmps_read_ex(const char *path, int ignore_quadobj,
                     } else if (f.size() == 3 && p.var_index.count(f[1])) {
                         if (!parse_num(f[2], val)) {
                             p.status = HPMPS_FORMAT_ERROR;
-                            p.error = "bad number '" + f[2] + "' in BOUNDS";
+                            p.error = "bad number '" + std::string(f[2])
+                                      + "' in BOUNDS";
                             break;
                         }
                         vname = f[1];
@@ -480,15 +615,15 @@ hpmps_handle *hpmps_read_ex(const char *path, int ignore_quadobj,
                 }
                 if (have_set) {
                     if (!p.have_bndname) {
-                        p.bndname = setn;
+                        p.bndname = std::string(setn);
                         p.have_bndname = true;
-                    } else if (p.bndname != setn) {
+                    } else if (std::string_view(p.bndname) != setn) {
                         continue;  // rim bound set skipped
                     }
                 }
-                auto it = p.var_index.find(vname);
-                if (it == p.var_index.end()) continue;
-                const int64_t j = it->second;
+                const int64_t *jp = p.var_index.find(vname);
+                if (!jp) continue;
+                const int64_t j = *jp;
                 if (btype == "FR") { p.lvar[j] = -INF; p.uvar[j] = INF; }
                 else if (btype == "MI") p.lvar[j] = -INF;
                 else if (btype == "PL") p.uvar[j] = INF;
