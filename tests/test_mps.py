@@ -431,3 +431,36 @@ def test_model_from_mps_uses_native_reader(tmp_path):
     p = read_mps(DEMO_MPS)
     np.testing.assert_allclose(m.problem.A.toarray(), p.A.toarray())
     np.testing.assert_allclose(m.problem.c, p.c)
+
+
+def test_readers_agree_on_generated_file(tmp_path):
+    """Property cross-check: the native and Python readers parse a
+    generated many-section file (ROWS/COLUMNS/RHS/BOUNDS, multi-line
+    buffer splits, long names) to the same model.  Guards the native
+    reader's block/line-carry machinery (lines spanning gzread block
+    boundaries) against the line-at-a-time golden reader."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                    "benchmarks"))
+    from prof_mps_scale import write_big_mps
+    from hprlp_tpu.io.native_mps import is_available, read_mps_native
+    if not is_available():
+        pytest.skip("native library unavailable")
+    path = os.path.join(tmp_path, "gen.mps")
+    write_big_mps(path, m=997, n=2003, nnz_per_col=7, seed=11)
+    a = read_mps_native(path)
+    b = read_mps(path)
+    assert (a.m, a.n, a.nnz) == (b.m, b.n, b.nnz)
+    assert (a.A != b.A).nnz == 0
+    np.testing.assert_array_equal(a.AL, b.AL)
+    np.testing.assert_array_equal(a.AU, b.AU)
+    np.testing.assert_array_equal(a.l, b.l)
+    np.testing.assert_array_equal(a.u, b.u)
+    np.testing.assert_array_equal(a.c, b.c)
+
+    # gzip round trip through the native block reader
+    gz = os.path.join(tmp_path, "gen.mps.gz")
+    with open(path, "rb") as f, gzip.open(gz, "wb") as g:
+        g.write(f.read())
+    agz = read_mps_native(gz)
+    assert (agz.A != a.A).nnz == 0
