@@ -120,6 +120,7 @@ def run_single(problem, tol, time_limit, max_iter=500_000,
         "kkt": res.residuals,
         "setup_time": res.setup_time, "scaling_time": res.scaling_time,
         "power_time": res.power_time, "autotune_time": res.autotune_time,
+        "presolve_time": res.presolve_time,
         "iter4": res.iter4, "time4": res.time4,
         "iter6": res.iter6, "time6": res.time6,
         "iter8": res.iter8, "time8": res.time8,

@@ -109,6 +109,7 @@ def solve_with_presolve(problem: LpProblem,
             res = Results()
             res.status = status
             res.time = t_pre
+            res.presolve_time = t_pre
             log(f"Presolve detected {status} in {t_pre:.2f} seconds")
             return res
         if status == "OK":
@@ -130,6 +131,7 @@ def solve_with_presolve(problem: LpProblem,
                 res.gap = metrics["rel_gap"]
                 res.residuals = metrics["kkt"]
                 res.time = t_pre
+                res.presolve_time = t_pre
                 return res
             x0_red = y0_red = None
             if x0 is not None or y0 is not None:
@@ -139,6 +141,7 @@ def solve_with_presolve(problem: LpProblem,
                 if y0 is not None:
                     y0_red = np.asarray(y0, float)[row_map]
             res = solve_problem(reduced, params, x0=x0_red, y0=y0_red)
+            res.presolve_time = t_pre
             if res.x is not None:
                 x, y, z = handle.postsolve(res.x, res.y, res.z)
                 res.x, res.y, res.z = x, y, z

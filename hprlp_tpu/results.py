@@ -44,6 +44,9 @@ class Results:
     scaling_time: float = 0.0
     power_time: float = 0.0
     autotune_time: float = 0.0
+    # Host presolve wall (reference reports PSLP time on stdout only;
+    # surfacing it here makes the giant-LP ingest accounting explicit).
+    presolve_time: float = 0.0
 
     # Restart statistics (reference HPRLP_restart counters).
     restarts: int = 0
