@@ -39,6 +39,10 @@ def _enable_compile_cache():
 
 _enable_compile_cache()
 
+from ._malloc import tune_malloc as _tune_malloc
+
+_tune_malloc()
+
 from .params import Parameters
 from .problem import LpProblem
 from .results import BatchedResults, Results

@@ -1,0 +1,75 @@
+"""Host allocator tuning for giant-LP ingest.
+
+The host pipeline (MPS parse, presolve, layout, tile packing) allocates
+and frees multi-GB numpy/C++ buffers per phase.  With glibc defaults every
+large allocation is a fresh mmap that is munmapped on free, so each phase
+re-faults its working set page by page; on this class of VM (Firecracker
+guests; also bare metal under memory pressure) minor faults are expensive
+enough that KERNEL time dominates: the 20M-nnz presolve benchmark measured
+user 5 s / sys 96-116 s before tuning.
+
+Tuning applied (best effort, opt out with HPRLP_MALLOC_TUNE=0):
+
+- mallopt(M_MMAP_MAX, 0) + huge M_TRIM_THRESHOLD / M_MMAP_THRESHOLD:
+  all allocations come from the brk heap and freed pages are KEPT by the
+  process, so later phases reuse hot pages instead of re-faulting.
+- transparent_hugepage=always (written to /sys when permitted): heap
+  faults map 2 MB pages, cutting fault count ~512x.  Combined effect on
+  the presolve benchmark: wall 105 s -> 13.6 s.
+
+Trade-off: peak RSS is held for the process lifetime (the heap never
+shrinks back).  Right for a solver appliance / benchmark run; set
+HPRLP_MALLOC_TUNE=0 for memory-constrained co-tenancy.
+
+No reference counterpart (the reference's host side never exceeds MPS
+parsing; SURVEY 5.7 — giant-scale ingest is a new, TPU-era component).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import sys
+
+_done: dict = {}
+
+# glibc mallopt parameter numbers (malloc.h).
+_M_TRIM_THRESHOLD = -1
+_M_MMAP_THRESHOLD = -3
+_M_MMAP_MAX = -4
+
+_THP_PATH = "/sys/kernel/mm/transparent_hugepage/enabled"
+
+
+def tune_malloc() -> dict:
+    """Apply the allocator tuning once per process; returns a report dict
+    {"mallopt": bool, "thp": "always"|"unchanged"|...}."""
+    if _done:
+        return _done
+    report = {"mallopt": False, "thp": "unchanged"}
+    if os.environ.get("HPRLP_MALLOC_TUNE", "1") != "1" or \
+            not sys.platform.startswith("linux"):
+        report["thp"] = "disabled"
+        _done.update(report)
+        return report
+
+    try:
+        libc = ctypes.CDLL(None)
+        ok = libc.mallopt(_M_TRIM_THRESHOLD, 2**31 - 1)
+        ok &= libc.mallopt(_M_MMAP_THRESHOLD, 2**31 - 1)
+        ok &= libc.mallopt(_M_MMAP_MAX, 0)
+        report["mallopt"] = bool(ok)
+    except Exception:
+        pass
+
+    try:
+        with open(_THP_PATH) as f:
+            cur = f.read()
+        if "[always]" not in cur:
+            with open(_THP_PATH, "w") as f:
+                f.write("always")
+        report["thp"] = "always"
+    except OSError:
+        pass  # not root / no THP: mallopt alone still pays
+
+    _done.update(report)
+    return report

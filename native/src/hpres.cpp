@@ -1584,6 +1584,16 @@ hpres_handle *hpres_presolve_ex(int64_t m, int64_t n, const int64_t *Ap,
     P.clen.assign(n, 0);
     const int64_t nnz = Ap[m];
     P.ents.reserve(nnz);
+    // Exact per-row/col reserves: without them the ~2*nnz geometric
+    // small-vector growths (plus their allocator traffic) dominate the
+    // build at 10M+ nnz — the explorer loop was 2.8 s of a 26 s presolve
+    // wall at 20M nnz before this.
+    {
+        std::vector<int64_t> ccount(n, 0);
+        for (int64_t e = 0; e < nnz; ++e) ccount[Ai[e]]++;
+        for (int64_t j = 0; j < n; ++j) P.cole[j].reserve(ccount[j]);
+        for (int64_t i = 0; i < m; ++i) P.rowe[i].reserve(Ap[i + 1] - Ap[i]);
+    }
     for (int64_t i = 0; i < m; ++i) {
         for (int64_t e = Ap[i]; e < Ap[i + 1]; ++e) {
             if (Ax[e] == 0.0) continue;  // drop explicit zeros
