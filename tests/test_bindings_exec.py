@@ -278,9 +278,11 @@ def _block_balance(stripped: str, openers, path: str) -> None:
 
 
 def _jl_files():
-    return sorted(
-        os.path.join(JULIA_DIR, f) for f in os.listdir(JULIA_DIR)
-        if f.endswith(".jl"))
+    out = []
+    for root, _dirs, files in os.walk(JULIA_DIR):
+        out.extend(os.path.join(root, f) for f in files
+                   if f.endswith(".jl"))
+    return sorted(out)
 
 
 def _m_files():
