@@ -65,11 +65,15 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
                          vec_multiple: int = constants.VECTOR_PAD_MULTIPLE,
                          min_width: int = constants.MIN_ELL_WIDTH,
                          min_bucket_rows: int = constants.MIN_BUCKET_ROWS,
+                         upload: bool = True,
                          ) -> tuple[LpDevice, HostMaps]:
     """Lay out an LpProblem for the device.
 
     row_multiple also controls shardability: pass n_devices*8 (or more) to
     make every bucket's row count divisible by the mesh size.
+    upload=False keeps every array on the host (numpy) — used by the giant
+    lane-first path (build_device_problem_giant), which ships only lane
+    tiles to the device.
     """
     import os as _os
     import sys as _sys
@@ -210,10 +214,10 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
     np_dtype = np.dtype(dtype)
     A_ell, row_pos2 = build_ell_from_csr(
         A.indptr, A.indices, A.data, plan_A, col_pos, m_pad, n_pad,
-        row_multiple, np_dtype)
+        row_multiple, np_dtype, upload=upload)
     AT_ell, col_pos2 = build_ell_from_csr(
         AT.indptr, AT.indices, AT.data, plan_AT, row_pos, n_pad, m_pad,
-        row_multiple, np_dtype)
+        row_multiple, np_dtype, upload=upload)
     assert np.array_equal(row_pos, row_pos2)
     assert np.array_equal(col_pos, col_pos2)
     _tick("ell_build")
@@ -221,7 +225,8 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
     def scatter_vec(vals, pos, size, fill):
         out = np.full(size, fill, dtype=np.float64)
         out[pos] = vals
-        return jnp.asarray(out.astype(np_dtype))
+        out = out.astype(np_dtype)
+        return jnp.asarray(out) if upload else out
 
     AL = scatter_vec(problem.AL, row_pos, m_pad, -np.inf)
     AU = scatter_vec(problem.AU, row_pos, m_pad, np.inf)
@@ -234,6 +239,89 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
                     obj_constant=float(problem.obj_constant),
                     objective_sense=problem.objective_sense)
     return dev, maps
+
+
+def build_device_problem_giant(problem: LpProblem, dtype=jnp.float32,
+                               use_cr: bool = True, use_ruiz: bool = True,
+                               use_pc: bool = True, use_bc: bool = True):
+    """Giant-LP lane-first ingest: host scaling, single upload.
+
+    The standard pipeline at 100M+ nnz ships the matrix over the
+    host<->device link three times (unscaled ELL up, scaled ELL down for
+    lane scheduling, lane tiles up) and runs ~50 scaling passes on the
+    slow gather backend.  This path instead:
+
+      1. scales the CSR on the HOST (solver/host_scaling.py — numpy twin
+         of the device pipeline, factor parity tested),
+      2. runs the normal layout passes with upload=False (host buckets),
+      3. schedules/packs hybrid LaneELL tiles from the host buckets and
+         uploads ONLY the tiles + padded vectors,
+      4. replaces the ELL buckets with empty device stubs (backend is
+         pinned to "lane"; autotune skips on the stub's nnz=0).
+
+    Returns (LpDevice[lane], HostMaps, ScalingInfo).  Raises (MemoryError
+    etc.) are the caller's fallback signal — loop.py degrades to the
+    standard path.  Measured effect: see benchmarks/report_giant*.json
+    (SURVEY 5.7 giant-scale, no reference counterpart).
+    """
+    import time as _time
+
+    from ..solver.host_scaling import host_scale
+    from ..solver.scaling import ScalingInfo
+    from .sparse import EllBucket, attach_lane
+
+    np_dtype = np.dtype(dtype)
+    t0 = _time.perf_counter()
+    A = problem.A.tocsr()
+    A.sum_duplicates()
+    AT = A.T.tocsr()
+    AT.sum_duplicates()
+    m, n = A.shape
+
+    av, atv, AL_s, AU_s, l_s, u_s, c_s, info = host_scale(
+        A, AT, problem.AL, problem.AU, problem.l, problem.u, problem.c,
+        use_cr=use_cr, use_ruiz=use_ruiz, use_pc=use_pc, use_bc=use_bc)
+    scale_s = _time.perf_counter() - t0
+
+    scaled = LpProblem(
+        A=sp.csr_matrix((av, A.indices, A.indptr), shape=(m, n)),
+        AL=AL_s, AU=AU_s, l=l_s, u=u_s, c=c_s,
+        obj_constant=problem.obj_constant,
+        objective_sense=problem.objective_sense, name=problem.name)
+    lp_host, maps = build_device_problem(scaled, dtype=dtype, upload=False)
+
+    # Lane tiles upload inside attach_lane (to_coo over numpy buckets is
+    # free); the transposed matrix rides the same path.
+    A_lane = attach_lane(dataclasses.replace(lp_host.A))
+    AT_lane = attach_lane(dataclasses.replace(lp_host.AT))
+
+    def stubbed(mat: EllMatrix) -> EllMatrix:
+        stub = EllBucket(vals=jnp.zeros((0, 1), np_dtype),
+                         cols=jnp.zeros((0, 1), jnp.int32),
+                         valid=jnp.zeros((0, 1), bool),
+                         row_start=0, width=1)
+        return dataclasses.replace(mat, buckets=(stub,))
+
+    dev = LpDevice(A=stubbed(A_lane), AT=stubbed(AT_lane),
+                   AL=jnp.asarray(lp_host.AL), AU=jnp.asarray(lp_host.AU),
+                   c=jnp.asarray(lp_host.c), l=jnp.asarray(lp_host.l),
+                   u=jnp.asarray(lp_host.u))
+
+    m_pad, n_pad = dev.A.nrows, dev.A.ncols
+    rn = np.ones(m_pad, np.float64)
+    rn[maps.row_pos] = info.row_norm
+    cn = np.ones(n_pad, np.float64)
+    cn[maps.col_pos] = info.col_norm
+    scal = ScalingInfo(
+        row_norm=jnp.asarray(rn, np_dtype), col_norm=jnp.asarray(cn, np_dtype),
+        b_scale=jnp.asarray(info.b_scale, np_dtype),
+        c_scale=jnp.asarray(info.c_scale, np_dtype),
+        norm_b=jnp.asarray(info.norm_b, np_dtype),
+        norm_c=jnp.asarray(info.norm_c, np_dtype),
+        norm_b_org=jnp.asarray(info.norm_b_org, np_dtype),
+        norm_c_org=jnp.asarray(info.norm_c_org, np_dtype))
+    dev_scale_s = scale_s  # host-scaling wall, reported as scaling_time
+    return dev, maps, scal, dev_scale_s
 
 
 def _aligned_lane_cost(indptr, indices, row_pos, col_pos) -> int:

@@ -649,7 +649,8 @@ def plan_buckets(nnz_per_row: np.ndarray, min_width: int,
 def build_ell_from_csr(indptr: np.ndarray, indices: np.ndarray,
                        data: np.ndarray, bucket_plan, col_pos: np.ndarray,
                        nrows_padded: int, ncols_padded: int,
-                       row_multiple: int, dtype) -> tuple[EllMatrix, np.ndarray]:
+                       row_multiple: int, dtype,
+                       upload: bool = True) -> tuple[EllMatrix, np.ndarray]:
     """Build an EllMatrix from host CSR arrays.
 
     bucket_plan: output of plan_buckets over this matrix's rows.
@@ -657,6 +658,9 @@ def build_ell_from_csr(indptr: np.ndarray, indices: np.ndarray,
     Returns (matrix, row_pos) where row_pos maps original row id -> padded
     row position.  Bucket row counts are padded to row_multiple; a final
     all-dummy bucket absorbs the remaining padding up to nrows_padded.
+    upload=False keeps the buckets as HOST numpy arrays (the giant
+    lane-first path reads them once for lane scheduling and never ships
+    the ELL to the device — only the lane tiles go over the link).
     """
     indptr = np.asarray(indptr)
     indices = np.asarray(indices)
@@ -704,7 +708,7 @@ def build_ell_from_csr(indptr: np.ndarray, indices: np.ndarray,
     # ONE batched transfer for every bucket array: per-call device_put
     # overhead dominates layout time at scale (measured ~27 ms/call x
     # 300+ calls at 10.5M nnz; batching cuts it ~6x).
-    dev = jax.device_put(host)
+    dev = jax.device_put(host) if upload else host
     buckets = [EllBucket(vals=v, cols=c, valid=mk, row_start=rs, width=w)
                for (v, c, mk), (rs, w) in zip(dev, meta)]
     mat = EllMatrix(buckets=tuple(buckets), nrows=nrows_padded,

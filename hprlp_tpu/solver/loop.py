@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 import time
 
 import jax
@@ -26,6 +27,14 @@ from .chunk import (SolverState, init_state, initial_metrics, run_chunk,
                     unscale_solution)
 from .power_iteration import power_method
 from .scaling import ScalingInfo, scale_problem
+
+# Above this nnz a single-device TPU solve ingests lane-first (host
+# scaling + single tile upload; ops/device_problem.build_device_problem_
+# giant).  Aligned with autotune.AUTOTUNE_LANE_DIRECT_NNZ: in this regime
+# the lane kernel is always chosen, so the gather ELL would be built,
+# shipped and scaled only to be thrown away.  Env override for tests.
+GIANT_LANE_FIRST_NNZ = int(os.environ.get("HPRLP_GIANT_LANE_FIRST_NNZ",
+                                          20_000_000))
 
 
 @dataclasses.dataclass
@@ -153,6 +162,7 @@ def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
     out = Results()
 
     t_setup = time.perf_counter()
+    lp = scal = None
     if _device_data is None:
         if params.mesh_shape:
             # Multi-chip: row-block-shard A/A^T over a 1-D mesh (GSPMD);
@@ -164,28 +174,57 @@ def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
                 problem, dtype=dtype, row_multiple=8 * n_dev,
                 vec_multiple=256 * n_dev)
             lp_raw = shard_problem(lp_raw, make_mesh(n_dev))
+        elif (problem.nnz >= GIANT_LANE_FIRST_NNZ
+              and (jax.default_backend() != "cpu"
+                   # env override also unlocks CPU (interpret-mode lane)
+                   # so tests can drive this path on a CPU backend
+                   or "HPRLP_GIANT_LANE_FIRST_NNZ" in os.environ)):
+            # Giant lane-first ingest: host scaling + single tile upload
+            # (ops/device_problem.build_device_problem_giant).  Any
+            # failure (tile budget, lowering) degrades to the standard
+            # pipeline below.
+            from ..ops.device_problem import build_device_problem_giant
+
+            try:
+                lp, maps, scal, host_scale_s = build_device_problem_giant(
+                    problem, dtype=dtype,
+                    use_cr=params.use_CR_scaling,
+                    use_ruiz=params.use_Ruiz_scaling,
+                    use_pc=params.use_Pock_Chambolle_scaling,
+                    use_bc=params.use_bc_scaling)
+                out.scaling_time = host_scale_s
+                log(f"[giant] lane-first ingest: host scaling "
+                    f"{host_scale_s:.2f} s, tiles uploaded")
+            except Exception as e:
+                print(f"[hprlp_tpu] giant lane-first ingest failed "
+                      f"({type(e).__name__}: {e}); using the standard "
+                      f"pipeline", flush=True)
+                lp = scal = None
+            if lp is None:
+                lp_raw, maps = build_device_problem(problem, dtype=dtype)
         else:
             lp_raw, maps = build_device_problem(problem, dtype=dtype)
     else:
         lp_raw, maps = _device_data
-    jax.block_until_ready(lp_raw.c)
+    jax.block_until_ready((lp or lp_raw).c)
     out.setup_time = time.perf_counter() - t_setup
     log(f"Setup (layout and upload) time = {out.setup_time:.2f} seconds")
 
-    t_scale = time.perf_counter()
-    lp, scal = scale_problem(lp_raw,
-                             use_cr=params.use_CR_scaling,
-                             use_ruiz=params.use_Ruiz_scaling,
-                             use_pc=params.use_Pock_Chambolle_scaling,
-                             use_bc=params.use_bc_scaling)
-    # The unscaled device matrices are dead from here on; dropping the
-    # local reference lets JAX free them (gigabytes at 100M nnz — the
-    # caller keeps its own reference when it passed _device_data in).
-    del lp_raw
+    if scal is None:
+        t_scale = time.perf_counter()
+        lp, scal = scale_problem(lp_raw,
+                                 use_cr=params.use_CR_scaling,
+                                 use_ruiz=params.use_Ruiz_scaling,
+                                 use_pc=params.use_Pock_Chambolle_scaling,
+                                 use_bc=params.use_bc_scaling)
+        # The unscaled device matrices are dead from here on; dropping the
+        # local reference lets JAX free them (gigabytes at 100M nnz — the
+        # caller keeps its own reference when it passed _device_data in).
+        del lp_raw
+        out.scaling_time = time.perf_counter() - t_scale
     scal_host = {k: float(getattr(scal, k)) for k in
                  ("b_scale", "c_scale", "norm_b", "norm_c",
                   "norm_b_org", "norm_c_org")}
-    out.scaling_time = time.perf_counter() - t_scale
     log(f"Scaling time = {out.scaling_time:.2f} seconds")
 
     if sigma0 is not None:

@@ -432,3 +432,77 @@ def test_staged_scaling_matches_fused_composition():
     _, _, v_staged = to_coo(scaled.A)
     _, _, v_fused = to_coo(A_f)
     np.testing.assert_allclose(v_staged, v_fused, rtol=1e-12)
+
+
+def test_host_scaling_matches_device_pipeline():
+    """The giant lane-first path's HOST scaling (solver/host_scaling.py)
+    computes the same factors, scaled matrix and scalars as the device
+    pipeline to f64 precision."""
+    import jax
+    import jax.numpy as jnp
+
+    from hprlp_tpu.ops.device_problem import build_device_problem
+    from hprlp_tpu.ops.sparse import to_coo
+    from hprlp_tpu.solver.host_scaling import host_scale
+    from hprlp_tpu.solver.scaling import scale_problem
+    from tests.conftest import random_lp
+
+    prob = random_lp(23, m=70, n=110, density=0.12)
+    A = prob.A.tocsr()
+    A.sum_duplicates()
+    AT = A.T.tocsr()
+
+    lp, maps = build_device_problem(prob, dtype=jnp.float64)
+    _scaled, info_dev = scale_problem(lp)
+    av, atv, AL, AU, l, u, c, info = host_scale(
+        A, AT, prob.AL, prob.AU, prob.l, prob.u, prob.c)
+
+    np.testing.assert_allclose(
+        np.asarray(info_dev.row_norm)[maps.row_pos], info.row_norm,
+        rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(info_dev.col_norm)[maps.col_pos], info.col_norm,
+        rtol=1e-10)
+    for k in ("b_scale", "c_scale", "norm_b", "norm_c",
+              "norm_b_org", "norm_c_org"):
+        np.testing.assert_allclose(float(getattr(info_dev, k)),
+                                   getattr(info, k), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(_scaled.AL)[maps.row_pos], AL,
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(_scaled.c)[maps.col_pos], c,
+                               rtol=1e-10, atol=1e-12)
+    # Scaled matrix values (padded COO of the device result vs host CSR).
+    rows_p, cols_p, v_dev = to_coo(_scaled.A)
+    inv_r = np.full(_scaled.A.nrows, -1)
+    inv_r[maps.row_pos] = np.arange(prob.m)
+    inv_c = np.full(_scaled.A.ncols, -1)
+    inv_c[maps.col_pos] = np.arange(prob.n)
+    D_dev = sp.coo_matrix((v_dev, (inv_r[rows_p], inv_c[cols_p])),
+                          shape=A.shape).toarray()
+    D_host = sp.csr_matrix((av, A.indices, A.indptr), shape=A.shape).toarray()
+    np.testing.assert_allclose(D_dev, D_host, rtol=1e-10, atol=1e-12)
+
+
+def test_giant_lane_first_path_solves(monkeypatch):
+    """End-to-end through the giant lane-first ingest (host scaling +
+    lane-only upload), forced onto the CPU interpret-mode lane kernel via
+    the env override; result matches the standard pipeline."""
+    from hprlp_tpu.params import Parameters
+    from hprlp_tpu.solver import loop as loop_mod
+    from tests.conftest import random_lp
+
+    prob = random_lp(31, m=192, n=320, density=0.05)
+    p = Parameters(verbose=False, stop_tol=1e-4)
+
+    monkeypatch.setenv("HPRLP_GIANT_LANE_FIRST_NNZ", "100")
+    monkeypatch.setattr(loop_mod, "GIANT_LANE_FIRST_NNZ", 100)
+    r_giant = loop_mod.solve_problem(prob, p)
+
+    monkeypatch.setattr(loop_mod, "GIANT_LANE_FIRST_NNZ", 10**18)
+    r_std = loop_mod.solve_problem(prob, p)
+
+    assert r_giant.status == "OPTIMAL"
+    assert r_std.status == "OPTIMAL"
+    np.testing.assert_allclose(r_giant.primal_obj, r_std.primal_obj,
+                               rtol=1e-3)
+    np.testing.assert_allclose(r_giant.x, r_std.x, atol=2e-2)
