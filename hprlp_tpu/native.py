@@ -85,6 +85,11 @@ def _configure(lib):
     lib.hpres_lane_schedule.argtypes = [
         ct.c_int64, _i64p, _i64p, _i64p, _i32p, _i32p, ct.c_int64]
 
+    lib.lane_route_counts.restype = ct.c_int64
+    lib.lane_route_counts.argtypes = [
+        _i64p, _i64p, ct.c_int64, ct.c_int64, ct.c_int64,
+        _i32p, _i32p, _i32p]
+
     lib.hpres_lane_pack_thin.restype = ct.c_int64
     lib.hpres_lane_pack_thin.argtypes = [
         ct.c_int64, _i64p, _i64p, ct.c_int32, _i64p, _i32p, _i32p, _i64p,

@@ -683,8 +683,33 @@ def thin_spmv_reference(tiles: dict, x_pad: np.ndarray) -> np.ndarray:
 THIN_COST_FACTOR = 1.55
 
 
+def _route_counts_native(rows_p, cols_p, m_pad: int):
+    """Parallel C++ per-(window, row) counting (lane_route_counts) — the
+    numpy bincount path below allocates O(n_win * m_pad) int64 (multi-GB
+    at 113M nnz; the layout chooser paid 616 s on the banded giant).
+    Returns (w, row, cnt) int32 arrays ascending by (w, row), or None."""
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "lane_route_counts"):
+        return None
+    n = len(rows_p)
+    out_w = np.empty(n, np.int32)
+    out_row = np.empty(n, np.int32)
+    out_cnt = np.empty(n, np.int32)
+    n_pairs = lib.lane_route_counts(
+        np.ascontiguousarray(rows_p, np.int64),
+        np.ascontiguousarray(cols_p, np.int64),
+        n, int(m_pad), WINDOW, out_w, out_row, out_cnt)
+    if n_pairs < 0:
+        return None
+    return (out_w[:n_pairs], out_row[:n_pairs].astype(np.int64),
+            out_cnt[:n_pairs].astype(np.int64))
+
+
 def route_cells(rows_p: np.ndarray, cols_p: np.ndarray, m_pad: int,
-                phis=(1, 2, 4, 8), factor: float = THIN_COST_FACTOR):
+                phis=(1, 2, 4, 8), factor: float = THIN_COST_FACTOR,
+                want_mask: bool = True):
     """Per-(window, grange) cell routing: aligned vs thin, and the fold
     factor phi (one per matrix — the kernel's fold is static).
 
@@ -693,14 +718,19 @@ def route_cells(rows_p: np.ndarray, cols_p: np.ndarray, m_pad: int,
     residue term rarely binds after residue balancing and never in the
     thin regime this router arbitrates).  Thin cost = the packing lower
     bound: max(slots, per-row-multiplicity / phi, per-lane slot and
-    position capacities).  Returns (thin_entry_mask, phi, stats_dict)."""
+    position capacities).  Returns (thin_entry_mask, phi, stats_dict).
+
+    want_mask=False skips the per-ENTRY products (the thin mask and its
+    searchsorted) and returns None for the mask: with the native counter
+    this makes a cost-only call allocate nothing of size nnz — the layout
+    chooser evaluates three candidate layouts x two matrices per build
+    (measured 616 s of the 113M-nnz banded ingest before this)."""
     n = len(rows_p)
     if n == 0:
-        return np.zeros(0, bool), phis[0], {"aligned_sb": 0, "thin_sb": 0}
+        return (np.zeros(0, bool) if want_mask else None), phis[0], \
+            {"aligned_sb": 0, "thin_sb": 0}
     G = m_pad // LANES
     GR = max(1, -(-G // LANES))
-    w_all = cols_p // WINDOW
-    cell_all = w_all * np.int64(GR) + rows_p // (LANES * LANES)
 
     # Per-(cell, row) counts WITHOUT an entry sort: a cell is a function
     # of (window, row) — cell = w*GR + row//16384 — so the pair key
@@ -709,9 +739,24 @@ def route_cells(rows_p: np.ndarray, cols_p: np.ndarray, m_pad: int,
     # vs the previous lexsort's O(nnz log nnz): measured ~25 s -> ~2 s
     # per call at 19.5M nnz).  nonzero() returns keys ascending, which
     # IS (cell, row) order.  Falls back to the sort above ~1e9 keys.
-    n_win_touch = int(w_all.max()) + 1
+    n_win_touch = int(cols_p.max()) // WINDOW + 1
     keyspace = n_win_touch * m_pad
-    if keyspace <= 1_000_000_000:
+    # Route to the parallel C++ counter only where the numpy bincount's
+    # key space would be a multi-hundred-MB allocation per call (the
+    # giant regime); below that the direct bincount is faster.
+    native = _route_counts_native(rows_p, cols_p, m_pad) \
+        if keyspace > 100_000_000 else None
+    w_all = cell_all = None
+    if native is None or want_mask:
+        w_all = cols_p // WINDOW
+        cell_all = w_all * np.int64(GR) + rows_p // (LANES * LANES)
+    if native is not None:
+        out_w, pair_row, row_cnt = native
+        row_cell = out_w.astype(np.int64) * np.int64(GR) \
+            + pair_row // (LANES * LANES)
+        row_lane = pair_row % LANES
+        row_g = pair_row // LANES
+    elif keyspace <= 1_000_000_000:
         cnt = np.bincount(w_all * np.int64(m_pad) + rows_p,
                           minlength=keyspace)
         nz = np.nonzero(cnt)[0]
@@ -786,9 +831,13 @@ def route_cells(rows_p: np.ndarray, cols_p: np.ndarray, m_pad: int,
     total_cost, phi, thin_sb = best
 
     thin_cells = factor * thin_sb < aligned_sb
-    # Entry mask: cells sorted by id; map each entry's cell to its index.
-    idx = np.searchsorted(cell_ids, cell_all)
-    thin_mask = thin_cells[idx]
+    if want_mask:
+        # Entry mask: cells sorted by id; map each entry's cell to its
+        # index.
+        idx = np.searchsorted(cell_ids, cell_all)
+        thin_mask = thin_cells[idx]
+    else:
+        thin_mask = None
     stats = {
         "aligned_sb": int(aligned_sb[~thin_cells].sum()),
         "aligned_sb_if_all": int(aligned_sb.sum()),
@@ -813,7 +862,7 @@ def hybrid_cost(rows_p: np.ndarray, cols_p: np.ndarray, m_pad: int) -> int:
     if len(rows_p) == 0:
         return 0
     _, _, stats = route_cells(np.asarray(rows_p), np.asarray(cols_p),
-                              m_pad)
+                              m_pad, want_mask=False)
     return stats["total_cost"]
 
 

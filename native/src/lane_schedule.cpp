@@ -33,6 +33,8 @@
 
 #include <algorithm>
 #include <cstring>
+#include <atomic>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -495,6 +497,90 @@ int64_t hpres_lane_pack_thin(int64_t nnz, const int64_t *rows_p,
         e = cend;
     }
     return n_sb;
+}
+
+/* Per-(window, row) pair counts for the hybrid router
+ * (ops/lane_ell.py::route_cells).  numpy's direct bincount over the
+ * w*m_pad+row key space allocates O(n_win * m_pad) int64 — multi-GB at
+ * 113M nnz, and the layout chooser evaluates three candidate layouts x
+ * two matrices with it (measured 616 s of the banded-giant ingest).
+ * Here: window-bucket the entries once, then count rows per window in
+ * parallel with a reused per-thread scratch.  Output pairs ascend by
+ * (window, row), matching numpy's nonzero() order.  Returns the pair
+ * count (always <= n). */
+extern "C" int64_t lane_route_counts(
+    const int64_t *rows_p, const int64_t *cols_p, int64_t n,
+    int64_t m_pad, int64_t window,
+    int32_t *out_w, int32_t *out_row, int32_t *out_cnt) {
+    if (n <= 0) return 0;
+    int64_t n_win = 0;
+    std::vector<int64_t> wcnt;
+    {
+        // First pass: per-window entry counts.
+        int64_t maxw = 0;
+        for (int64_t i = 0; i < n; ++i)
+            maxw = std::max(maxw, cols_p[i] / window);
+        n_win = maxw + 1;
+        wcnt.assign(n_win + 1, 0);
+        for (int64_t i = 0; i < n; ++i) wcnt[cols_p[i] / window + 1]++;
+        for (int64_t w = 0; w < n_win; ++w) wcnt[w + 1] += wcnt[w];
+    }
+    // Scatter row ids into per-window segments.
+    std::vector<int32_t> seg(n);
+    {
+        std::vector<int64_t> cur(wcnt.begin(), wcnt.end() - 1);
+        for (int64_t i = 0; i < n; ++i)
+            seg[cur[cols_p[i] / window]++] = (int32_t)rows_p[i];
+    }
+    // Parallel per-window counting with a reused scratch; per-window
+    // results buffered, then concatenated in window order.
+    struct Pairs {
+        std::vector<int32_t> row, cnt;
+    };
+    std::vector<Pairs> per_w(n_win);
+    std::atomic<int64_t> next_w{0};
+    unsigned hw = std::thread::hardware_concurrency();
+    const int n_threads =
+        (int)std::min<int64_t>(std::min(16u, hw ? hw : 1u), n_win);
+    auto worker = [&] {
+        std::vector<int32_t> scratch(m_pad, 0);
+        std::vector<int32_t> touched;
+        while (true) {
+            const int64_t w = next_w.fetch_add(1);
+            if (w >= n_win) break;
+            touched.clear();
+            for (int64_t e = wcnt[w]; e < wcnt[w + 1]; ++e) {
+                const int32_t r = seg[e];
+                if (scratch[r]++ == 0) touched.push_back(r);
+            }
+            std::sort(touched.begin(), touched.end());
+            Pairs &p = per_w[w];
+            p.row.assign(touched.begin(), touched.end());
+            p.cnt.resize(touched.size());
+            for (size_t k = 0; k < touched.size(); ++k) {
+                p.cnt[k] = scratch[touched[k]];
+                scratch[touched[k]] = 0;  // reset for the next window
+            }
+        }
+    };
+    if (n_threads > 1) {
+        std::vector<std::thread> pool;
+        for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+        for (auto &t : pool) t.join();
+    } else {
+        worker();
+    }
+    int64_t out = 0;
+    for (int64_t w = 0; w < n_win; ++w) {
+        const Pairs &p = per_w[w];
+        for (size_t k = 0; k < p.row.size(); ++k) {
+            out_w[out] = (int32_t)w;
+            out_row[out] = p.row[k];
+            out_cnt[out] = p.cnt[k];
+            ++out;
+        }
+    }
+    return out;
 }
 
 }  // extern "C"
