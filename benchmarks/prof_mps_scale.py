@@ -26,6 +26,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Benchmark entry point: allocator tuning is explicit opt-in here
+# (hprlp_tpu/_malloc.py — brk-heap mallopt + THP, restored at exit).
+from hprlp_tpu._malloc import tune_malloc  # noqa: E402
+
+tune_malloc(thp=True)
+
 from hprlp_tpu.io import mps as pymps              # noqa: E402
 from hprlp_tpu.io import native_mps                # noqa: E402
 

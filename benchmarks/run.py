@@ -173,6 +173,13 @@ def main():
                          "e.g. --giant --only giant)")
     args = ap.parse_args()
 
+    if args.giant or args.huge or args.giant_mesh:
+        # Benchmark entry point owns the process: allocator tuning is
+        # justified here (explicit opt-in; see hprlp_tpu/_malloc.py).
+        from hprlp_tpu._malloc import tune_malloc
+
+        tune_malloc(thp=True)
+
     tl = args.time_limit
     report = {"timestamp": time.time(), "configs": {}}
 

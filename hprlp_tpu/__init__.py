@@ -39,9 +39,13 @@ def _enable_compile_cache():
 
 _enable_compile_cache()
 
-from ._malloc import tune_malloc as _tune_malloc
+# Allocator tuning is OPT-IN (host-global THP policy + process mallopt;
+# see _malloc.py).  Importing the library never touches /sys or malloc
+# state; entry points that own the process (bench, CLI) call tune_malloc().
+if _os.environ.get("HPRLP_MALLOC_TUNE") == "1":
+    from ._malloc import tune_malloc as _tune_malloc
 
-_tune_malloc()
+    _tune_malloc()
 
 from .params import Parameters
 from .problem import LpProblem

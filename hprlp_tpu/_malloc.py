@@ -1,4 +1,4 @@
-"""Host allocator tuning for giant-LP ingest.
+"""Host allocator tuning for giant-LP ingest (OPT-IN).
 
 The host pipeline (MPS parse, presolve, layout, tile packing) allocates
 and frees multi-GB numpy/C++ buffers per phase.  With glibc defaults every
@@ -8,24 +8,32 @@ guests; also bare metal under memory pressure) minor faults are expensive
 enough that KERNEL time dominates: the 20M-nnz presolve benchmark measured
 user 5 s / sys 96-116 s before tuning.
 
-Tuning applied (best effort, opt out with HPRLP_MALLOC_TUNE=0):
+Tuning applied by tune_malloc() — NEVER on import.  It runs only when
+explicitly requested: HPRLP_MALLOC_TUNE=1 in the environment, or a direct
+call from an entry point that owns the process (bench.py, benchmarks/,
+the CLI's --malloc-tune flag):
 
 - mallopt(M_MMAP_MAX, 0) + huge M_TRIM_THRESHOLD / M_MMAP_THRESHOLD:
   all allocations come from the brk heap and freed pages are KEPT by the
   process, so later phases reuse hot pages instead of re-faulting.
-- transparent_hugepage=always (written to /sys when permitted): heap
-  faults map 2 MB pages, cutting fault count ~512x.  Combined effect on
-  the presolve benchmark: wall 105 s -> 13.6 s.
+  Process-local, dies with the process.
+- transparent_hugepage=always: heap faults map 2 MB pages, cutting fault
+  count ~512x.  Combined effect on the presolve benchmark: wall
+  105 s -> 13.6 s.  This is a HOST-GLOBAL kernel policy: it is only
+  written when tune_malloc(thp=True) is called (CLI flag / benchmark
+  entry points), the previous value is logged and restored at interpreter
+  exit via atexit.
 
 Trade-off: peak RSS is held for the process lifetime (the heap never
-shrinks back).  Right for a solver appliance / benchmark run; set
-HPRLP_MALLOC_TUNE=0 for memory-constrained co-tenancy.
+shrinks back).  Right for a solver appliance / benchmark run; wrong for
+memory-constrained co-tenancy — hence opt-in.
 
 No reference counterpart (the reference's host side never exceeds MPS
 parsing; SURVEY 5.7 — giant-scale ingest is a new, TPU-era component).
 """
 from __future__ import annotations
 
+import atexit
 import ctypes
 import os
 import sys
@@ -40,17 +48,32 @@ _M_MMAP_MAX = -4
 _THP_PATH = "/sys/kernel/mm/transparent_hugepage/enabled"
 
 
-def tune_malloc() -> dict:
-    """Apply the allocator tuning once per process; returns a report dict
-    {"mallopt": bool, "thp": "always"|"unchanged"|...}."""
+def _restore_thp(prev: str) -> None:
+    try:
+        with open(_THP_PATH, "w") as f:
+            f.write(prev)
+    except OSError:
+        pass
+
+
+def tune_malloc(thp: bool | None = None) -> dict:
+    """Apply the allocator tuning once per process (explicit opt-in only);
+    returns a report dict {"mallopt": bool, "thp": "always"|"unchanged"|...}.
+
+    thp=True additionally enables transparent hugepages host-wide (kernel
+    policy; previous value restored at exit).  Default: only when
+    HPRLP_MALLOC_TUNE=1 is set in the environment.
+    """
     if _done:
         return _done
     report = {"mallopt": False, "thp": "unchanged"}
-    if os.environ.get("HPRLP_MALLOC_TUNE", "1") != "1" or \
+    if os.environ.get("HPRLP_MALLOC_TUNE") == "0" or \
             not sys.platform.startswith("linux"):
         report["thp"] = "disabled"
         _done.update(report)
         return report
+    if thp is None:
+        thp = os.environ.get("HPRLP_MALLOC_TUNE") == "1"
 
     try:
         libc = ctypes.CDLL(None)
@@ -61,15 +84,23 @@ def tune_malloc() -> dict:
     except Exception:
         pass
 
-    try:
-        with open(_THP_PATH) as f:
-            cur = f.read()
-        if "[always]" not in cur:
-            with open(_THP_PATH, "w") as f:
-                f.write("always")
-        report["thp"] = "always"
-    except OSError:
-        pass  # not root / no THP: mallopt alone still pays
+    if thp:
+        try:
+            with open(_THP_PATH) as f:
+                cur = f.read()
+            if "[always]" not in cur:
+                # Extract the bracketed current policy, e.g.
+                # "always [madvise] never" -> "madvise".
+                prev = cur[cur.index("[") + 1:cur.index("]")] \
+                    if "[" in cur else "madvise"
+                with open(_THP_PATH, "w") as f:
+                    f.write("always")
+                print(f"[hprlp_tpu] transparent_hugepage: {prev} -> always "
+                      f"(restored at exit)", file=sys.stderr)
+                atexit.register(_restore_thp, prev)
+            report["thp"] = "always"
+        except OSError:
+            pass  # not root / no THP: mallopt alone still pays
 
     _done.update(report)
     return report

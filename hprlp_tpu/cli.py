@@ -70,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "or fixed (column positions; names may contain "
                         "spaces)")
     p.add_argument("--quiet", action="store_true", help="Suppress progress")
+    p.add_argument("--malloc-tune", action="store_true",
+                   help="Tune the host allocator for giant ingest (brk-heap "
+                        "mallopt + transparent hugepages; THP is a "
+                        "host-global kernel policy, restored at exit)")
     p.add_argument("--solution-out", metavar="FILE", default=None,
                    help="Write status/objective/x/y/z to FILE in a plain "
                         "text format (consumed by the Julia/MATLAB "
@@ -103,6 +107,11 @@ def main(argv=None) -> int:
     if not os.path.exists(args.input):
         print(f"Input file not found: {args.input}", file=sys.stderr)
         return 1
+
+    if args.malloc_tune:
+        from ._malloc import tune_malloc
+
+        tune_malloc(thp=True)
 
     from .model import Model
     from .params import Parameters

@@ -52,14 +52,20 @@ def _sqrt_clamped(norms: np.ndarray) -> np.ndarray:
 
 
 def _row_reduce(indptr: np.ndarray, per_entry: np.ndarray, op) -> np.ndarray:
-    """Per-row reduce of a per-entry array; 0 for empty rows."""
+    """Per-row reduce of a per-entry array; 0 for empty rows.
+
+    reduceat only at NON-EMPTY row starts: segments between consecutive
+    non-empty starts then contain exactly that row's entries.  (Clipping
+    indptr at size-1 instead would map trailing empty rows onto the last
+    entry, splitting the final non-empty row's segment and dropping its
+    last element from the sum.)
+    """
     m = len(indptr) - 1
     out = np.zeros(m, per_entry.dtype)
     lens = np.diff(indptr)
     nz = lens > 0
-    if per_entry.size:
-        red = op.reduceat(per_entry, indptr[:-1].clip(max=per_entry.size - 1))
-        out[nz] = red[nz]
+    if per_entry.size and nz.any():
+        out[nz] = op.reduceat(per_entry, indptr[:-1][nz])
     return out
 
 

@@ -208,6 +208,11 @@ def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
         lp_raw, maps = _device_data
     jax.block_until_ready((lp or lp_raw).c)
     out.setup_time = time.perf_counter() - t_setup
+    if scal is not None:
+        # Giant lane-first path: host scaling ran inside the t_setup
+        # window and is already reported as scaling_time — don't count
+        # the same seconds in both phases.
+        out.setup_time = max(0.0, out.setup_time - out.scaling_time)
     log(f"Setup (layout and upload) time = {out.setup_time:.2f} seconds")
 
     if scal is None:

@@ -594,3 +594,31 @@ def test_aligned_lane_cost_is_lower_bound_and_tight():
     actual = int((nz > 0).sum())
     assert est <= actual
     assert actual <= est * 1.6, (est, actual)  # tight on dense fill
+
+
+def test_route_counts_native_matches_bincount():
+    """The C++ lane_route_counts path only auto-activates above a 100M
+    keyspace, so no end-to-end test reaches it; exercise it directly
+    (it has no size gate) against the numpy bincount reference."""
+    from hprlp_tpu.native import get_lib
+    from hprlp_tpu.ops.lane_ell import _route_counts_native
+
+    if get_lib() is None:
+        pytest.skip("native library not built")
+
+    rng = np.random.default_rng(7)
+    for m_pad, ncol, n in ((256, 3 * WINDOW, 5000), (128, WINDOW, 1),
+                           (16384, 5 * WINDOW + 17, 20000)):
+        rows_p = rng.integers(0, m_pad, size=n).astype(np.int64)
+        cols_p = rng.integers(0, ncol, size=n).astype(np.int64)
+        out = _route_counts_native(rows_p, cols_p, m_pad)
+        assert out is not None
+        w_n, row_n, cnt_n = out
+
+        n_win = int(cols_p.max()) // WINDOW + 1
+        cnt = np.bincount((cols_p // WINDOW) * np.int64(m_pad) + rows_p,
+                          minlength=n_win * m_pad)
+        nz = np.nonzero(cnt)[0]
+        np.testing.assert_array_equal(w_n, (nz // m_pad).astype(np.int32))
+        np.testing.assert_array_equal(row_n, nz % m_pad)
+        np.testing.assert_array_equal(cnt_n, cnt[nz])

@@ -483,6 +483,63 @@ def test_host_scaling_matches_device_pipeline():
     np.testing.assert_allclose(D_dev, D_host, rtol=1e-10, atol=1e-12)
 
 
+def test_host_row_reduce_trailing_empty_rows():
+    """Regression (round-3 advisor): clip-based reduceat dropped the last
+    non-empty row's final entry when trailing rows were empty
+    (indptr=[0,2,4,4] gave [3,3,0] instead of [3,7,0])."""
+    from hprlp_tpu.solver.host_scaling import _row_reduce
+
+    indptr = np.array([0, 2, 4, 4])
+    vals = np.array([1.0, 2.0, 3.0, 4.0])
+    np.testing.assert_array_equal(_row_reduce(indptr, vals, np.add),
+                                  [3.0, 7.0, 0.0])
+    np.testing.assert_array_equal(_row_reduce(indptr, vals, np.maximum),
+                                  [2.0, 4.0, 0.0])
+    # interior + leading empties
+    indptr2 = np.array([0, 0, 2, 2, 4])
+    np.testing.assert_array_equal(_row_reduce(indptr2, vals, np.add),
+                                  [0.0, 3.0, 0.0, 7.0])
+    # all-empty
+    np.testing.assert_array_equal(
+        _row_reduce(np.array([0, 0, 0]), np.zeros(0), np.add), [0.0, 0.0])
+
+
+def test_host_scaling_trailing_empty_row_and_col():
+    """host_scale factor parity with the device pipeline on an LP whose
+    LAST row of A and LAST column are empty (the advisor's failure
+    shape for the reduceat segments)."""
+    import jax.numpy as jnp
+
+    from hprlp_tpu.ops.device_problem import build_device_problem
+    from hprlp_tpu.solver.host_scaling import host_scale
+    from hprlp_tpu.solver.scaling import scale_problem
+    from tests.conftest import random_lp
+
+    prob = random_lp(5, m=40, n=60, density=0.15)
+    A = prob.A.tocsr().toarray()
+    A[-1, :] = 0.0   # empty last row
+    A[:, -1] = 0.0   # empty last column
+    Acsr = sp.csr_matrix(A)
+    prob2 = h.LpProblem.from_arrays(Acsr, prob.AL, prob.AU, prob.l, prob.u,
+                                    prob.c)
+    AT = Acsr.T.tocsr()
+
+    lp, maps = build_device_problem(prob2, dtype=jnp.float64)
+    _scaled, info_dev = scale_problem(lp)
+    av, atv, AL, AU, l, u, c, info = host_scale(
+        Acsr, AT, prob2.AL, prob2.AU, prob2.l, prob2.u, prob2.c)
+
+    np.testing.assert_allclose(
+        np.asarray(info_dev.row_norm)[maps.row_pos], info.row_norm,
+        rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(info_dev.col_norm)[maps.col_pos], info.col_norm,
+        rtol=1e-10)
+    for k in ("b_scale", "c_scale", "norm_b", "norm_c"):
+        np.testing.assert_allclose(float(getattr(info_dev, k)),
+                                   getattr(info, k), rtol=1e-10)
+
+
 def test_giant_lane_first_path_solves(monkeypatch):
     """End-to-end through the giant lane-first ingest (host scaling +
     lane-only upload), forced onto the CPU interpret-mode lane kernel via
