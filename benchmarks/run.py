@@ -100,6 +100,102 @@ def banded_lp(m, n, nnz_per_row, halfwidth, seed=0, name=""):
                                  name=name or f"banded{m}x{n}")
 
 
+def transportation_lp(ns, nd, seed=0, name=""):
+    """Balanced transportation LP (Netlib family stand-in): equality
+    supply/demand rows, x >= 0.  Optimum verifiable with scipy at small
+    sizes (tests/test_structured.py); at benchmark scale the interest is
+    the bipartite incidence structure (2 nnz/col, dense rows)."""
+    rng = np.random.default_rng(seed)
+    supply = rng.uniform(1.0, 3.0, ns)
+    demand = rng.uniform(1.0, 3.0, nd)
+    demand *= supply.sum() / demand.sum()
+    k = np.arange(ns * nd)
+    rows = np.concatenate([k // nd, ns + (k % nd)])
+    cols = np.concatenate([k, k])
+    A = sp.coo_matrix((np.ones(2 * ns * nd), (rows, cols)),
+                      shape=(ns + nd, ns * nd)).tocsr()
+    b = np.concatenate([supply, demand])
+    return LpProblem.from_arrays(
+        A, b, b, np.zeros(ns * nd), np.full(ns * nd, np.inf),
+        rng.uniform(1.0, 10.0, ns * nd), name=name or f"transport{ns}x{nd}")
+
+
+def staircase_lp(T, nx, seed=0, name=""):
+    """Multiperiod production staircase (Mittelmann multiperiod family
+    stand-in): period-coupled rows, block-banded A."""
+    rng = np.random.default_rng(seed)
+    n = T * nx
+    demand = rng.uniform(0.5, 1.5, T) * nx / 4
+    t_of = np.repeat(np.arange(T), nx)
+    rows = np.concatenate([t_of, (t_of + 1)[t_of + 1 < T]])
+    cols = np.concatenate([np.arange(n), np.arange(n)[t_of + 1 < T]])
+    vals = np.concatenate([np.ones(n), np.full((t_of + 1 < T).sum(), 0.3)])
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(T, n)).tocsr()
+    return LpProblem.from_arrays(
+        A, demand, np.full(T, np.inf), np.zeros(n), np.full(n, 10.0),
+        rng.uniform(1.0, 2.0, n), name=name or f"staircase{T}x{nx}")
+
+
+def multicommodity_lp(side, K, seed=0, name=""):
+    """K-commodity min-cost flow on a side x side directed grid (right +
+    down arcs): per-commodity flow-conservation equalities + shared arc
+    capacity rows — the classic degenerate-network family the random box
+    LPs don't exercise."""
+    rng = np.random.default_rng(seed)
+    V = side * side
+    r, c = np.divmod(np.arange(V), side)
+    # Arcs: right (c < side-1) and down (r < side-1).
+    right_tail = np.nonzero(c < side - 1)[0]
+    down_tail = np.nonzero(r < side - 1)[0]
+    tails = np.concatenate([right_tail, down_tail])
+    heads = np.concatenate([right_tail + 1, down_tail + side])
+    nA = len(tails)
+
+    # Node-arc incidence (+1 leaves tail, -1 enters head).
+    a_idx = np.arange(nA)
+    inc_rows = np.concatenate([tails, heads])
+    inc_cols = np.concatenate([a_idx, a_idx])
+    inc_vals = np.concatenate([np.ones(nA), -np.ones(nA)])
+
+    # Per-commodity: source up-left of sink so a right/down path exists.
+    d_k = rng.uniform(0.5, 2.0, K)
+    src_r = rng.integers(0, side // 2, K)
+    src_c = rng.integers(0, side // 2, K)
+    dst_r = rng.integers(side // 2, side, K)
+    dst_c = rng.integers(side // 2, side, K)
+    src = src_r * side + src_c
+    dst = dst_r * side + dst_c
+
+    rows, cols, vals = [], [], []
+    AL, AU = [], []
+    for k in range(K):
+        rows.append(k * V + inc_rows)
+        cols.append(k * nA + inc_cols)
+        vals.append(inc_vals)
+        b = np.zeros(V)
+        b[src[k]] = d_k[k]
+        b[dst[k]] = -d_k[k]
+        AL.append(b)
+        AU.append(b)
+    # Shared capacities: sum_k x_a <= cap (generous => feasible).
+    cap_rows = K * V + np.tile(a_idx, K)
+    rows.append(cap_rows)
+    cols.append(np.arange(K * nA))
+    vals.append(np.ones(K * nA))
+    AL.append(np.full(nA, -np.inf))
+    AU.append(np.full(nA, float(d_k.sum())))
+
+    A = sp.coo_matrix(
+        (np.concatenate(vals),
+         (np.concatenate(rows), np.concatenate(cols))),
+        shape=(K * V + nA, K * nA)).tocsr()
+    cost = np.tile(rng.uniform(1.0, 5.0, nA), K)
+    n = K * nA
+    return LpProblem.from_arrays(
+        A, np.concatenate(AL), np.concatenate(AU), np.zeros(n),
+        np.full(n, np.inf), cost, name=name or f"multicom{side}x{K}")
+
+
 def run_single(problem, tol, time_limit, max_iter=500_000,
                precision=None, mesh_shape=None):
     # precision "auto" resolves per-backend: f32 fast mode at 1e-4-grade
@@ -112,6 +208,14 @@ def run_single(problem, tol, time_limit, max_iter=500_000,
     t0 = time.perf_counter()
     res = Model(problem).solve(p)
     wall = time.perf_counter() - t0
+    # Honest vs-reference accounting per config (BASELINE.md "Grounded
+    # reference model"): iterations/s against the A100 bandwidth model
+    # of the reference's fused hot loop at THIS problem's size.
+    from bench import reference_model_its_per_sec
+
+    its_per_sec = res.iter / res.time if res.time > 0 else 0.0
+    ref_model = reference_model_its_per_sec(problem.nnz, problem.m,
+                                            problem.n)
     return {
         "m": problem.m, "n": problem.n, "nnz": problem.nnz,
         "mesh_shape": mesh_shape,
@@ -124,6 +228,9 @@ def run_single(problem, tol, time_limit, max_iter=500_000,
         "iter4": res.iter4, "time4": res.time4,
         "iter6": res.iter6, "time6": res.time6,
         "iter8": res.iter8, "time8": res.time8,
+        "its_per_sec": its_per_sec,
+        "ref_model_its_per_sec": ref_model,
+        "vs_ref_model": its_per_sec / ref_model if ref_model else 0.0,
     }
 
 
@@ -212,6 +319,20 @@ def main():
         record("assignment128_1e-8_mixed",
                lambda: run_single(assignment_problem(128), 1e-8, tl,
                                   precision="mixed"))
+        # Structured families (BASELINE protocol configs 2/4 stand-ins;
+        # round-4: replaces random-box-only coverage) at 1e-4 AND 1e-8.
+        record("transport_1e-4",
+               lambda: run_single(transportation_lp(256, 384, 7), 1e-4, tl))
+        record("transport_1e-8",
+               lambda: run_single(transportation_lp(256, 384, 7), 1e-8, tl))
+        record("staircase_1e-4",
+               lambda: run_single(staircase_lp(512, 64, 8), 1e-4, tl))
+        record("staircase_1e-8",
+               lambda: run_single(staircase_lp(512, 64, 8), 1e-8, tl))
+        record("multicommodity_1e-4",
+               lambda: run_single(multicommodity_lp(32, 8, 9), 1e-4, tl))
+        record("multicommodity_1e-8",
+               lambda: run_single(multicommodity_lp(32, 8, 9), 1e-8, tl))
         record("random_mid_1e-4",
                lambda: run_single(random_lp(8192, 16384, 20, 1), 1e-4, tl))
         record("sparse_large_1e-4",

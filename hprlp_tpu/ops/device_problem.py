@@ -243,7 +243,8 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
 
 def build_device_problem_giant(problem: LpProblem, dtype=jnp.float32,
                                use_cr: bool = True, use_ruiz: bool = True,
-                               use_pc: bool = True, use_bc: bool = True):
+                               use_pc: bool = True, use_bc: bool = True,
+                               mesh=None):
     """Giant-LP lane-first ingest: host scaling, single upload.
 
     The standard pipeline at 100M+ nnz ships the matrix over the
@@ -259,6 +260,14 @@ def build_device_problem_giant(problem: LpProblem, dtype=jnp.float32,
       4. replaces the ELL buckets with empty device stubs (backend is
          pinned to "lane"; autotune skips on the stub's nnz=0).
 
+    mesh: a jax.sharding.Mesh composes the giant ingest with multi-chip
+    solves (BASELINE config 5: >100M nnz on N devices/hosts): the tiles
+    are scheduled/packed PER WINDOW GROUP and uploaded chunk-sharded
+    (ops/sparse._build_sharded_lane — each process materialises only its
+    addressable shards), and the vectors/scaling factors are placed
+    replicated over the mesh.  Per-device tile memory is ~1/N of the
+    single-chip layout.
+
     Returns (LpDevice[lane], HostMaps, ScalingInfo).  Raises (MemoryError
     etc.) are the caller's fallback signal — loop.py degrades to the
     standard path.  Measured effect: see benchmarks/report_giant*.json
@@ -266,6 +275,7 @@ def build_device_problem_giant(problem: LpProblem, dtype=jnp.float32,
     """
     import time as _time
 
+    from ..parallel.distributed import global_put
     from ..solver.host_scaling import host_scale
     from ..solver.scaling import ScalingInfo
     from .sparse import EllBucket, attach_lane
@@ -291,21 +301,37 @@ def build_device_problem_giant(problem: LpProblem, dtype=jnp.float32,
     lp_host, maps = build_device_problem(scaled, dtype=dtype, upload=False)
 
     # Lane tiles upload inside attach_lane (to_coo over numpy buckets is
-    # free); the transposed matrix rides the same path.
-    A_lane = attach_lane(dataclasses.replace(lp_host.A))
-    AT_lane = attach_lane(dataclasses.replace(lp_host.AT))
+    # free); the transposed matrix rides the same path.  With a mesh
+    # stamped on the matrix, attach_lane routes to the chunk-sharded
+    # builder and uploads each device's window group only.
+    mesh_kw = {} if mesh is None else {"mesh": mesh, "mesh_axis": "d"}
+    A_lane = attach_lane(dataclasses.replace(lp_host.A, **mesh_kw))
+    AT_lane = attach_lane(dataclasses.replace(lp_host.AT, **mesh_kw))
+
+    if mesh is None:
+        rep = None
+        put = jnp.asarray
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        put = lambda v: global_put(np.asarray(v), rep)  # noqa: E731
 
     def stubbed(mat: EllMatrix) -> EllMatrix:
-        stub = EllBucket(vals=jnp.zeros((0, 1), np_dtype),
-                         cols=jnp.zeros((0, 1), jnp.int32),
-                         valid=jnp.zeros((0, 1), bool),
+        def zput(shape, dt):
+            z = np.zeros(shape, dt)
+            return jnp.asarray(z) if rep is None else global_put(z, rep)
+
+        stub = EllBucket(vals=zput((0, 1), np_dtype),
+                         cols=zput((0, 1), np.int32),
+                         valid=zput((0, 1), bool),
                          row_start=0, width=1)
         return dataclasses.replace(mat, buckets=(stub,))
 
     dev = LpDevice(A=stubbed(A_lane), AT=stubbed(AT_lane),
-                   AL=jnp.asarray(lp_host.AL), AU=jnp.asarray(lp_host.AU),
-                   c=jnp.asarray(lp_host.c), l=jnp.asarray(lp_host.l),
-                   u=jnp.asarray(lp_host.u))
+                   AL=put(lp_host.AL), AU=put(lp_host.AU),
+                   c=put(lp_host.c), l=put(lp_host.l),
+                   u=put(lp_host.u))
 
     m_pad, n_pad = dev.A.nrows, dev.A.ncols
     rn = np.ones(m_pad, np.float64)
@@ -313,13 +339,13 @@ def build_device_problem_giant(problem: LpProblem, dtype=jnp.float32,
     cn = np.ones(n_pad, np.float64)
     cn[maps.col_pos] = info.col_norm
     scal = ScalingInfo(
-        row_norm=jnp.asarray(rn, np_dtype), col_norm=jnp.asarray(cn, np_dtype),
-        b_scale=jnp.asarray(info.b_scale, np_dtype),
-        c_scale=jnp.asarray(info.c_scale, np_dtype),
-        norm_b=jnp.asarray(info.norm_b, np_dtype),
-        norm_c=jnp.asarray(info.norm_c, np_dtype),
-        norm_b_org=jnp.asarray(info.norm_b_org, np_dtype),
-        norm_c_org=jnp.asarray(info.norm_c_org, np_dtype))
+        row_norm=put(rn.astype(np_dtype)), col_norm=put(cn.astype(np_dtype)),
+        b_scale=put(np.asarray(info.b_scale, np_dtype)),
+        c_scale=put(np.asarray(info.c_scale, np_dtype)),
+        norm_b=put(np.asarray(info.norm_b, np_dtype)),
+        norm_c=put(np.asarray(info.norm_c, np_dtype)),
+        norm_b_org=put(np.asarray(info.norm_b_org, np_dtype)),
+        norm_c_org=put(np.asarray(info.norm_c_org, np_dtype)))
     dev_scale_s = scale_s  # host-scaling wall, reported as scaling_time
     return dev, maps, scal, dev_scale_s
 

@@ -163,8 +163,45 @@ def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
 
     t_setup = time.perf_counter()
     lp = scal = None
+    is_giant = (problem.nnz >= GIANT_LANE_FIRST_NNZ
+                and (jax.default_backend() != "cpu"
+                     # env override also unlocks CPU (interpret-mode lane)
+                     # so tests can drive this path on a CPU backend
+                     or "HPRLP_GIANT_LANE_FIRST_NNZ" in os.environ))
     if _device_data is None:
-        if params.mesh_shape:
+        if is_giant:
+            # Giant lane-first ingest: host scaling + single tile upload
+            # (ops/device_problem.build_device_problem_giant); with
+            # mesh_shape the tiles go up CHUNK-SHARDED over the mesh
+            # (per-device window groups — BASELINE config 5 at full
+            # scale).  Any failure (tile budget, lowering) degrades to
+            # the standard pipeline below.
+            from ..ops.device_problem import build_device_problem_giant
+
+            mesh = None
+            if params.mesh_shape:
+                from ..parallel.sharded import make_mesh
+
+                mesh = make_mesh(params.mesh_shape)
+            try:
+                lp, maps, scal, host_scale_s = build_device_problem_giant(
+                    problem, dtype=dtype,
+                    use_cr=params.use_CR_scaling,
+                    use_ruiz=params.use_Ruiz_scaling,
+                    use_pc=params.use_Pock_Chambolle_scaling,
+                    use_bc=params.use_bc_scaling,
+                    mesh=mesh)
+                out.scaling_time = host_scale_s
+                log(f"[giant] lane-first ingest: host scaling "
+                    f"{host_scale_s:.2f} s, tiles uploaded"
+                    + (f" chunk-sharded over {params.mesh_shape} devices"
+                       if mesh is not None else ""))
+            except Exception as e:
+                print(f"[hprlp_tpu] giant lane-first ingest failed "
+                      f"({type(e).__name__}: {e}); using the standard "
+                      f"pipeline", flush=True)
+                lp = scal = None
+        if lp is None and params.mesh_shape:
             # Multi-chip: row-block-shard A/A^T over a 1-D mesh (GSPMD);
             # the same jitted chunks then run SPMD with XLA collectives.
             from ..parallel.sharded import make_mesh, shard_problem
@@ -174,35 +211,7 @@ def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
                 problem, dtype=dtype, row_multiple=8 * n_dev,
                 vec_multiple=256 * n_dev)
             lp_raw = shard_problem(lp_raw, make_mesh(n_dev))
-        elif (problem.nnz >= GIANT_LANE_FIRST_NNZ
-              and (jax.default_backend() != "cpu"
-                   # env override also unlocks CPU (interpret-mode lane)
-                   # so tests can drive this path on a CPU backend
-                   or "HPRLP_GIANT_LANE_FIRST_NNZ" in os.environ)):
-            # Giant lane-first ingest: host scaling + single tile upload
-            # (ops/device_problem.build_device_problem_giant).  Any
-            # failure (tile budget, lowering) degrades to the standard
-            # pipeline below.
-            from ..ops.device_problem import build_device_problem_giant
-
-            try:
-                lp, maps, scal, host_scale_s = build_device_problem_giant(
-                    problem, dtype=dtype,
-                    use_cr=params.use_CR_scaling,
-                    use_ruiz=params.use_Ruiz_scaling,
-                    use_pc=params.use_Pock_Chambolle_scaling,
-                    use_bc=params.use_bc_scaling)
-                out.scaling_time = host_scale_s
-                log(f"[giant] lane-first ingest: host scaling "
-                    f"{host_scale_s:.2f} s, tiles uploaded")
-            except Exception as e:
-                print(f"[hprlp_tpu] giant lane-first ingest failed "
-                      f"({type(e).__name__}: {e}); using the standard "
-                      f"pipeline", flush=True)
-                lp = scal = None
-            if lp is None:
-                lp_raw, maps = build_device_problem(problem, dtype=dtype)
-        else:
+        elif lp is None:
             lp_raw, maps = build_device_problem(problem, dtype=dtype)
     else:
         lp_raw, maps = _device_data

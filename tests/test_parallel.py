@@ -174,3 +174,49 @@ class TestDistributed:
         a = np.random.default_rng(0).normal(size=(NDEV * 8, 16))
         g = jax.make_array_from_callback(a.shape, sh, lambda idx: a[idx])
         np.testing.assert_array_equal(np.asarray(g), a)
+
+
+class TestGiantMesh:
+    """Giant lane-first ingest COMPOSED with the mesh (round-4: BASELINE
+    config 5 at full scale): host scaling + chunk-sharded tile upload,
+    solved under shard_map with psum."""
+
+    def test_giant_mesh_builder_shards_tiles(self):
+        from hprlp_tpu.ops.device_problem import build_device_problem_giant
+
+        prob = random_lp(41, m=256, n=640, density=0.08)
+        lp, maps, scal, _s = build_device_problem_giant(
+            prob, mesh=make_mesh(NDEV))
+        assert lp.A.backend == lp.AT.backend == "lane"
+        for M in (lp.A, lp.AT):
+            assert M.mesh is not None
+            have = [t for t in (M.lane_idx2, M.thin_idx2) if t is not None]
+            assert have, "no lane tiles attached"
+            for t in have:
+                assert t.shape[0] % NDEV == 0
+                assert len(t.sharding.device_set) == NDEV
+        # Vectors and scaling factors replicated over the mesh.
+        assert lp.c.sharding.is_fully_replicated
+        assert scal.row_norm.sharding.is_fully_replicated
+        # Gather buckets are stubs (autotune skips on nnz=0).
+        assert lp.A.nnz == 0
+
+    def test_giant_mesh_solve_matches_single(self, monkeypatch):
+        from hprlp_tpu.solver import loop as loop_mod
+
+        # Small shapes: the CPU mesh runs the lane kernel in interpret
+        # mode, which is ~100x device speed.
+        prob = random_lp(42, m=96, n=128, density=0.1)
+        p1 = Parameters(verbose=False, stop_tol=1e-4, use_presolve=False)
+        r1 = solve_problem(prob, p1)
+
+        monkeypatch.setenv("HPRLP_GIANT_LANE_FIRST_NNZ", "100")
+        monkeypatch.setattr(loop_mod, "GIANT_LANE_FIRST_NNZ", 100)
+        p8 = Parameters(verbose=False, stop_tol=1e-4, use_presolve=False,
+                        mesh_shape=NDEV)
+        r8 = solve_problem(prob, p8)
+        assert r8.spmv_backend == "lane"
+        assert r1.status == r8.status == "OPTIMAL"
+        assert r8.primal_obj == pytest.approx(r1.primal_obj, rel=1e-3,
+                                              abs=1e-3)
+        np.testing.assert_allclose(r8.x, r1.x, atol=2e-2)

@@ -113,3 +113,36 @@ def test_assignment_relaxation_exact_integrality():
 
     ri, ci = linear_sum_assignment(cost)
     assert res.primal_obj == pytest.approx(cost[ri, ci].sum(), abs=1e-5)
+
+
+def test_multicommodity():
+    """Benchmark-scale generator (benchmarks/run.py::multicommodity_lp) at
+    a small size: K-commodity grid flow optimum matches scipy/HiGHS."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                    "benchmarks"))
+    from run import multicommodity_lp
+
+    p = multicommodity_lp(6, 3)
+    ref = _reference_opt_eq(p.A.tocsr(), p.AL, p.AU, p.l, p.u, p.c)
+    assert ref.status == 0
+    res = hp.solve(p.A, p.AL, p.AU, p.l, p.u, p.c,
+                   parameters=Parameters(verbose=False, stop_tol=1e-7))
+    assert res.status == "OPTIMAL"
+    assert res.primal_obj == pytest.approx(ref.fun, rel=1e-4, abs=1e-4)
+
+
+def _reference_opt_eq(A, AL, AU, l, u, c):
+    eq = np.isfinite(AL) & np.isfinite(AU) & (AL == AU)
+    ub = np.isfinite(AU) & ~eq
+    lb = np.isfinite(AL) & ~eq
+    return linprog(
+        c,
+        A_ub=sp.vstack([A[ub], -A[lb]]),
+        b_ub=np.concatenate([AU[ub], -AL[lb]]),
+        A_eq=A[eq] if eq.any() else None,
+        b_eq=AL[eq] if eq.any() else None,
+        bounds=list(zip(l, [None if np.isinf(x) else x for x in u])),
+        method="highs")
