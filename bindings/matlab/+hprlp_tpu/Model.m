@@ -44,6 +44,15 @@ classdef Model
             r = hprlp_tpu.internal.rpc(req);
             res = hprlp_tpu.Result(r);
         end
+        function info = get_model_info(obj)
+            % Model dimensions (parity: the reference MEX command
+            % get_model_info, hprlp_mex.cpp:553-582 — m/n/obj_constant —
+            % plus nnz; computed locally, the model data lives here).
+            [mm, nn] = size(obj.A);
+            info = struct('m', mm, 'n', nn, ...
+                          'nnz', nnz(sparse(obj.A)), ...
+                          'obj_constant', obj.obj_constant);
+        end
     end
     methods (Static)
         function obj = fromMps(path)

@@ -98,6 +98,25 @@ def tune_malloc(thp: bool | None = None) -> dict:
                 print(f"[hprlp_tpu] transparent_hugepage: {prev} -> always "
                       f"(restored at exit)", file=sys.stderr)
                 atexit.register(_restore_thp, prev)
+                # atexit does not run on SIGTERM (how `timeout` kills a
+                # benchmark): restore on TERM too, chaining any existing
+                # handler.
+                import signal
+
+                prev_handler = signal.getsignal(signal.SIGTERM)
+
+                def _on_term(signum, frame):
+                    _restore_thp(prev)
+                    if callable(prev_handler):
+                        prev_handler(signum, frame)
+                    else:
+                        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+                        os.kill(os.getpid(), signal.SIGTERM)
+
+                try:
+                    signal.signal(signal.SIGTERM, _on_term)
+                except ValueError:
+                    pass  # non-main thread: atexit alone
             report["thp"] = "always"
         except OSError:
             pass  # not root / no THP: mallopt alone still pays

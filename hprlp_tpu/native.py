@@ -95,6 +95,15 @@ def _configure(lib):
         ct.c_int64, _i64p, _i64p, ct.c_int32, _i64p, _i32p, _i32p, _i64p,
         ct.c_int64]
 
+    lib.hprlp_scale_matrix.restype = ct.c_int
+    lib.hprlp_scale_matrix.argtypes = [
+        ct.c_int64, ct.c_int64, _i64p, _i32p, _f64p, _i64p, _i32p, _f64p,
+        ct.c_int, ct.c_int, ct.c_int, ct.c_int, ct.c_int, _f64p, _f64p]
+
+    _u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    lib.hprlp_sort_index_u64.restype = ct.c_int
+    lib.hprlp_sort_index_u64.argtypes = [_u64p, ct.c_int64, _i64p]
+
     lib.hpres_balance_cells.restype = ct.c_int64
     lib.hpres_balance_cells.argtypes = [
         ct.c_int64, _i64p, _i32p, ct.c_int64, _i64p, _i32p, _i32p, _i32p,

@@ -153,6 +153,16 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
             or have_loc):
         from .lane_ell import hybrid_cost
 
+        # Giant inputs: score candidates on a STRIDE SAMPLE of entries
+        # (identical stride for every candidate, so the comparison stays
+        # apples-to-apples).  The routed cost is a sum of per-cell maxima
+        # — sampling deflates every candidate's maxima alike, preserving
+        # the ranking; measured choices unchanged on the giant families
+        # while the chooser drops from ~190 s to ~30 s at 113M nnz.
+        CHOOSER_SAMPLE_CAP = 16_000_000
+        nnz_tot = len(A.indices)
+        stride = max(1, nnz_tot // CHOOSER_SAMPLE_CAP)
+
         def pair_cost(pa, pat):
             # Routed HYBRID cost (aligned vs thin per cell) — the metric
             # the kernel actually pays.  Round 2 compared the aligned
@@ -161,15 +171,20 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
             # that lets the thin router pack at ~1.3 slots/nnz.
             rp = _positions_from_plan(pa, m, row_multiple)
             cp = _positions_from_plan(pat, n, row_multiple)
-            rows_pa = np.repeat(rp, np.diff(A.indptr))
-            rows_pat = np.repeat(cp, np.diff(AT.indptr))
+            rows_pa = np.repeat(rp, np.diff(A.indptr))[::stride]
+            rows_pat = np.repeat(cp, np.diff(AT.indptr))[::stride]
             m_pad_a = padded_size(bucketed_row_total(pa, row_multiple),
                                   vec_multiple)
             n_pad_a = padded_size(bucketed_row_total(pat, row_multiple),
                                   vec_multiple)
-            return (hybrid_cost(rows_pa, cp[A.indices], m_pad_a)
-                    + hybrid_cost(rows_pat, rp[AT.indices], n_pad_a))
+            return (hybrid_cost(rows_pa, cp[A.indices[::stride]], m_pad_a)
+                    + hybrid_cost(rows_pat, rp[AT.indices[::stride]],
+                                  n_pad_a))
 
+        # Sequential on purpose: evaluating the three candidates on
+        # threads was measured SLOWER on a 4-core host (each pair_cost
+        # is memory-bandwidth-bound over nnz-sized temporaries; parallel
+        # copies thrash the cache).
         cost_bal = pair_cost(plan_A_bal, plan_AT_bal)
         cost_plain = pair_cost(plan_A, plan_AT)
         cost_loc = (pair_cost(plan_A_loc, plan_AT_loc) if have_loc
@@ -273,12 +288,24 @@ def build_device_problem_giant(problem: LpProblem, dtype=jnp.float32,
     standard path.  Measured effect: see benchmarks/report_giant*.json
     (SURVEY 5.7 giant-scale, no reference counterpart).
     """
+    import os as _os
+    import sys as _sys
     import time as _time
 
     from ..parallel.distributed import global_put
     from ..solver.host_scaling import host_scale
     from ..solver.scaling import ScalingInfo
     from .sparse import EllBucket, attach_lane
+
+    _verbose = _os.environ.get("HPRLP_LAYOUT_VERBOSE") == "1"
+    _t = _time.perf_counter()
+
+    def _tick(label):
+        nonlocal _t
+        if _verbose:
+            print(f"[giant] {label}: {_time.perf_counter() - _t:.1f}s",
+                  file=_sys.stderr, flush=True)
+        _t = _time.perf_counter()
 
     np_dtype = np.dtype(dtype)
     t0 = _time.perf_counter()
@@ -287,11 +314,13 @@ def build_device_problem_giant(problem: LpProblem, dtype=jnp.float32,
     AT = A.T.tocsr()
     AT.sum_duplicates()
     m, n = A.shape
+    _tick("csr/transpose")
 
     av, atv, AL_s, AU_s, l_s, u_s, c_s, info = host_scale(
         A, AT, problem.AL, problem.AU, problem.l, problem.u, problem.c,
         use_cr=use_cr, use_ruiz=use_ruiz, use_pc=use_pc, use_bc=use_bc)
     scale_s = _time.perf_counter() - t0
+    _tick("host_scale")
 
     scaled = LpProblem(
         A=sp.csr_matrix((av, A.indices, A.indptr), shape=(m, n)),
@@ -299,6 +328,7 @@ def build_device_problem_giant(problem: LpProblem, dtype=jnp.float32,
         obj_constant=problem.obj_constant,
         objective_sense=problem.objective_sense, name=problem.name)
     lp_host, maps = build_device_problem(scaled, dtype=dtype, upload=False)
+    _tick("layout")
 
     # Lane tiles upload inside attach_lane (to_coo over numpy buckets is
     # free); the transposed matrix rides the same path.  With a mesh
@@ -306,7 +336,9 @@ def build_device_problem_giant(problem: LpProblem, dtype=jnp.float32,
     # builder and uploads each device's window group only.
     mesh_kw = {} if mesh is None else {"mesh": mesh, "mesh_axis": "d"}
     A_lane = attach_lane(dataclasses.replace(lp_host.A, **mesh_kw))
+    _tick("attach_lane(A)")
     AT_lane = attach_lane(dataclasses.replace(lp_host.AT, **mesh_kw))
+    _tick("attach_lane(AT)")
 
     if mesh is None:
         rep = None

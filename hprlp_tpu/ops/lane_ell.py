@@ -145,6 +145,52 @@ def _window_splits(w_sorted: np.ndarray, n_parts: int):
 PARALLEL_SCHED_MIN_NNZ = 2_000_000
 
 
+def _sort_by_keys(key_cols) -> np.ndarray:
+    """argsort by lexicographic (last key most significant), like
+    np.lexsort, but via ONE composite-uint64 parallel native sort when
+    the ranges fit (np.lexsort over the giant schedulers' 28M-entry
+    triples measured ~14 s single-threaded; the native bucket sort runs
+    ~1 s).  Falls back to np.lexsort when the composite would overflow
+    or the native library is missing.  Key equality ties may be broken
+    differently than lexsort's stable order — callers must not depend
+    on tie order (the schedulers' triples are unique after duplicate
+    summing)."""
+    n = len(key_cols[0])
+    if n >= PARALLEL_SCHED_MIN_NNZ:
+        from ..native import get_lib
+
+        lib = get_lib()
+        if lib is not None and hasattr(lib, "hprlp_sort_index_u64"):
+            composite = None
+            for k in reversed(key_cols):  # most significant first
+                k = np.asarray(k)
+                kmax = int(k.max()) if len(k) else 0
+                kmin = int(k.min()) if len(k) else 0
+                if kmin < 0:
+                    composite = None
+                    break
+                span = kmax + 1
+                if composite is None:
+                    composite = k.astype(np.uint64)
+                    limit = span
+                else:
+                    if limit * span > (1 << 63):
+                        composite = None
+                        break
+                    # In place: the temporaries of `c*span + k` were a
+                    # measurable slice of the giant ingest.
+                    composite *= np.uint64(span)
+                    np.add(composite, k, out=composite,
+                           casting="unsafe")
+                    limit *= span
+            if composite is not None:
+                out = np.empty(n, np.int64)
+                lib.hprlp_sort_index_u64(
+                    np.ascontiguousarray(composite), n, out)
+                return out
+    return np.lexsort(tuple(key_cols))
+
+
 def _concat_tiles(parts: list[dict], keys=("idx1t", "idx2", "vals",
                                            "cols", "gid", "gbase", "wid",
                                            "invt")) -> dict:
@@ -187,7 +233,7 @@ def schedule_lane_ell(rows_p: np.ndarray, cols_p: np.ndarray,
     g_all = rows_p // LANES
     l_all = rows_p % LANES
     w_all = cols_p // WINDOW
-    order = np.lexsort((l_all, g_all, w_all))
+    order = _sort_by_keys((l_all, g_all, w_all))
     rs, cs, vs = rows_p[order], cols_p[order], vals[order]
 
     def seg(a, b):
@@ -244,7 +290,7 @@ def _schedule_lane_ell_serial(rows_p: np.ndarray, cols_p: np.ndarray,
         sub_of = np.zeros(len(rows_p), np.int64)
         gid_arr, wid_arr = _greedy_schedule(rows_p, cols_p, sub_of)
     else:
-        order = np.lexsort((l_all, g_all, w_all))
+        order = _sort_by_keys((l_all, g_all, w_all))
         sub_sorted = np.zeros(len(order), np.int64)
         gid_arr, wid_arr = _greedy_schedule(rows_p[order], cols_p[order],
                                             sub_sorted)
@@ -314,8 +360,8 @@ def _schedule_lane_ell_serial(rows_p: np.ndarray, cols_p: np.ndarray,
                 + np.arange(LANES)[None, None, :]).reshape(C, CHUNK_SUB)
     wid_tile = np.asarray(blk_wid[::SUBBLOCKS], np.int32)
 
-    idx1 = np.zeros((T_pad, LANES), np.int32)
-    idx2 = np.zeros((T_pad, LANES), np.int32)
+    idx1 = np.zeros((T_pad, LANES), np.int8)
+    idx2 = np.zeros((T_pad, LANES), np.int8)
     # Values keep their own dtype; pack_tiles casts to the solve dtype
     # (storing f32 here would silently truncate f64 solves).
     vtile = np.zeros((T_pad, LANES), np.asarray(vals).dtype)
@@ -323,8 +369,8 @@ def _schedule_lane_ell_serial(rows_p: np.ndarray, cols_p: np.ndarray,
     # Map each entry's scheduled sublane through the chunk padding.
     # (sub_of is indexed by ORIGINAL entry id, as are rho_all/l_all/...)
     s_ent = new_pos[sub_of]
-    idx1[s_ent, rho_all] = r_all.astype(np.int32)
-    idx2[s_ent, l_all] = rho_all.astype(np.int32)
+    idx1[s_ent, rho_all] = r_all.astype(np.int8)
+    idx2[s_ent, l_all] = rho_all.astype(np.int8)
     vtile[s_ent, l_all] = vals
     if with_cols:  # per-slot column map: tests / oracles only
         ctile = np.full((T_pad, LANES), -1, np.int64)
@@ -526,7 +572,7 @@ def schedule_thin(rows_p: np.ndarray, cols_p: np.ndarray, vals: np.ndarray,
     GR = np.int64(max(1, -(-G // LANES)))
     w_all = cols_p // WINDOW
     gr_all = rows_p // (LANES * LANES)
-    order = np.lexsort((cols_p, rows_p, w_all * GR + gr_all))
+    order = _sort_by_keys((cols_p, rows_p, w_all * GR + gr_all))
     rs, cs, vs = rows_p[order], cols_p[order], vals[order]
 
     def seg(a, b):
@@ -563,9 +609,9 @@ def _schedule_thin_serial(rows_p: np.ndarray, cols_p: np.ndarray,
     else:
         w_all = cols_p // WINDOW
         gr_all = rows_p // (LANES * LANES)
-        order = np.lexsort((cols_p, rows_p,
-                            w_all * np.int64(max(1, -(-G // LANES)))
-                            + gr_all))
+        order = _sort_by_keys((cols_p, rows_p,
+                               w_all * np.int64(max(1, -(-G // LANES)))
+                               + gr_all))
         rs = rows_p[order]
         cs = cols_p[order]
         vs = np.asarray(vals)[order]
@@ -605,11 +651,11 @@ def _schedule_thin_serial(rows_p: np.ndarray, cols_p: np.ndarray,
 
     T_pad = n_sb_pad * LANES
     s_ent = new_sb[out_sb] * LANES + out_sub
-    idx1 = np.zeros((T_pad, LANES), np.int32)
-    idx2 = np.zeros((T_pad, LANES), np.int32)
+    idx1 = np.zeros((T_pad, LANES), np.int8)
+    idx2 = np.zeros((T_pad, LANES), np.int8)
     vtile = np.zeros((T_pad, LANES), vs.dtype)
-    idx1[s_ent, rho_all] = r_all.astype(np.int32)
-    idx2[s_ent, l_all] = rho_all.astype(np.int32)
+    idx1[s_ent, rho_all] = r_all.astype(np.int8)
+    idx2[s_ent, l_all] = rho_all.astype(np.int8)
     vtile[s_ent, l_all] = vs
     if with_cols:
         ctile = np.full((T_pad, LANES), -1, np.int64)
@@ -768,7 +814,7 @@ def route_cells(rows_p: np.ndarray, cols_p: np.ndarray, m_pad: int,
         row_lane = pair_row % LANES
         row_g = pair_row // LANES
     else:
-        order = np.lexsort((rows_p, cell_all))
+        order = _sort_by_keys((rows_p, cell_all))
         cell_s = cell_all[order]
         rows_s = rows_p[order]
         new_row = np.ones(n, bool)

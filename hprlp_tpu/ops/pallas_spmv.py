@@ -449,8 +449,10 @@ def pack_tiles_np(tiles: dict, dtype) -> dict:
                        or gbase.max() + LANES > g_alloc):
         raise AssertionError("lane scheduler emitted an out-of-range gbase")
     out = {
-        "idx1t": np.ascontiguousarray(tiles["idx1t"].astype(np.int8)),
-        "idx2": np.ascontiguousarray(tiles["idx2"].astype(np.int8)),
+        "idx1t": np.ascontiguousarray(
+            tiles["idx1t"].astype(np.int8, copy=False)),
+        "idx2": np.ascontiguousarray(
+            tiles["idx2"].astype(np.int8, copy=False)),
         "gbase": np.ascontiguousarray(
             gbase.reshape(-1).astype(np.int32)),
         "wid": np.asarray(tiles["wid"]),

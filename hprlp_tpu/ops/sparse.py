@@ -120,21 +120,41 @@ def densify(A: EllMatrix) -> jax.Array:
 
 
 def to_coo(A: EllMatrix):
-    """Host-side (padded-position) COO of the live entries."""
-    rows, cols, vals = [], [], []
+    """Host-side (padded-position) COO of the live entries.
+
+    Row-block parallel (numpy's nonzero/gather release the GIL): output
+    order is identical to the serial per-bucket scan — ascending row
+    blocks concatenate to the same row-major enumeration.  Measured 42 s
+    -> ~12 s on the 113M-nnz giant's two matrices (4-core host)."""
+    jobs = []  # (row_start, vals, cols, valid, lo, hi)
     for b in A.buckets:
         v = np.asarray(b.vals)
         c = np.asarray(b.cols)
-        m = np.asarray(b.valid)
-        r, k = np.nonzero(m)
-        rows.append(b.row_start + r)
-        cols.append(c[r, k])
-        vals.append(v[r, k])
-    if not rows:
+        mk = np.asarray(b.valid)
+        R = v.shape[0]
+        n_blk = max(1, min(8, (v.size + (1 << 22) - 1) >> 22))
+        step = -(-R // n_blk)
+        for lo in range(0, R, step):
+            jobs.append((b.row_start, v, c, mk, lo, min(R, lo + step)))
+    if not jobs:
         return (np.zeros(0, np.int64),) * 2 + (np.zeros(0),)
-    return (np.concatenate(rows).astype(np.int64),
-            np.concatenate(cols).astype(np.int64),
-            np.concatenate(vals).astype(np.float64))
+
+    def run(job):
+        row_start, v, c, mk, lo, hi = job
+        r, k = np.nonzero(mk[lo:hi])
+        return (row_start + lo + r, c[lo:hi][r, k], v[lo:hi][r, k])
+
+    if len(jobs) > 1 and sum(j[1].size for j in jobs) > 4_000_000:
+        import os as _os
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(_os.cpu_count() or 1, 8)) as ex:
+            parts = list(ex.map(run, jobs))
+    else:
+        parts = [run(j) for j in jobs]
+    return (np.concatenate([p[0] for p in parts]).astype(np.int64),
+            np.concatenate([p[1] for p in parts]).astype(np.int64),
+            np.concatenate([p[2] for p in parts]).astype(np.float64))
 
 
 def _group_windows(w_of_entry: np.ndarray, n_groups: int) -> np.ndarray:
@@ -301,6 +321,19 @@ def attach_lane(A: EllMatrix) -> EllMatrix:
     from .lane_ell import schedule_hybrid
     from .pallas_spmv import estimate_tile_bytes, pack_tiles
 
+    import sys as _sys
+    import time as _time
+
+    _verbose = os.environ.get("HPRLP_LAYOUT_VERBOSE") == "1"
+    _t = _time.perf_counter()
+
+    def _tick(label):
+        nonlocal _t
+        if _verbose:
+            print(f"[lane] {label}: {_time.perf_counter() - _t:.1f}s",
+                  file=_sys.stderr, flush=True)
+        _t = _time.perf_counter()
+
     if A.mesh is not None:
         # Sharded layout: schedule/pack per window group, per-host only
         # the addressable shards (_build_sharded_lane).
@@ -309,7 +342,9 @@ def attach_lane(A: EllMatrix) -> EllMatrix:
             A, rows_p, cols_p, vals, np.dtype(A.dtype))
     else:
         rows_p, cols_p, vals = to_coo(A)
+        _tick("to_coo")
         hy = schedule_hybrid(rows_p, cols_p, vals, A.nrows, A.ncols)
+        _tick("schedule_hybrid")
 
         budget_gb = float(os.environ.get("HPRLP_LANE_TILE_BUDGET_GB",
                                          "5.5"))
@@ -325,6 +360,7 @@ def attach_lane(A: EllMatrix) -> EllMatrix:
                     if hy["aligned"] is not None else None)
         packed_t = (pack_tiles(hy["thin"], A.ncols, A.dtype)
                     if hy["thin"] is not None else None)
+        _tick("pack+upload")
 
     kw: dict = dict(backend="lane", dense=None)
     if packed_a is not None:

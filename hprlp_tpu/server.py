@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import base64
 import json
+import os
 import sys
 
 import numpy as np
@@ -222,6 +223,61 @@ def serve_stream(inp, outp) -> None:
         outp.flush()
 
 
+def serve_watch_dir(watch_dir: str, idle_timeout: float = 1800.0) -> None:
+    """Warm request-directory transport (the MATLAB/Octave wrapper's
+    persistent server: process pipes are awkward there, sockets absent in
+    Octave, but atomic file renames work everywhere).
+
+    Protocol: clients atomically rename a JSON request into
+    `<id>.req.json`; the server handles it, atomically renames the
+    response into `<id>.resp.json` and deletes the request.  A file named
+    `shutdown.req.json` stops the server.  The server also exits after
+    idle_timeout seconds without requests, or when the directory
+    disappears (client session ended)."""
+    import time
+
+    last = time.monotonic()
+    while True:
+        try:
+            names = sorted(os.listdir(watch_dir))
+        except OSError:
+            return  # directory removed: client session is gone
+        served = False
+        for name in names:
+            if not name.endswith(".req.json"):
+                continue
+            path = os.path.join(watch_dir, name)
+            if name == "shutdown.req.json":
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+                return
+            try:
+                with open(path) as f:
+                    req = json.load(f)
+            except (OSError, ValueError):
+                continue  # mid-rename or unreadable: retry next scan
+            resp = handle(req)
+            out = path[:-len(".req.json")] + ".resp.json"
+            tmp = out + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(json.dumps(resp))
+            os.replace(tmp, out)  # atomic: clients never see partials
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+            served = True
+        now = time.monotonic()
+        if served:
+            last = now
+        elif now - last > idle_timeout:
+            return
+        else:
+            time.sleep(0.05)
+
+
 def main(argv=None) -> int:
     import argparse
 
@@ -230,6 +286,13 @@ def main(argv=None) -> int:
                     help="serve ONE request from this JSON file")
     ap.add_argument("--response", default=None,
                     help="write the one-shot response to this JSON file")
+    ap.add_argument("--watch", default=None, metavar="DIR",
+                    help="serve <id>.req.json files dropped in DIR until "
+                         "shutdown.req.json arrives or DIR disappears "
+                         "(the warm MATLAB/Octave transport)")
+    ap.add_argument("--idle-timeout", type=float, default=1800.0,
+                    help="with --watch: exit after this many seconds "
+                         "without requests")
     args = ap.parse_args(argv)
 
     # The protocol owns the real stdout; everything else that prints —
@@ -240,6 +303,10 @@ def main(argv=None) -> int:
     # stdout line by line).
     proto_out = sys.stdout
     sys.stdout = sys.stderr
+
+    if args.watch:
+        serve_watch_dir(args.watch, args.idle_timeout)
+        return 0
 
     if args.request:
         with open(args.request) as f:

@@ -69,15 +69,50 @@ def _row_reduce(indptr: np.ndarray, per_entry: np.ndarray, op) -> np.ndarray:
     return out
 
 
+def _scale_matrix_native(m, n, a_ptr, a_cols, av, at_ptr, at_cols, atv,
+                         use_cr, use_ruiz, use_pc):
+    """Run the matrix scaling passes in the parallel C++ implementation
+    (native/src/hpscale.cpp; summation-order parity with the numpy code
+    below).  av/atv are scaled IN PLACE.  Returns (row_norm, col_norm)
+    or None when the native library is unavailable."""
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "hprlp_scale_matrix"):
+        return None
+    row_norm = np.empty(m, np.float64)
+    col_norm = np.empty(n, np.float64)
+    lib.hprlp_scale_matrix(
+        m, n,
+        np.ascontiguousarray(a_ptr, np.int64),
+        np.ascontiguousarray(a_cols, np.int32), av,
+        np.ascontiguousarray(at_ptr, np.int64),
+        np.ascontiguousarray(at_cols, np.int32), atv,
+        int(use_cr), int(use_ruiz), int(use_pc),
+        CURTIS_REID_ITERS, RUIZ_ITERS, row_norm, col_norm)
+    return row_norm, col_norm
+
+
+# Below this nnz the ctypes marshalling outweighs the parallel win and
+# the numpy path is the better-tested oracle.
+NATIVE_SCALE_MIN_NNZ = 500_000
+
+
 def host_scale(A: sp.csr_matrix, AT: sp.csr_matrix, AL, AU, l, u, c,
                use_cr: bool = True, use_ruiz: bool = True,
-               use_pc: bool = True, use_bc: bool = True):
+               use_pc: bool = True, use_bc: bool = True,
+               force_native: bool | None = None):
     """Scale the problem on the host.
 
     A and AT are CSR with float64 data (A is NOT modified in place).
     Returns (A_data_scaled, AT_data_scaled, AL', AU', l', u', c',
     HostScaling).  A_scaled = diag(1/row_norm) A diag(1/col_norm), same
     contract as scale_matrix.
+
+    The O(nnz) matrix passes route to the parallel C++ implementation
+    above NATIVE_SCALE_MIN_NNZ (force_native=True/False overrides; the
+    numpy passes below remain the oracle the native code is tested
+    against).
     """
     m, n = A.shape
     av = A.data.astype(np.float64, copy=True)
@@ -88,6 +123,16 @@ def host_scale(A: sp.csr_matrix, AT: sp.csr_matrix, AL, AU, l, u, c,
     at_ptr = AT.indptr
     row_norm = np.ones(m)
     col_norm = np.ones(n)
+
+    use_native = (force_native if force_native is not None
+                  else len(av) >= NATIVE_SCALE_MIN_NNZ)
+    if use_native:
+        native = _scale_matrix_native(m, n, a_ptr, a_cols, av, at_ptr,
+                                      at_cols, atv, use_cr, use_ruiz,
+                                      use_pc)
+        if native is not None:
+            row_norm, col_norm = native
+            use_cr = use_ruiz = use_pc = False  # matrix passes done
 
     if use_cr:
         # 20 alternating log-least-squares sweeps on the ORIGINAL values:

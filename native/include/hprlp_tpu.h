@@ -21,6 +21,17 @@
 
 #include <stdint.h>
 
+/* Library version (parity: reference include/version.h:13-21 — version
+ * macros + compile-time check).  Keep in sync with hprlp_tpu.__version__
+ * and pyproject.toml. */
+#define HPRLP_TPU_VERSION_MAJOR 0
+#define HPRLP_TPU_VERSION_MINOR 1
+#define HPRLP_TPU_VERSION_PATCH 0
+#define HPRLP_TPU_VERSION "0.1.0"
+#define HPRLP_TPU_VERSION_AT_LEAST(maj, min) \
+    (HPRLP_TPU_VERSION_MAJOR > (maj) ||      \
+     (HPRLP_TPU_VERSION_MAJOR == (maj) && HPRLP_TPU_VERSION_MINOR >= (min)))
+
 #ifdef __cplusplus
 extern "C" {
 #endif

@@ -66,6 +66,36 @@ def test_julia_wrapper_solves(tmp_path):
     assert "JULIA_OK" in r.stdout
 
 
+JULIA_PKG_DEMO = """
+using Pkg
+Pkg.activate(mktempdir())
+Pkg.develop(path=joinpath({root!r}, "bindings", "julia", "package"))
+using HPRLP_TPU
+res = HPRLP_TPU.solve_mps(joinpath({root!r}, "data", "model.mps");
+                          stop_tol=1e-6)
+@assert res.status == "OPTIMAL" res.status
+@assert abs(res.primal_obj - (-26.4)) < 1e-2 res.primal_obj
+HPRLP_TPU.shutdown_server()
+println("JULIA_PKG_OK")
+"""
+
+
+@pytest.mark.skipif(shutil.which("julia") is None,
+                    reason="julia not installed")
+def test_julia_package_activates_and_solves(tmp_path):
+    """The Pkg-style package (bindings/julia/package — reference parity:
+    its Julia wrapper is a real package) develops and loads via `using
+    HPRLP_TPU`."""
+    script = tmp_path / "pkg_demo.jl"
+    script.write_text(JULIA_PKG_DEMO.format(root=REPO))
+    env = _env()
+    env["JULIA_DEPOT_PATH"] = str(tmp_path / "depot")
+    r = subprocess.run(["julia", str(script)], env=env,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "JULIA_PKG_OK" in r.stdout
+
+
 OCTAVE_DEMO = """
 addpath({mdir!r});
 A = sparse([1.0 2.0; 3.0 1.0]);
@@ -76,6 +106,18 @@ p.stop_tol = 1e-6;
 res = model.solve(p);
 assert(strcmp(res.status, 'OPTIMAL'));
 assert(abs(res.primal_obj - (-26.4)) < 1e-2);
+% Warm transport: the SECOND solve reuses the background --watch server,
+% so it must not pay a Python+JAX start-up (round-3 weak spot: a full
+% process spawn per call, ~10 s even warm-cached).
+t0 = tic();
+res2 = model.solve(p);
+t2 = toc(t0);
+assert(strcmp(res2.status, 'OPTIMAL'));
+printf('second_solve_seconds %.3f\n', t2);
+assert(t2 < 5.0);
+info = model.get_model_info();
+assert(info.m == 2 && info.n == 2 && info.nnz == 4);
+hprlp_tpu.shutdown_server();
 disp('OCTAVE_OK');
 """
 
@@ -300,7 +342,9 @@ def test_julia_block_balance(path):
     _block_balance(stripped, JULIA_OPENERS, path)
     # The module must export the acceptance-test surface.
     text = open(path).read()
-    if os.path.basename(path) == "HPRLP_TPU.jl":
+    if (os.path.basename(path) == "HPRLP_TPU.jl"
+            and "include(" not in text):  # the Pkg entry is a shim that
+        # includes the real module file — lint the surface there only.
         for name in ("Model", "Parameters", "solve", "solve_mps",
                      "solve_batched"):
             assert re.search(rf"\b{name}\b", text), name

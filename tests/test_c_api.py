@@ -293,3 +293,26 @@ def test_c_mps_example_compiles_and_solves(tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr
     assert "status: OPTIMAL" in r.stdout
     assert "OK" in r.stdout
+
+
+def test_cpp_example_compiles_and_solves(tmp_path):
+    """The C++ examples (examples/cpp, parity with the reference's
+    examples/cpp) build with g++ against the installed-style include/lib
+    layout and solve the demo LP."""
+    cxx = shutil.which("g++") or shutil.which("c++")
+    if cxx is None:
+        pytest.skip("no C++ compiler")
+    src = os.path.join(REPO, "examples", "cpp", "example_direct_lp.cpp")
+    exe = str(tmp_path / "example_cpp")
+    subprocess.run(
+        [cxx, "-std=c++17", src,
+         "-I" + os.path.join(REPO, "native", "include"),
+         "-L" + os.path.join(REPO, "native", "lib"), "-lhprlp_tpu",
+         "-o", exe], check=True)
+    env = _env()
+    env["LD_LIBRARY_PATH"] = os.path.join(REPO, "native", "lib")
+    r = subprocess.run([exe], env=env, capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "status: OPTIMAL" in r.stdout
+    assert "OK" in r.stdout

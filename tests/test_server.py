@@ -223,3 +223,56 @@ class TestNonFiniteDiagnostics:
         assert _fin(float("-inf")) == -DM
         assert _fin(float("nan")) == DM
         assert _fin(1.25) == 1.25
+
+
+def test_watch_dir_transport(tmp_path):
+    """The warm MATLAB/Octave transport: a --watch server answers atomic
+    <id>.req.json drops with <id>.resp.json and stops on
+    shutdown.req.json."""
+    import json
+    import subprocess
+    import sys
+    import time
+
+    wdir = tmp_path / "watch"
+    wdir.mkdir()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "hprlp_tpu.server", "--watch", str(wdir),
+         "--idle-timeout", "120"],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        def ask(rid, req):
+            tmp = wdir / f"{rid}.tmp"
+            tmp.write_text(json.dumps(req))
+            tmp.rename(wdir / f"{rid}.req.json")
+            resp_p = wdir / f"{rid}.resp.json"
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                if resp_p.exists():
+                    out = json.loads(resp_p.read_text())
+                    resp_p.unlink()
+                    return out
+                time.sleep(0.02)
+            raise TimeoutError("no response")
+
+        assert ask("a1", {"op": "ping"}) == {"ok": True, "result": "pong"}
+        r = ask("a2", {"op": "solve_mps",
+                       "path": os.path.join(REPO, "data", "model.mps"),
+                       "params": {"stop_tol": 1e-6, "verbose": False}})
+        assert r["ok"], r
+        assert r["result"]["status"] == "OPTIMAL"
+        # Second request on the SAME warm server must be fast (<1 s:
+        # no Python/JAX start-up — the round-3 weak spot).
+        t0 = time.time()
+        assert ask("a3", {"op": "ping"})["ok"]
+        assert time.time() - t0 < 1.0
+        (wdir / "shutdown.tmp").write_text("{}")
+        (wdir / "shutdown.tmp").rename(wdir / "shutdown.req.json")
+        proc.wait(timeout=30)
+        assert proc.returncode == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()

@@ -563,3 +563,39 @@ def test_giant_lane_first_path_solves(monkeypatch):
     np.testing.assert_allclose(r_giant.primal_obj, r_std.primal_obj,
                                rtol=1e-3)
     np.testing.assert_allclose(r_giant.x, r_std.x, atol=2e-2)
+
+
+def test_host_scale_native_matches_numpy():
+    """The parallel C++ scaling passes (native/src/hpscale.cpp) reproduce
+    the numpy oracle's factors and scaled values to ~ulp level."""
+    from hprlp_tpu.native import get_lib
+    from hprlp_tpu.solver.host_scaling import host_scale
+    from tests.conftest import random_lp
+
+    if get_lib() is None or not hasattr(get_lib(), "hprlp_scale_matrix"):
+        pytest.skip("native library not built")
+
+    for seed, m, n, dens in ((11, 120, 90, 0.1), (12, 60, 200, 0.05)):
+        prob = random_lp(seed, m=m, n=n, density=dens)
+        A = prob.A.tocsr()
+        A.sum_duplicates()
+        # Exercise empty trailing row/col too.
+        D = A.toarray()
+        D[-1, :] = 0.0
+        D[:, -1] = 0.0
+        A = sp.csr_matrix(D)
+        AT = A.T.tocsr()
+        args = (A, AT, prob.AL, prob.AU, prob.l, prob.u, prob.c)
+        for flags in ((True,) * 4, (False, True, True, True),
+                      (True, False, True, False)):
+            cr, ruiz, pc, bc = flags
+            r_np = host_scale(*args, use_cr=cr, use_ruiz=ruiz, use_pc=pc,
+                              use_bc=bc, force_native=False)
+            r_nat = host_scale(*args, use_cr=cr, use_ruiz=ruiz, use_pc=pc,
+                               use_bc=bc, force_native=True)
+            for a, b in zip(r_np[:7], r_nat[:7]):
+                np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-300)
+            np.testing.assert_allclose(r_np[7].row_norm, r_nat[7].row_norm,
+                                       rtol=1e-12)
+            np.testing.assert_allclose(r_np[7].col_norm, r_nat[7].col_norm,
+                                       rtol=1e-12)
