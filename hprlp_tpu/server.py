@@ -278,8 +278,31 @@ def serve_watch_dir(watch_dir: str, idle_timeout: float = 1800.0) -> None:
             time.sleep(0.05)
 
 
+def _honor_jax_platforms_env() -> None:
+    """Make JAX_PLATFORMS authoritative for this worker.
+
+    Some TPU plugin environments install a sitecustomize that registers
+    and PINS their backend regardless of JAX_PLATFORMS (e.g. a dev-pod
+    relay plugin) — a client that spawns a worker with JAX_PLATFORMS=cpu
+    (the test suites; CI without TPUs) then silently runs, and contends,
+    on the TPU.  Re-asserting the env choice through jax.config after
+    import restores the documented contract; when the env var is unset
+    the platform default (the TPU) stands."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
     import argparse
+
+    _honor_jax_platforms_env()
 
     ap = argparse.ArgumentParser(prog="hprlp-server")
     ap.add_argument("--request", default=None,

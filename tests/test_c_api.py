@@ -101,7 +101,9 @@ def test_ctypes_consumer_mps():
     np.testing.assert_allclose(x, [2.8, 3.6], atol=1e-3)
     lib.hprlp_free_results(res)
     lib.hprlp_free_model(model)
-    lib.hprlp_shutdown()
+    # No shutdown: later ctypes tests reuse this warm worker (the
+    # round-3 suite paid a fresh Python+JAX start-up per test; the
+    # worker exits on pipe EOF at interpreter exit regardless).
 
 
 class _BatchedResults(ct.Structure):
@@ -189,7 +191,7 @@ def test_ctypes_solve_batched():
     assert r.iter[0] > 0 and r.solve_time >= 0.0
     lib.hprlp_free_batched_results(res)
     lib.hprlp_free_model(model)
-    lib.hprlp_shutdown()
+    # No shutdown: keep the worker warm for the next ctypes test.
 
 
 def test_ctypes_solve_batched_from_mps():
@@ -219,7 +221,7 @@ def test_ctypes_solve_batched_from_mps():
         assert abs(r.primal_obj[k] - (-26.4)) < 1e-2
     lib.hprlp_free_batched_results(res)
     lib.hprlp_free_model(model)
-    lib.hprlp_shutdown()
+    # No shutdown: keep the worker warm for the next ctypes test.
 
 
 def test_c_api_hostile_paths():

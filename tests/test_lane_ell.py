@@ -228,11 +228,15 @@ class TestDf64Chunk:
             last_x = jnp.zeros(lp.n)
             last_y = jnp.zeros(lp.m)
             inner = jnp.asarray(1, jnp.int32)
-            n_iters = jnp.asarray(30, jnp.int32)
+            # 10 iterations keep the property (changing Halpern
+            # factors, both compensated kernels, pair-carry propagation)
+            # while the interpret-mode kernel stays ~3x cheaper than the
+            # round-3 length (the suite's slowest test at 76 s).
+            n_iters = jnp.asarray(10, jnp.int32)
 
             # Plain f64 reference (gather backend).
             x, y = x1, y1
-            for _ in range(1, 29):
+            for _ in range(1, 9):
                 f1, f2 = _halpern_factors(inner, jnp.float64)
                 x, x_hat, _, _ = _x_half(lp, x, y, last_x, sigma, f1, f2)
                 y, _, _ = _y_half(lp, y, x_hat, last_y, lam_sigma, f1, f2)
