@@ -464,3 +464,39 @@ def test_readers_agree_on_generated_file(tmp_path):
         g.write(f.read())
     agz = read_mps_native(gz)
     assert (agz.A != a.A).nnz == 0
+
+
+FIXTURES = os.path.join(os.path.dirname(__file__), os.pardir, "data",
+                        "fixtures")
+
+
+@pytest.mark.parametrize("name,fmt,opt", [
+    ("ranges_edge.mps", "free", -24.0),
+    ("fixed_names.mps", "fixed", -26.4),
+    ("bounds_defaults.mps", "free", -19.5),
+])
+def test_committed_fixtures_solve(name, fmt, opt):
+    """Committed MPS fixtures with RANGES / fixed-format / bound-card
+    edge cases (BASELINE protocol stand-ins): both readers agree and the
+    solve reaches the hand-computed optimum."""
+    path = os.path.join(FIXTURES, name)
+    prob = read_mps(path, mps_format=fmt)
+    from hprlp_tpu.io.native_mps import is_available, read_mps_native
+
+    if is_available():
+        prob_n = read_mps_native(path, mps_format=fmt)
+        assert prob_n.m == prob.m and prob_n.n == prob.n
+        np.testing.assert_allclose(prob_n.AL, prob.AL)
+        np.testing.assert_allclose(prob_n.AU, prob.AU)
+        np.testing.assert_allclose(prob_n.l, prob.l)
+        np.testing.assert_allclose(prob_n.u, prob.u)
+        np.testing.assert_allclose(prob_n.c, prob.c)
+        np.testing.assert_allclose(prob_n.A.toarray(), prob.A.toarray())
+
+    import hprlp_tpu as hp
+
+    res = hp.solve_problem(prob, hp.Parameters(verbose=False,
+                                               stop_tol=1e-7,
+                                               precision="f64"))
+    assert res.status == "OPTIMAL"
+    assert res.primal_obj == pytest.approx(opt, abs=1e-4)
