@@ -66,6 +66,8 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
                          min_width: int = constants.MIN_ELL_WIDTH,
                          min_bucket_rows: int = constants.MIN_BUCKET_ROWS,
                          upload: bool = True,
+                         AT_csr=None,
+                         build_ell: bool = True,
                          ) -> tuple[LpDevice, HostMaps]:
     """Lay out an LpProblem for the device.
 
@@ -74,6 +76,13 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
     upload=False keeps every array on the host (numpy) — used by the giant
     lane-first path (build_device_problem_giant), which ships only lane
     tiles to the device.
+    AT_csr: precomputed A.T.tocsr() (the giant path already built it for
+    host scaling — a second 113M-nnz scipy transpose costs ~10 s).
+    build_ell=False skips the ELL bucket materialisation entirely and
+    returns matrices with EMPTY buckets (positions/vectors only): the
+    giant path's sole bucket consumer was to_coo, which re-derived what
+    the caller's CSR already holds — ~2 GB of padded slot fill per
+    matrix for nothing.
     """
     import os as _os
     import sys as _sys
@@ -91,8 +100,11 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
 
     A = problem.A.tocsr()
     A.sum_duplicates()
-    AT = A.T.tocsr()
-    AT.sum_duplicates()
+    if AT_csr is not None:
+        AT = AT_csr
+    else:
+        AT = A.T.tocsr()
+        AT.sum_duplicates()
     m, n = A.shape
     _tick("csr/transpose")
 
@@ -163,6 +175,21 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
         nnz_tot = len(A.indices)
         stride = max(1, nnz_tot // CHOOSER_SAMPLE_CAP)
 
+        # Hoist the O(nnz) sample extraction OUT of pair_cost: the
+        # original/partner ids of the sampled entries are candidate-
+        # independent, so each candidate pays only O(sample) gathers
+        # (the previous per-candidate np.repeat built a full nnz-sized
+        # row map three times per matrix — ~0.9 GB each at 113M nnz).
+        ids = np.arange(0, nnz_tot, stride)
+        rep = np.repeat(np.arange(m, dtype=np.int64), np.diff(A.indptr))
+        row_of_a = rep[ids]          # original row of each A sample
+        del rep
+        col_of_a = A.indices[ids]    # original col of each A sample
+        rep = np.repeat(np.arange(n, dtype=np.int64), np.diff(AT.indptr))
+        col_of_at = rep[ids]
+        del rep
+        row_of_at = AT.indices[ids]
+
         def pair_cost(pa, pat):
             # Routed HYBRID cost (aligned vs thin per cell) — the metric
             # the kernel actually pays.  Round 2 compared the aligned
@@ -171,15 +198,12 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
             # that lets the thin router pack at ~1.3 slots/nnz.
             rp = _positions_from_plan(pa, m, row_multiple)
             cp = _positions_from_plan(pat, n, row_multiple)
-            rows_pa = np.repeat(rp, np.diff(A.indptr))[::stride]
-            rows_pat = np.repeat(cp, np.diff(AT.indptr))[::stride]
             m_pad_a = padded_size(bucketed_row_total(pa, row_multiple),
                                   vec_multiple)
             n_pad_a = padded_size(bucketed_row_total(pat, row_multiple),
                                   vec_multiple)
-            return (hybrid_cost(rows_pa, cp[A.indices[::stride]], m_pad_a)
-                    + hybrid_cost(rows_pat, rp[AT.indices[::stride]],
-                                  n_pad_a))
+            return (hybrid_cost(rp[row_of_a], cp[col_of_a], m_pad_a)
+                    + hybrid_cost(cp[col_of_at], rp[row_of_at], n_pad_a))
 
         # Sequential on purpose: evaluating the three candidates on
         # threads was measured SLOWER on a 4-core host (each pair_cost
@@ -227,14 +251,27 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
     col_pos = _positions_from_plan(plan_AT, n, row_multiple)
 
     np_dtype = np.dtype(dtype)
-    A_ell, row_pos2 = build_ell_from_csr(
-        A.indptr, A.indices, A.data, plan_A, col_pos, m_pad, n_pad,
-        row_multiple, np_dtype, upload=upload)
-    AT_ell, col_pos2 = build_ell_from_csr(
-        AT.indptr, AT.indices, AT.data, plan_AT, row_pos, n_pad, m_pad,
-        row_multiple, np_dtype, upload=upload)
-    assert np.array_equal(row_pos, row_pos2)
-    assert np.array_equal(col_pos, col_pos2)
+    if build_ell:
+        A_ell, row_pos2 = build_ell_from_csr(
+            A.indptr, A.indices, A.data, plan_A, col_pos, m_pad, n_pad,
+            row_multiple, np_dtype, upload=upload)
+        AT_ell, col_pos2 = build_ell_from_csr(
+            AT.indptr, AT.indices, AT.data, plan_AT, row_pos, n_pad, m_pad,
+            row_multiple, np_dtype, upload=upload)
+        assert np.array_equal(row_pos, row_pos2)
+        assert np.array_equal(col_pos, col_pos2)
+    else:
+        def empty_ell(nr, nc):
+            from .sparse import EllBucket, EllMatrix
+
+            b = EllBucket(vals=np.zeros((0, 1), np_dtype),
+                          cols=np.zeros((0, 1), np.int32),
+                          valid=np.zeros((0, 1), bool),
+                          row_start=0, width=1)
+            return EllMatrix(buckets=(b,), nrows=nr, ncols=nc)
+
+        A_ell = empty_ell(m_pad, n_pad)
+        AT_ell = empty_ell(n_pad, m_pad)
     _tick("ell_build")
 
     def scatter_vec(vals, pos, size, fill):
@@ -327,17 +364,31 @@ def build_device_problem_giant(problem: LpProblem, dtype=jnp.float32,
         AL=AL_s, AU=AU_s, l=l_s, u=u_s, c=c_s,
         obj_constant=problem.obj_constant,
         objective_sense=problem.objective_sense, name=problem.name)
-    lp_host, maps = build_device_problem(scaled, dtype=dtype, upload=False)
+    # build_ell=False: the only consumer of the host ELL buckets was
+    # attach_lane's to_coo — the COO is derived directly from the scaled
+    # CSR + position maps below, skipping ~2 GB of padded slot fill per
+    # matrix and the second 113M-nnz transpose (AT_csr).
+    lp_host, maps = build_device_problem(
+        scaled, dtype=dtype, upload=False, build_ell=False,
+        AT_csr=sp.csr_matrix((atv, AT.indices, AT.indptr), shape=(n, m)))
     _tick("layout")
 
-    # Lane tiles upload inside attach_lane (to_coo over numpy buckets is
-    # free); the transposed matrix rides the same path.  With a mesh
-    # stamped on the matrix, attach_lane routes to the chunk-sharded
-    # builder and uploads each device's window group only.
+    # Lane tiles upload inside attach_lane; the COO (padded positions)
+    # comes straight from the CSR.  With a mesh stamped on the matrix,
+    # attach_lane routes to the chunk-sharded builder and uploads each
+    # device's window group only.
     mesh_kw = {} if mesh is None else {"mesh": mesh, "mesh_axis": "d"}
-    A_lane = attach_lane(dataclasses.replace(lp_host.A, **mesh_kw))
+    coo_A = (np.repeat(maps.row_pos, np.diff(A.indptr)),
+             maps.col_pos[A.indices], av)
+    A_lane = attach_lane(dataclasses.replace(lp_host.A, **mesh_kw),
+                         coo=coo_A)
+    del coo_A
     _tick("attach_lane(A)")
-    AT_lane = attach_lane(dataclasses.replace(lp_host.AT, **mesh_kw))
+    coo_AT = (np.repeat(maps.col_pos, np.diff(AT.indptr)),
+              maps.row_pos[AT.indices], atv)
+    AT_lane = attach_lane(dataclasses.replace(lp_host.AT, **mesh_kw),
+                          coo=coo_AT)
+    del coo_AT
     _tick("attach_lane(AT)")
 
     if mesh is None:

@@ -307,7 +307,7 @@ def _build_sharded_lane(A: EllMatrix, rows_p, cols_p, vals, dtype):
     return packed_a, packed_t, phi
 
 
-def attach_lane(A: EllMatrix) -> EllMatrix:
+def attach_lane(A: EllMatrix, coo=None) -> EllMatrix:
     """Build and attach hybrid LaneELL tiles (host scheduling round-trip).
 
     Cells are routed per (window, 128-group range) between the ALIGNED
@@ -315,7 +315,11 @@ def attach_lane(A: EllMatrix) -> EllMatrix:
     ops/lane_ell.schedule_hybrid.  When A carries a device mesh, both tile
     sets' chunk axes are padded to a multiple of the mesh size and placed
     chunk-sharded over it; spmv() then runs the kernels under shard_map
-    with a psum of the per-device partial y."""
+    with a psum of the per-device partial y.
+
+    coo: optional (rows_p, cols_p, vals) in PADDED positions — the giant
+    lane-first path derives it from its CSR directly (its ELL buckets are
+    empty stubs, so to_coo would return nothing)."""
     import os
 
     from .lane_ell import schedule_hybrid
@@ -337,11 +341,11 @@ def attach_lane(A: EllMatrix) -> EllMatrix:
     if A.mesh is not None:
         # Sharded layout: schedule/pack per window group, per-host only
         # the addressable shards (_build_sharded_lane).
-        rows_p, cols_p, vals = to_coo(A)
+        rows_p, cols_p, vals = coo if coo is not None else to_coo(A)
         packed_a, packed_t, _phi = _build_sharded_lane(
             A, rows_p, cols_p, vals, np.dtype(A.dtype))
     else:
-        rows_p, cols_p, vals = to_coo(A)
+        rows_p, cols_p, vals = coo if coo is not None else to_coo(A)
         _tick("to_coo")
         hy = schedule_hybrid(rows_p, cols_p, vals, A.nrows, A.ncols)
         _tick("schedule_hybrid")

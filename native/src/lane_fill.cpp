@@ -1,0 +1,168 @@
+/* Parallel LaneELL tile fill — native replacement for the numpy scatter
+ * fills in hprlp_tpu/ops/lane_ell.py::_schedule_thin_serial /
+ * _schedule_lane_ell_serial.
+ *
+ * The scheduler's per-entry placements (sublane / sub-block / fold
+ * position) are computed by hpres_lane_schedule / hpres_lane_pack_thin;
+ * turning them into device tiles is pure scattering, but numpy advanced
+ * indexing holds the GIL, so the ~5 scatters over nnz-sized index arrays
+ * serialized the whole parallel scheduling wrapper (measured ~15 s of a
+ * 26 s serial thin schedule at 28M nnz — ~125 s over both matrices of
+ * the 113M-nnz giant).  Here: derive lane/rho/r/d from the padded
+ * positions on the fly and scatter with a thread pool.  Write races are
+ * benign by the scheduling invariants: (sublane, lane) pairs are unique
+ * per entry, and (sublane, rho) collisions carry the same column hence
+ * the same row-in-window value.
+ *
+ * Tiles are written DIRECTLY in their final layouts (idx1t and invt
+ * transposed), so the numpy transpose+ascontiguousarray passes disappear
+ * too.
+ */
+
+#include <stdint.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int64_t LANES = 128;
+constexpr int64_t WINDOW = LANES * LANES;
+constexpr int64_t SUBBLOCKS = 8;
+constexpr int64_t CHUNK_SUB = SUBBLOCKS * LANES;
+
+template <typename F>
+void parallel_ranges(int64_t n, F f) {
+    unsigned hw = std::thread::hardware_concurrency();
+    int T = (int)std::min<int64_t>(hw ? hw : 1, 16);
+    if (n < (int64_t)1 << 20) T = 1;
+    if (T <= 1) {
+        f(int64_t(0), n);
+        return;
+    }
+    std::vector<std::thread> pool;
+    const int64_t step = (n + T - 1) / T;
+    for (int t = 0; t < T; ++t) {
+        const int64_t a = t * step, b = std::min(n, a + step);
+        if (a >= b) break;
+        pool.emplace_back([=] { f(a, b); });
+    }
+    for (auto &th : pool) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+/* Thin (packed) tile fill.
+ * rows_p/cols_p/vals: per entry (padded positions, any order).
+ * sb_ent: PADDED sub-block id per entry; sub_ent: sublane within the
+ * sub-block (sigma*K + q).  gbase_pad: per padded sub-block 128-aligned
+ * group base.  n_sb_pad must be a multiple of 8 (chunk padding done by
+ * the caller).  Outputs (zeroed by caller except invt, any state):
+ *   idx1t (C,128,CHUNK_SUB) int8, idx2 (C,CHUNK_SUB,128) int8,
+ *   vals_out (C,CHUNK_SUB,128) f64, invt (C,128,CHUNK_SUB) int8.
+ * Returns 0, or -1 when some (sub-block, lane) has no free fold position
+ * for the invt default (packer cap violation). */
+int64_t hprlp_lane_fill_thin(
+    int64_t n, const int64_t *rows_p, const int64_t *cols_p,
+    const double *vals, const int64_t *sb_ent, const int32_t *sub_ent,
+    const int64_t *gbase_pad, int64_t n_sb_pad, int32_t K,
+    int8_t *idx1t, int8_t *idx2, double *vals_out, int8_t *invt) {
+    if (n_sb_pad % SUBBLOCKS != 0 || K < 2 || K > 128) return -1;
+
+    // 1. Fold-position occupancy per (sub-block, lane): bit q set iff
+    //    some entry sits at position q (any stratum).
+    std::vector<std::atomic<uint64_t>> occ(2 * n_sb_pad * LANES);
+    for (auto &w : occ) w.store(0, std::memory_order_relaxed);
+    parallel_ranges(n, [&](int64_t a, int64_t b) {
+        for (int64_t i = a; i < b; ++i) {
+            const int64_t lane = rows_p[i] & (LANES - 1);
+            const int q = (int)(sub_ent[i] % K);
+            auto &w = occ[2 * (sb_ent[i] * LANES + lane) + (q >> 6)];
+            w.fetch_or(uint64_t(1) << (q & 63), std::memory_order_relaxed);
+        }
+    });
+
+    // 2. invt defaults: per (sub-block, lane) the first free position.
+    std::atomic<int> bad{0};
+    parallel_ranges(n_sb_pad, [&](int64_t a, int64_t b) {
+        for (int64_t sb = a; sb < b; ++sb) {
+            const int64_t c = sb / SUBBLOCKS, j = sb % SUBBLOCKS;
+            for (int64_t lane = 0; lane < LANES; ++lane) {
+                const uint64_t w0 =
+                    occ[2 * (sb * LANES + lane)].load(
+                        std::memory_order_relaxed);
+                const uint64_t w1 =
+                    occ[2 * (sb * LANES + lane) + 1].load(
+                        std::memory_order_relaxed);
+                // occ bits are only ever set for q < K, so the first
+                // clear bit is the first free position (== K iff full).
+                int q0;
+                if (~w0)
+                    q0 = __builtin_ctzll(~w0);
+                else if (~w1)
+                    q0 = 64 + __builtin_ctzll(~w1);
+                else
+                    q0 = 128;
+                if (q0 >= K) {
+                    bad.store(1, std::memory_order_relaxed);
+                    q0 = 0;
+                }
+                std::memset(invt + ((c * LANES + lane) * CHUNK_SUB
+                                    + j * LANES),
+                            (int)q0, LANES);
+            }
+        }
+    });
+    if (bad.load()) return -1;
+
+    // 3. Entry scatter into the final tile layouts.
+    parallel_ranges(n, [&](int64_t a, int64_t b) {
+        for (int64_t i = a; i < b; ++i) {
+            const int64_t row = rows_p[i], col = cols_p[i];
+            const int64_t lane = row & (LANES - 1);
+            const int64_t rho = col & (LANES - 1);
+            const int8_t r = (int8_t)((col % WINDOW) >> 7);
+            const int64_t sb = sb_ent[i];
+            const int64_t c = sb / SUBBLOCKS;
+            const int64_t jj = (sb % SUBBLOCKS) * LANES + sub_ent[i];
+            idx1t[(c * LANES + rho) * CHUNK_SUB + jj] = r;
+            idx2[(c * CHUNK_SUB + jj) * LANES + lane] = (int8_t)rho;
+            vals_out[(c * CHUNK_SUB + jj) * LANES + lane] = vals[i];
+            const int64_t d = (row >> 7) - gbase_pad[sb];
+            invt[(c * LANES + lane) * CHUNK_SUB
+                 + (sb % SUBBLOCKS) * LANES + d] =
+                (int8_t)(sub_ent[i] % K);
+        }
+    });
+    return 0;
+}
+
+/* Aligned tile fill.  s_ent: global slot sublane per entry (already
+ * chunk-padded).  Outputs zeroed by the caller. */
+int64_t hprlp_lane_fill_aligned(
+    int64_t n, const int64_t *rows_p, const int64_t *cols_p,
+    const double *vals, const int64_t *s_ent,
+    int8_t *idx1t, int8_t *idx2, double *vals_out) {
+    parallel_ranges(n, [&](int64_t a, int64_t b) {
+        for (int64_t i = a; i < b; ++i) {
+            const int64_t row = rows_p[i], col = cols_p[i];
+            const int64_t lane = row & (LANES - 1);
+            const int64_t rho = col & (LANES - 1);
+            const int8_t r = (int8_t)((col % WINDOW) >> 7);
+            const int64_t s = s_ent[i];
+            const int64_t c = s / CHUNK_SUB;
+            const int64_t jj = s % CHUNK_SUB;
+            idx1t[(c * LANES + rho) * CHUNK_SUB + jj] = r;
+            idx2[(c * CHUNK_SUB + jj) * LANES + lane] = (int8_t)rho;
+            vals_out[(c * CHUNK_SUB + jj) * LANES + lane] = vals[i];
+        }
+    });
+    return 0;
+}
+
+}  // extern "C"
