@@ -20,6 +20,11 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from run import banded_lp
 
+    # Same allocator tuning as the benchmark runner (explicit opt-in).
+    from hprlp_tpu._malloc import tune_malloc
+
+    tune_malloc(thp=True)
+
     m = max(int(1572864 * s) // 256 * 256, 256)
     t0 = time.perf_counter()
     prob = banded_lp(m, 2 * m, 72, 16384, 5)

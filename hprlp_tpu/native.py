@@ -95,6 +95,17 @@ def _configure(lib):
         ct.c_int64, _i64p, _i64p, ct.c_int32, _i64p, _i32p, _i32p, _i64p,
         ct.c_int64]
 
+    _i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    lib.hprlp_lane_fill_thin.restype = ct.c_int64
+    lib.hprlp_lane_fill_thin.argtypes = [
+        ct.c_int64, _i64p, _i64p, _f64p, _i64p, _i32p, _i64p, ct.c_int64,
+        ct.c_int32, _i8p, _i8p, _f64p, _i8p]
+
+    lib.hprlp_lane_fill_aligned.restype = ct.c_int64
+    lib.hprlp_lane_fill_aligned.argtypes = [
+        ct.c_int64, _i64p, _i64p, _f64p, _i64p, ct.c_int64, _i8p, _i8p,
+        _f64p]
+
     lib.hprlp_scale_matrix.restype = ct.c_int
     lib.hprlp_scale_matrix.argtypes = [
         ct.c_int64, ct.c_int64, _i64p, _i32p, _f64p, _i64p, _i32p, _f64p,

@@ -360,15 +360,49 @@ def _schedule_lane_ell_serial(rows_p: np.ndarray, cols_p: np.ndarray,
                 + np.arange(LANES)[None, None, :]).reshape(C, CHUNK_SUB)
     wid_tile = np.asarray(blk_wid[::SUBBLOCKS], np.int32)
 
-    idx1 = np.zeros((T_pad, LANES), np.int8)
-    idx2 = np.zeros((T_pad, LANES), np.int8)
-    # Values keep their own dtype; pack_tiles casts to the solve dtype
-    # (storing f32 here would silently truncate f64 solves).
-    vtile = np.zeros((T_pad, LANES), np.asarray(vals).dtype)
+    tail = {
+        "gid": gid_tile.astype(np.int32),
+        "gbase": gbase_tile.astype(np.int32),
+        "wid": wid_tile,
+        "G": G,
+        "n_windows": n_win,
+    }
 
     # Map each entry's scheduled sublane through the chunk padding.
     # (sub_of is indexed by ORIGINAL entry id, as are rho_all/l_all/...)
     s_ent = new_pos[sub_of]
+
+    # Native parallel fill (native/src/lane_fill.cpp) — see the thin
+    # scheduler's note; the GIL-bound numpy scatters dominate large
+    # schedules.
+    vals = np.asarray(vals)
+    lib = None
+    if not with_cols and len(rows_p) >= 200_000 \
+            and vals.dtype == np.float64:
+        try:
+            from ..native import get_lib
+
+            lib = get_lib()
+        except Exception:
+            lib = None
+    if lib is not None and hasattr(lib, "hprlp_lane_fill_aligned"):
+        idx1t = np.zeros((C, LANES, CHUNK_SUB), np.int8)
+        idx2 = np.zeros((C, CHUNK_SUB, LANES), np.int8)
+        vtile = np.zeros((C, CHUNK_SUB, LANES), np.float64)
+        rc = lib.hprlp_lane_fill_aligned(
+            len(rows_p), np.ascontiguousarray(rows_p),
+            np.ascontiguousarray(cols_p), np.ascontiguousarray(vals),
+            np.ascontiguousarray(s_ent), T_pad, idx1t, idx2, vtile)
+        if rc == 0:
+            return {"idx1t": idx1t, "idx2": idx2, "vals": vtile,
+                    "cols": None, **tail}
+
+    idx1 = np.zeros((T_pad, LANES), np.int8)
+    idx2 = np.zeros((T_pad, LANES), np.int8)
+    # Values keep their own dtype; pack_tiles casts to the solve dtype
+    # (storing f32 here would silently truncate f64 solves).
+    vtile = np.zeros((T_pad, LANES), vals.dtype)
+
     idx1[s_ent, rho_all] = r_all.astype(np.int8)
     idx2[s_ent, l_all] = rho_all.astype(np.int8)
     vtile[s_ent, l_all] = vals
@@ -385,11 +419,7 @@ def _schedule_lane_ell_serial(rows_p: np.ndarray, cols_p: np.ndarray,
         "vals": vtile.reshape(C, CHUNK_SUB, LANES),
         "cols": (ctile.reshape(C, CHUNK_SUB, LANES)
                  if ctile is not None else None),
-        "gid": gid_tile.astype(np.int32),
-        "gbase": gbase_tile.astype(np.int32),
-        "wid": wid_tile,
-        "G": G,
-        "n_windows": n_win,
+        **tail,
     }
 
 
@@ -643,6 +673,45 @@ def _schedule_thin_serial(rows_p: np.ndarray, cols_p: np.ndarray,
     gbase_pad = np.zeros(n_sb_pad, np.int64)
     gbase_pad[new_sb] = sb_gbase
 
+    tail = {
+        "gbase": gbase_pad.reshape(C, SUBBLOCKS).astype(np.int32),
+        "wid": wid_pad.reshape(C, SUBBLOCKS)[:, 0].astype(np.int32),
+        "phi": phi,
+        "G": G,
+        "n_windows": n_win,
+    }
+
+    # Native parallel fill (native/src/lane_fill.cpp): the numpy fancy
+    # scatters below hold the GIL, so they serialized the parallel
+    # scheduling wrapper (~15 s of a 26 s serial thin schedule at 28M
+    # nnz).  The native path also writes idx1t/invt directly in their
+    # transposed layouts.
+    lib = None
+    if not with_cols and n >= 200_000 and vs.dtype == np.float64:
+        try:
+            from ..native import get_lib
+
+            lib = get_lib()
+        except Exception:
+            lib = None
+    if lib is not None and hasattr(lib, "hprlp_lane_fill_thin"):
+        idx1t = np.zeros((C, LANES, CHUNK_SUB), np.int8)
+        idx2 = np.zeros((C, CHUNK_SUB, LANES), np.int8)
+        vtile = np.zeros((C, CHUNK_SUB, LANES), np.float64)
+        invt = np.empty((C, LANES, CHUNK_SUB), np.int8)
+        rc = lib.hprlp_lane_fill_thin(
+            n, np.ascontiguousarray(rs), np.ascontiguousarray(cs),
+            np.ascontiguousarray(vs),
+            np.ascontiguousarray(new_sb[out_sb]),
+            np.ascontiguousarray(out_sub, dtype=np.int32),
+            np.ascontiguousarray(gbase_pad), n_sb_pad, K,
+            idx1t, idx2, vtile, invt)
+        if rc == 0:
+            return {"idx1t": idx1t, "idx2": idx2, "vals": vtile,
+                    "cols": None, "invt": invt, **tail}
+        # rc != 0: scheduler invariant violated — the numpy path below
+        # re-derives everything and raises on the same condition.
+
     l_all = (rs % LANES).astype(np.int64)
     r_all = ((cs % WINDOW) // LANES).astype(np.int64)
     rho_all = (cs % LANES).astype(np.int64)
@@ -684,11 +753,7 @@ def _schedule_thin_serial(rows_p: np.ndarray, cols_p: np.ndarray,
         "cols": (ctile.reshape(C, CHUNK_SUB, LANES)
                  if ctile is not None else None),
         "invt": invt,
-        "gbase": gbase_pad.reshape(C, SUBBLOCKS).astype(np.int32),
-        "wid": wid_pad.reshape(C, SUBBLOCKS)[:, 0].astype(np.int32),
-        "phi": phi,
-        "G": G,
-        "n_windows": n_win,
+        **tail,
     }
 
 

@@ -76,6 +76,24 @@ int64_t hprlp_lane_fill_thin(
 
     // 1. Fold-position occupancy per (sub-block, lane): bit q set iff
     //    some entry sits at position q (any stratum).
+    // Per-entry placement validation (a scheduler bug must fail the
+    // call, not corrupt memory — the Python wrapper then falls back to
+    // the numpy fill, whose fancy indexing raises instead).
+    std::atomic<int> oob{0};
+    parallel_ranges(n, [&](int64_t a, int64_t b) {
+        for (int64_t i = a; i < b; ++i) {
+            const int64_t sb = sb_ent[i];
+            const int64_t d = (rows_p[i] >> 7) - gbase_pad[
+                (sb >= 0 && sb < n_sb_pad) ? sb : 0];
+            if (sb < 0 || sb >= n_sb_pad || sub_ent[i] < 0
+                || sub_ent[i] >= LANES || d < 0 || d >= LANES) {
+                oob.store(1, std::memory_order_relaxed);
+                return;
+            }
+        }
+    });
+    if (oob.load()) return -2;
+
     std::vector<std::atomic<uint64_t>> occ(2 * n_sb_pad * LANES);
     for (auto &w : occ) w.store(0, std::memory_order_relaxed);
     parallel_ranges(n, [&](int64_t a, int64_t b) {
@@ -146,8 +164,17 @@ int64_t hprlp_lane_fill_thin(
  * chunk-padded).  Outputs zeroed by the caller. */
 int64_t hprlp_lane_fill_aligned(
     int64_t n, const int64_t *rows_p, const int64_t *cols_p,
-    const double *vals, const int64_t *s_ent,
+    const double *vals, const int64_t *s_ent, int64_t t_pad,
     int8_t *idx1t, int8_t *idx2, double *vals_out) {
+    std::atomic<int> oob{0};
+    parallel_ranges(n, [&](int64_t a, int64_t b) {
+        for (int64_t i = a; i < b; ++i)
+            if (s_ent[i] < 0 || s_ent[i] >= t_pad) {
+                oob.store(1, std::memory_order_relaxed);
+                return;
+            }
+    });
+    if (oob.load()) return -2;
     parallel_ranges(n, [&](int64_t a, int64_t b) {
         for (int64_t i = a; i < b; ++i) {
             const int64_t row = rows_p[i], col = cols_p[i];

@@ -626,3 +626,42 @@ def test_route_counts_native_matches_bincount():
         np.testing.assert_array_equal(w_n, (nz // m_pad).astype(np.int32))
         np.testing.assert_array_equal(row_n, nz % m_pad)
         np.testing.assert_array_equal(cnt_n, cnt[nz])
+
+
+def test_native_tile_fill_matches_numpy_fill():
+    """The native parallel tile fill (lane_fill.cpp) activates above
+    200k entries with f64 values and with_cols=False; the numpy scatter
+    fill runs otherwise.  Schedule the same >=200k-entry matrix both
+    ways (with_cols=True forces the numpy path) and require IDENTICAL
+    tiles — aligned and thin."""
+    from hprlp_tpu.native import get_lib
+    from hprlp_tpu.ops.lane_ell import schedule_lane_ell, schedule_thin
+
+    if get_lib() is None or not hasattr(get_lib(), "hprlp_lane_fill_thin"):
+        pytest.skip("native library not built")
+
+    rng = np.random.default_rng(11)
+    n = 260_000
+    m_pad, n_pad = 4096, 2 * WINDOW
+    rows_p = rng.integers(0, m_pad, size=n).astype(np.int64)
+    cols_p = rng.integers(0, n_pad, size=n).astype(np.int64)
+    # Dedup (row, col) pairs: the schedulers assume summed duplicates.
+    key = rows_p * np.int64(n_pad) + cols_p
+    _, idx = np.unique(key, return_index=True)
+    rows_p, cols_p = rows_p[idx], cols_p[idx]
+    vals = rng.normal(size=len(rows_p))
+    assert len(rows_p) >= 200_000
+
+    for sched, kw in ((schedule_lane_ell, {}), (schedule_thin,
+                                                {"phi": 4})):
+        t_nat = sched(rows_p, cols_p, vals, m_pad, n_pad, **kw)
+        t_py = sched(rows_p, cols_p, vals, m_pad, n_pad,
+                     with_cols=True, **kw)
+        assert t_py["cols"] is not None  # numpy path ran
+        for k in ("idx1t", "idx2", "invt"):
+            if t_py.get(k) is None:
+                assert t_nat.get(k) is None
+                continue
+            np.testing.assert_array_equal(t_nat[k], t_py[k], err_msg=k)
+        np.testing.assert_array_equal(t_nat["vals"],
+                                      t_py["vals"].astype(np.float64))
