@@ -17,18 +17,24 @@ import numpy as np
 
 def main():
     s = float(sys.argv[1]) if len(sys.argv) > 1 else 0.25
+    uniform = "--uniform" in sys.argv
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from run import banded_lp
+    from run import banded_lp, random_lp
 
     # Same allocator tuning as the benchmark runner (explicit opt-in).
     from hprlp_tpu._malloc import tune_malloc
 
     tune_malloc(thp=True)
 
-    m = max(int(1572864 * s) // 256 * 256, 256)
     t0 = time.perf_counter()
-    prob = banded_lp(m, 2 * m, 72, 16384, 5)
+    if uniform:
+        m = max(int(786432 * s) // 256 * 256, 256)
+        prob = random_lp(m, 2 * m, 128, 6)
+    else:
+        m = max(int(1572864 * s) // 256 * 256, 256)
+        prob = banded_lp(m, 2 * m, 72, 16384, 5)
     print(f"problem: m={m} nnz={prob.nnz/1e6:.1f}M "
+          f"{'uniform' if uniform else 'banded'} "
           f"gen={time.perf_counter()-t0:.1f}s", flush=True)
 
     import jax

@@ -170,8 +170,9 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
         # apples-to-apples).  The routed cost is a sum of per-cell maxima
         # — sampling deflates every candidate's maxima alike, preserving
         # the ranking; measured choices unchanged on the giant families
-        # while the chooser drops from ~190 s to ~30 s at 113M nnz.
-        CHOOSER_SAMPLE_CAP = 16_000_000
+        # at cap 16M (round 3, ~190 s -> ~30 s at 113M) and again at 4M
+        # (round 4: banded loc=winner, uniform bal=winner at both caps).
+        CHOOSER_SAMPLE_CAP = 4_000_000
         nnz_tot = len(A.indices)
         stride = max(1, nnz_tot // CHOOSER_SAMPLE_CAP)
 

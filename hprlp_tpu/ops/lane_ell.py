@@ -852,11 +852,12 @@ def route_cells(rows_p: np.ndarray, cols_p: np.ndarray, m_pad: int,
     # IS (cell, row) order.  Falls back to the sort above ~1e9 keys.
     n_win_touch = int(cols_p.max()) // WINDOW + 1
     keyspace = n_win_touch * m_pad
-    # Route to the parallel C++ counter only where the numpy bincount's
-    # key space would be a multi-hundred-MB allocation per call (the
-    # giant regime); below that the direct bincount is faster.
+    # Route to the parallel C++ counter where the numpy bincount's key
+    # space would be a large allocation per call (the giant regime —
+    # the layout chooser makes six such calls per build); below that
+    # the direct bincount is faster.
     native = _route_counts_native(rows_p, cols_p, m_pad) \
-        if keyspace > 100_000_000 else None
+        if keyspace > 30_000_000 else None
     w_all = cell_all = None
     if native is None or want_mask:
         w_all = cols_p // WINDOW

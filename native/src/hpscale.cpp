@@ -290,17 +290,30 @@ extern "C" int hprlp_sort_index_u64(const uint64_t *keys, int64_t n,
         }
         bstart[n_buckets] = acc;
     }
+    // Scatter (key, idx) PAIRS into bucket order, then sort each bucket
+    // on the contiguous pairs.  The earlier per-bucket std::sort over
+    // out_idx compared through keys[a] indirection — random 8-byte reads
+    // per comparison dominated the whole sort (measured ~2x slower than
+    // this pair layout at 28M keys).
+    struct Pair {
+        uint64_t key;
+        int64_t idx;
+    };
+    std::vector<Pair> pairs(n);
     {
         std::vector<std::thread> ts;
         for (size_t t = 0; t < spans.size(); ++t)
             ts.emplace_back([&, t] {
                 auto &cur = hist[t];
-                for (int64_t i = spans[t].first; i < spans[t].second; ++i)
-                    out_idx[cur[(keys[i] - kmin) >> shift]++] = i;
+                for (int64_t i = spans[t].first; i < spans[t].second; ++i) {
+                    Pair &p = pairs[cur[(keys[i] - kmin) >> shift]++];
+                    p.key = keys[i];
+                    p.idx = i;
+                }
             });
         for (auto &th : ts) th.join();
     }
-    // Sort each bucket by key (work-stealing over buckets).
+    // Sort each bucket (work-stealing) and emit indices.
     std::atomic<int64_t> next{0};
     auto worker = [&] {
         while (true) {
@@ -308,10 +321,11 @@ extern "C" int hprlp_sort_index_u64(const uint64_t *keys, int64_t n,
             if (b >= n_buckets) break;
             int64_t lo = bstart[b], hi = bstart[b + 1];
             if (hi - lo > 1)
-                std::sort(out_idx + lo, out_idx + hi,
-                          [&](int64_t a, int64_t c) {
-                              return keys[a] < keys[c];
+                std::sort(pairs.begin() + lo, pairs.begin() + hi,
+                          [](const Pair &a, const Pair &c) {
+                              return a.key < c.key;
                           });
+            for (int64_t i = lo; i < hi; ++i) out_idx[i] = pairs[i].idx;
         }
     };
     std::vector<std::thread> pool;
