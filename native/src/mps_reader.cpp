@@ -22,8 +22,11 @@
 #include <limits>
 #include <string>
 #include <string_view>
+#include <thread>
 #include <unordered_map>
 #include <vector>
+
+#include <sys/stat.h>
 
 namespace {
 
@@ -169,7 +172,7 @@ bool eq_ci_unquoted(std::string_view s, std::string_view upper_lit) {
     return true;
 }
 
-bool parse_num(std::string_view s, double &out) {
+bool parse_num_slow(std::string_view s, double &out) {
     char buf[64];
     if (s.empty() || s.size() >= sizeof buf) return false;
     std::memcpy(buf, s.data(), s.size());
@@ -177,6 +180,77 @@ bool parse_num(std::string_view s, double &out) {
     char *end = nullptr;
     out = std::strtod(buf, &end);
     return end == buf + s.size();
+}
+
+/* Fast decimal parse for the COLUMNS/RHS hot loop.  Handles
+ * [+-]?digits[.digits][eE[+-]digits] with <= 15 significant digits and
+ * a decimal exponent in [-22, 22]: mantissa fits 2^53 exactly and the
+ * power of ten is an exact double, so one multiply/divide is correctly
+ * rounded (Clinger 1990) — bit-identical to strtod on this range, which
+ * covers essentially every MPS coefficient.  Anything else (long
+ * mantissas, inf/nan, hex) falls back to strtod.  strtod itself costs
+ * ~150 ns/call through locale plumbing; this is ~10 ns. */
+bool parse_num(std::string_view s, double &out) {
+    static const double P10[] = {1e0,  1e1,  1e2,  1e3,  1e4,  1e5,
+                                 1e6,  1e7,  1e8,  1e9,  1e10, 1e11,
+                                 1e12, 1e13, 1e14, 1e15, 1e16, 1e17,
+                                 1e18, 1e19, 1e20, 1e21, 1e22};
+    const char *p = s.data(), *end = p + s.size();
+    if (p == end) return false;
+    bool neg = false;
+    if (*p == '+' || *p == '-') {
+        neg = *p == '-';
+        ++p;
+    }
+    uint64_t mant = 0;
+    int sig = 0;      // significant digits accumulated
+    int frac = 0;     // digits after the decimal point
+    bool any = false, seen_dot = false, overflow = false;
+    for (; p < end; ++p) {
+        const char ch = *p;
+        if (ch >= '0' && ch <= '9') {
+            any = true;
+            if (mant == 0 && ch == '0') {
+                if (seen_dot) ++frac;  // leading 0.000x zeros
+                continue;
+            }
+            if (sig >= 15) {
+                overflow = true;
+                break;
+            }
+            mant = mant * 10 + (uint64_t)(ch - '0');
+            ++sig;
+            if (seen_dot) ++frac;
+        } else if (ch == '.' && !seen_dot) {
+            seen_dot = true;
+        } else {
+            break;
+        }
+    }
+    if (!any || overflow) return parse_num_slow(s, out);
+    int eexp = 0;
+    if (p < end && (*p == 'e' || *p == 'E')) {
+        ++p;
+        bool eneg = false;
+        if (p < end && (*p == '+' || *p == '-')) {
+            eneg = *p == '-';
+            ++p;
+        }
+        if (p == end) return false;
+        for (; p < end; ++p) {
+            if (*p < '0' || *p > '9') return parse_num_slow(s, out);
+            eexp = eexp * 10 + (*p - '0');
+            if (eexp > 400) return parse_num_slow(s, out);
+        }
+        if (eneg) eexp = -eexp;
+    }
+    if (p != end) return parse_num_slow(s, out);
+    const int dec = eexp - frac;
+    if (dec < -22 || dec > 22) return parse_num_slow(s, out);
+    double v = (double)mant;
+    v = dec >= 0 ? v * P10[dec] : v / P10[-dec];
+    out = neg ? -v : v;
+    return true;
 }
 
 /* Open-addressing name table (linear probing, power-of-two capacity,
@@ -358,40 +432,115 @@ static void finalize(hpmps_handle *h, int ignore_quadobj) {
         p.c0 = -p.c0;
     }
     // COO -> CSR with duplicate summing (reference: :1266-1361).
+    // Parallel counting sort + per-row-range sort/dedup: the serial
+    // version was ~40% of large-file parse wall.
     const int64_t m = (int64_t)p.con_types.size();
     const int64_t coo = (int64_t)p.vals.size();
-    h->Ap.assign(m + 1, 0);
-    for (int64_t k = 0; k < coo; ++k) h->Ap[p.rows_i[k] + 1]++;
-    for (int64_t i = 0; i < m; ++i) h->Ap[i + 1] += h->Ap[i];
-    std::vector<int64_t> cursor(h->Ap.begin(), h->Ap.end() - 1);
-    std::vector<int32_t> ci(coo);
-    std::vector<double> cx(coo);
-    for (int64_t k = 0; k < coo; ++k) {
-        int64_t o = cursor[p.rows_i[k]]++;
-        ci[o] = (int32_t)p.cols_j[k];
-        cx[o] = p.vals[k];
+    unsigned hw = std::thread::hardware_concurrency();
+    const int T = coo >= 2'000'000
+                      ? (int)std::min<int64_t>(hw ? hw : 1, 8)
+                      : 1;
+    std::vector<std::pair<int64_t, int64_t>> spans;
+    for (int t = 0; t < T; ++t) {
+        int64_t lo = coo * t / T, hi = coo * (t + 1) / T;
+        if (lo < hi) spans.emplace_back(lo, hi);
     }
-    // Sort each row by column and merge duplicates.
-    h->Ai.reserve(coo);
-    h->Ax.reserve(coo);
-    std::vector<std::pair<int32_t, double>> buf;
-    std::vector<int64_t> newAp(m + 1, 0);
+
+    // Per-thread row histograms -> global Ap + per-thread cursors.
+    std::vector<std::vector<int64_t>> cnt(spans.size());
+    {
+        std::vector<std::thread> ts;
+        for (size_t t = 0; t < spans.size(); ++t)
+            ts.emplace_back([&, t] {
+                auto &c = cnt[t];
+                c.assign(m, 0);
+                for (int64_t k = spans[t].first; k < spans[t].second; ++k)
+                    c[p.rows_i[k]]++;
+            });
+        for (auto &th : ts) th.join();
+    }
+    h->Ap.assign(m + 1, 0);
     for (int64_t i = 0; i < m; ++i) {
-        buf.clear();
-        for (int64_t e = h->Ap[i]; e < h->Ap[i + 1]; ++e)
-            buf.push_back({ci[e], cx[e]});
-        std::sort(buf.begin(), buf.end(),
-                  [](auto &a, auto &b) { return a.first < b.first; });
-        for (size_t k = 0; k < buf.size(); ++k) {
-            if (!h->Ai.empty() && (int64_t)h->Ai.size() > newAp[i] &&
-                h->Ai.back() == buf[k].first) {
-                h->Ax.back() += buf[k].second;
-            } else {
-                h->Ai.push_back(buf[k].first);
-                h->Ax.push_back(buf[k].second);
-            }
+        int64_t acc = h->Ap[i];
+        for (size_t t = 0; t < spans.size(); ++t) {
+            int64_t c = cnt[t][i];
+            cnt[t][i] = acc;  // becomes this thread's scatter cursor
+            acc += c;
         }
-        newAp[i + 1] = (int64_t)h->Ai.size();
+        h->Ap[i + 1] = acc;
+    }
+    std::vector<std::pair<int32_t, double>> pr(coo);
+    {
+        std::vector<std::thread> ts;
+        for (size_t t = 0; t < spans.size(); ++t)
+            ts.emplace_back([&, t] {
+                auto &cur = cnt[t];
+                for (int64_t k = spans[t].first; k < spans[t].second; ++k)
+                    pr[cur[p.rows_i[k]]++] = {(int32_t)p.cols_j[k],
+                                              p.vals[k]};
+            });
+        for (auto &th : ts) th.join();
+    }
+
+    // Sort each row (parallel over contiguous row ranges) and count the
+    // deduped length per row.
+    std::vector<int64_t> rspan(T + 1, 0);
+    for (int t = 1; t < T; ++t) {
+        // Cut row ranges at roughly equal ENTRY counts.
+        int64_t target = coo * t / T;
+        rspan[t] = (int64_t)(std::upper_bound(h->Ap.begin(),
+                                              h->Ap.end(), target)
+                             - h->Ap.begin()) - 1;
+        rspan[t] = std::max(rspan[t], rspan[t - 1]);
+    }
+    rspan[T] = m;
+    std::vector<int64_t> uniq(m, 0);
+    {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < T; ++t)
+            ts.emplace_back([&, t] {
+                for (int64_t i = rspan[t]; i < rspan[t + 1]; ++i) {
+                    auto b = pr.begin() + h->Ap[i];
+                    auto e = pr.begin() + h->Ap[i + 1];
+                    std::sort(b, e, [](auto &a, auto &c) {
+                        return a.first < c.first;
+                    });
+                    int64_t u = 0;
+                    int32_t prev = -1;
+                    for (auto it = b; it != e; ++it)
+                        if (it->first != prev) {
+                            ++u;
+                            prev = it->first;
+                        }
+                    uniq[i] = u;
+                }
+            });
+        for (auto &th : ts) th.join();
+    }
+    std::vector<int64_t> newAp(m + 1, 0);
+    for (int64_t i = 0; i < m; ++i) newAp[i + 1] = newAp[i] + uniq[i];
+    h->Ai.assign((size_t)newAp[m], 0);
+    h->Ax.assign((size_t)newAp[m], 0.0);
+    {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < T; ++t)
+            ts.emplace_back([&, t] {
+                for (int64_t i = rspan[t]; i < rspan[t + 1]; ++i) {
+                    int64_t o = newAp[i] - 1;
+                    int32_t prev = -1;
+                    for (int64_t e = h->Ap[i]; e < h->Ap[i + 1]; ++e) {
+                        if (pr[e].first != prev) {
+                            prev = pr[e].first;
+                            ++o;
+                            h->Ai[o] = prev;
+                            h->Ax[o] = pr[e].second;
+                        } else {
+                            h->Ax[o] += pr[e].second;
+                        }
+                    }
+                }
+            });
+        for (auto &th : ts) th.join();
     }
     h->Ap = std::move(newAp);
 }
@@ -407,6 +556,25 @@ hpmps_handle *hpmps_read_ex(const char *path, int ignore_quadobj,
         p.status = HPMPS_IO_ERROR;
         p.error = std::string("cannot open ") + path;
         return h;
+    }
+
+    // Reserve COO capacity from the file size (reference capacity
+    // heuristics: src/mps_reader.cpp:222-256): a COLUMNS card entry is
+    // ~25 bytes of text; growth reallocations of three multi-GB vectors
+    // were a measurable slice of giant parses.  Gz files assume ~4x
+    // compression.  Cap so a wild guess can't exhaust memory.
+    {
+        struct stat st;
+        if (stat(path, &st) == 0 && st.st_size > (1 << 20)) {
+            size_t sz = (size_t)st.st_size;
+            const size_t len = std::strlen(path);
+            if (len > 3 && std::strcmp(path + len - 3, ".gz") == 0)
+                sz *= 4;
+            const size_t est = std::min<size_t>(sz / 25, 400'000'000);
+            p.rows_i.reserve(est);
+            p.cols_j.reserve(est);
+            p.vals.reserve(est);
+        }
     }
 
     enum Sec { NONE, NAME, OBJSENSE, ROWS, COLUMNS, RHS, RANGES, BOUNDS,
