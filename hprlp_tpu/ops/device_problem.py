@@ -60,6 +60,12 @@ class HostMaps:
     objective_sense: int
 
 
+# Above this nnz the thin-dominance gate may skip the window-balance
+# candidate and the residue pass (aligned-layout-only optimisations) —
+# aligned with solver.loop.GIANT_LANE_FIRST_NNZ's regime.
+THIN_SKIP_MIN_NNZ = 20_000_000
+
+
 def build_device_problem(problem: LpProblem, dtype=jnp.float32,
                          row_multiple: int = 8,
                          vec_multiple: int = constants.VECTOR_PAD_MULTIPLE,
@@ -150,37 +156,36 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
     # depth term of the aligned cost), so compute both and keep the
     # cheaper pair.
     _tick("plan_buckets")
-    plan_A_bal = _layout_windows(plan_A, A.indptr, A.indices, n,
-                                 row_multiple)
-    plan_AT_bal = _layout_windows(plan_AT, AT.indptr, AT.indices, m,
-                                  row_multiple)
-    _tick("window_balance")
     # Third candidate: LOCALITY-major windows (banded giants — see
     # _locality_major_plan).  Built only when its precondition holds and
     # a choice is actually available.
     plan_A_loc = _locality_major_plan(plan_A, key_A, row_multiple)
     plan_AT_loc = _locality_major_plan(plan_AT, key_AT, row_multiple)
     have_loc = plan_A_loc is not None and plan_AT_loc is not None
-    if (plan_A_bal is not plan_A or plan_AT_bal is not plan_AT
-            or have_loc):
-        from .lane_ell import hybrid_cost
 
-        # Giant inputs: score candidates on a STRIDE SAMPLE of entries
-        # (identical stride for every candidate, so the comparison stays
-        # apples-to-apples).  The routed cost is a sum of per-cell maxima
-        # — sampling deflates every candidate's maxima alike, preserving
-        # the ranking; measured choices unchanged on the giant families
-        # at cap 16M (round 3, ~190 s -> ~30 s at 113M) and again at 4M
-        # (round 4: banded loc=winner, uniform bal=winner at both caps).
-        CHOOSER_SAMPLE_CAP = 4_000_000
-        nnz_tot = len(A.indices)
-        stride = max(1, nnz_tot // CHOOSER_SAMPLE_CAP)
+    from .lane_ell import route_cells
 
+    # Giant inputs: score candidates on a STRIDE SAMPLE of entries
+    # (identical stride for every candidate, so the comparison stays
+    # apples-to-apples).  The routed cost is a sum of per-cell maxima
+    # — sampling deflates every candidate's maxima alike, preserving
+    # the ranking; measured choices unchanged on the giant families
+    # at cap 16M (round 3, ~190 s -> ~30 s at 113M) and again at 4M
+    # (round 4: banded loc=winner, uniform bal=winner at both caps).
+    CHOOSER_SAMPLE_CAP = 4_000_000
+    nnz_tot = len(A.indices)
+    stride = max(1, nnz_tot // CHOOSER_SAMPLE_CAP)
+    row_of_a = col_of_a = col_of_at = row_of_at = None
+
+    def sample_ids():
         # Hoist the O(nnz) sample extraction OUT of pair_cost: the
         # original/partner ids of the sampled entries are candidate-
         # independent, so each candidate pays only O(sample) gathers
-        # (the previous per-candidate np.repeat built a full nnz-sized
-        # row map three times per matrix — ~0.9 GB each at 113M nnz).
+        # (a per-candidate np.repeat built a full nnz-sized row map
+        # three times per matrix — ~0.9 GB each at 113M nnz).
+        nonlocal row_of_a, col_of_a, col_of_at, row_of_at
+        if row_of_a is not None:
+            return
         ids = np.arange(0, nnz_tot, stride)
         rep = np.repeat(np.arange(m, dtype=np.int64), np.diff(A.indptr))
         row_of_a = rep[ids]          # original row of each A sample
@@ -191,29 +196,101 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
         del rep
         row_of_at = AT.indices[ids]
 
-        def pair_cost(pa, pat):
-            # Routed HYBRID cost (aligned vs thin per cell) — the metric
-            # the kernel actually pays.  Round 2 compared the aligned
-            # cost only, which made window balancing look profitable on
-            # banded giants when it actually destroyed the band locality
-            # that lets the thin router pack at ~1.3 slots/nnz.
-            rp = _positions_from_plan(pa, m, row_multiple)
-            cp = _positions_from_plan(pat, n, row_multiple)
-            m_pad_a = padded_size(bucketed_row_total(pa, row_multiple),
-                                  vec_multiple)
-            n_pad_a = padded_size(bucketed_row_total(pat, row_multiple),
-                                  vec_multiple)
-            return (hybrid_cost(rp[row_of_a], cp[col_of_a], m_pad_a)
-                    + hybrid_cost(cp[col_of_at], rp[row_of_at], n_pad_a))
+    def pair_cost(pa, pat):
+        # Routed HYBRID cost (aligned vs thin per cell) — the metric
+        # the kernel actually pays.  Round 2 compared the aligned
+        # cost only, which made window balancing look profitable on
+        # banded giants when it actually destroyed the band locality
+        # that lets the thin router pack at ~1.3 slots/nnz.  Returns
+        # (total_cost, aligned_cost_share_numerator) — the aligned part
+        # drives the thin-dominance gate below.
+        sample_ids()
+        rp = _positions_from_plan(pa, m, row_multiple)
+        cp = _positions_from_plan(pat, n, row_multiple)
+        m_pad_a = padded_size(bucketed_row_total(pa, row_multiple),
+                              vec_multiple)
+        n_pad_a = padded_size(bucketed_row_total(pat, row_multiple),
+                              vec_multiple)
+        _, _, sA = route_cells(rp[row_of_a], cp[col_of_a], m_pad_a,
+                               want_mask=False)
+        _, _, sAT = route_cells(cp[col_of_at], rp[row_of_at], n_pad_a,
+                                want_mask=False)
+        return (sA["total_cost"] + sAT["total_cost"],
+                sA["aligned_sb"] + sAT["aligned_sb"])
 
+    # Thin-dominance gate (giant inputs): the window-balance candidate
+    # and the residue pass only improve ALIGNED-routed cells — window
+    # balancing spreads per-(window, block) depth and residue balancing
+    # spreads residue collisions, both aligned-layout constraints; the
+    # thin packer measures ~1.4% over its own lower bound regardless.
+    # When the plain/loc winner routes (nearly) everything thin (banded
+    # giants: 100% thin), skip BUILDING the balanced candidate and the
+    # residue pass — 47.8 s + 70.2 s of the 113M-nnz ingest, measured.
+    # Uniform giants route ~99% aligned and keep the full search.
+    # Note the gate fires on BOTH measured giant families: banded (loc
+    # routes 100% thin at 1.34 slots/nnz — balance passes are pure
+    # waste) and uniform (loc+thin packs 1.51 slots/nnz vs the balanced
+    # layout's 2.00 aligned; the ~17% kernel-model regression is dwarfed
+    # by the skipped passes — round-3 uniform giant wall was 1511 s of
+    # which 14 s solve).  HPRLP_GIANT_FULL_BALANCE=1 restores the full
+    # three-candidate search + residue pass.
+    skip_balance = False
+    cost_plain = cost_loc = None
+    if (nnz_tot >= THIN_SKIP_MIN_NNZ and row_multiple <= 8
+            and _os.environ.get("HPRLP_GIANT_FULL_BALANCE") != "1"):
+        cost_plain, _ = pair_cost(plan_A, plan_AT)
+        if have_loc:
+            cost_loc, _ = pair_cost(plan_A_loc, plan_AT_loc)
+        else:
+            cost_loc = cost_plain + 1
+        # The thin/aligned SHARE must come from a FULL-entry route: the
+        # sampled costs above deflate per-cell density, which flips thin
+        # cells to aligned routing (a cell with one sampled entry per
+        # block always routes aligned) and inflated the aligned share
+        # ~30x on the banded giant.  The native counter keeps this
+        # ~O(nnz) pass cheap against the 118 s it can skip.
+        wpa, wpat = ((plan_A_loc, plan_AT_loc)
+                     if have_loc and cost_loc < cost_plain
+                     else (plan_A, plan_AT))
+        rp = _positions_from_plan(wpa, m, row_multiple)
+        cp = _positions_from_plan(wpat, n, row_multiple)
+        m_pad_w = padded_size(bucketed_row_total(wpa, row_multiple),
+                              vec_multiple)
+        n_pad_w = padded_size(bucketed_row_total(wpat, row_multiple),
+                              vec_multiple)
+        _, _, sA = route_cells(np.repeat(rp, np.diff(A.indptr)),
+                               cp[A.indices], m_pad_w, want_mask=False)
+        _, _, sAT = route_cells(np.repeat(cp, np.diff(AT.indptr)),
+                                rp[AT.indices], n_pad_w, want_mask=False)
+        w_al = sA["aligned_sb"] + sAT["aligned_sb"]
+        w_cost = sA["total_cost"] + sAT["total_cost"]
+        if w_al < 0.2 * max(w_cost, 1):
+            skip_balance = True
+            if _verbose:
+                print(f"[layout] thin-dominant (aligned {w_al} / "
+                      f"{w_cost}): skipping window/residue balance",
+                      file=_sys.stderr, flush=True)
+
+    if skip_balance:
+        plan_A_bal, plan_AT_bal = plan_A, plan_AT
+    else:
+        plan_A_bal = _layout_windows(plan_A, A.indptr, A.indices, n,
+                                     row_multiple)
+        plan_AT_bal = _layout_windows(plan_AT, AT.indptr, AT.indices, m,
+                                      row_multiple)
+    _tick("window_balance")
+    if (plan_A_bal is not plan_A or plan_AT_bal is not plan_AT
+            or have_loc):
         # Sequential on purpose: evaluating the three candidates on
         # threads was measured SLOWER on a 4-core host (each pair_cost
         # is memory-bandwidth-bound over nnz-sized temporaries; parallel
         # copies thrash the cache).
-        cost_bal = pair_cost(plan_A_bal, plan_AT_bal)
-        cost_plain = pair_cost(plan_A, plan_AT)
-        cost_loc = (pair_cost(plan_A_loc, plan_AT_loc) if have_loc
-                    else cost_plain + 1)
+        cost_bal = (pair_cost(plan_A_bal, plan_AT_bal)[0]
+                    if not skip_balance else None)
+        if cost_plain is None:
+            cost_plain = pair_cost(plan_A, plan_AT)[0]
+            cost_loc = (pair_cost(plan_A_loc, plan_AT_loc)[0] if have_loc
+                        else cost_plain + 1)
         if _verbose:
             print(f"[layout] chooser: bal={cost_bal} plain={cost_plain} "
                   f"loc={cost_loc}", file=_sys.stderr, flush=True)
@@ -221,7 +298,7 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
         # Prefer the balanced layout on ties (residue balancing composes
         # better with it; measured equal-or-better everywhere dense).
         best_other = min(cost_plain, cost_loc)
-        if cost_bal <= best_other * 1.1:
+        if cost_bal is not None and cost_bal <= best_other * 1.1:
             plan_A, plan_AT = plan_A_bal, plan_AT_bal
         elif have_loc and cost_loc < cost_plain:
             plan_A, plan_AT = plan_A_loc, plan_AT_loc
@@ -233,13 +310,16 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
     # an output group need separate depths).  Permute members WITHIN their
     # 128-position block so each group's columns spread across residue
     # classes.  Blocks never change, so the n-pass can use the m-blocks
-    # and vice versa without circularity.
-    row_pos_prov = _positions_from_plan(plan_A, m, row_multiple)
-    plan_AT = _balance_plan_residues(plan_AT, AT.indptr, AT.indices,
-                                     row_pos_prov, row_multiple)
-    col_pos_prov = _positions_from_plan(plan_AT, n, row_multiple)
-    plan_A = _balance_plan_residues(plan_A, A.indptr, A.indices,
-                                    col_pos_prov, row_multiple)
+    # and vice versa without circularity.  Skipped with the balanced
+    # candidate on thin-dominant giants (see the gate above): residue
+    # collisions are an aligned-layout constraint.
+    if not skip_balance:
+        row_pos_prov = _positions_from_plan(plan_A, m, row_multiple)
+        plan_AT = _balance_plan_residues(plan_AT, AT.indptr, AT.indices,
+                                         row_pos_prov, row_multiple)
+        col_pos_prov = _positions_from_plan(plan_AT, n, row_multiple)
+        plan_A = _balance_plan_residues(plan_A, A.indptr, A.indices,
+                                        col_pos_prov, row_multiple)
     _tick("residue_balance")
 
     m_pad = padded_size(bucketed_row_total(plan_A, row_multiple), vec_multiple)
