@@ -58,6 +58,12 @@ class HostMaps:
     n_orig: int
     obj_constant: float
     objective_sense: int
+    # Precomputed hybrid routing from the thin-dominance gate, valid
+    # only when the gate fired (positions unchanged afterwards): per
+    # matrix a (thin_mask, phi) pair over CSR entry order, reused by
+    # attach_lane so schedule_hybrid skips its own full route_cells.
+    route_A: tuple | None = None
+    route_AT: tuple | None = None
 
 
 # Above this nnz the thin-dominance gate may skip the window-balance
@@ -235,6 +241,7 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
     # which 14 s solve).  HPRLP_GIANT_FULL_BALANCE=1 restores the full
     # three-candidate search + residue pass.
     skip_balance = False
+    route_A = route_AT = None
     cost_plain = cost_loc = None
     if (nnz_tot >= THIN_SKIP_MIN_NNZ and row_multiple <= 8
             and _os.environ.get("HPRLP_GIANT_FULL_BALANCE") != "1"):
@@ -258,14 +265,20 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
                               vec_multiple)
         n_pad_w = padded_size(bucketed_row_total(wpat, row_multiple),
                               vec_multiple)
-        _, _, sA = route_cells(np.repeat(rp, np.diff(A.indptr)),
-                               cp[A.indices], m_pad_w, want_mask=False)
-        _, _, sAT = route_cells(np.repeat(cp, np.diff(AT.indptr)),
-                                rp[AT.indices], n_pad_w, want_mask=False)
+        # want_mask=True: when the gate fires the winner's positions are
+        # FINAL, so this full route IS the hybrid routing — stash it and
+        # attach_lane skips its own route_cells (two more full-entry
+        # routes at 113M nnz otherwise).
+        mask_A, phi_A, sA = route_cells(
+            np.repeat(rp, np.diff(A.indptr)), cp[A.indices], m_pad_w)
+        mask_AT, phi_AT, sAT = route_cells(
+            np.repeat(cp, np.diff(AT.indptr)), rp[AT.indices], n_pad_w)
         w_al = sA["aligned_sb"] + sAT["aligned_sb"]
         w_cost = sA["total_cost"] + sAT["total_cost"]
         if w_al < 0.2 * max(w_cost, 1):
             skip_balance = True
+            route_A = (mask_A, phi_A, sA)
+            route_AT = (mask_AT, phi_AT, sAT)
             if _verbose:
                 print(f"[layout] thin-dominant (aligned {w_al} / "
                       f"{w_cost}): skipping window/residue balance",
@@ -370,7 +383,8 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
     dev = LpDevice(A=A_ell, AT=AT_ell, AL=AL, AU=AU, c=c, l=l, u=u)
     maps = HostMaps(row_pos=row_pos, col_pos=col_pos, m_orig=m, n_orig=n,
                     obj_constant=float(problem.obj_constant),
-                    objective_sense=problem.objective_sense)
+                    objective_sense=problem.objective_sense,
+                    route_A=route_A, route_AT=route_AT)
     return dev, maps
 
 
@@ -462,13 +476,13 @@ def build_device_problem_giant(problem: LpProblem, dtype=jnp.float32,
     coo_A = (np.repeat(maps.row_pos, np.diff(A.indptr)),
              maps.col_pos[A.indices], av)
     A_lane = attach_lane(dataclasses.replace(lp_host.A, **mesh_kw),
-                         coo=coo_A)
+                         coo=coo_A, route=maps.route_A)
     del coo_A
     _tick("attach_lane(A)")
     coo_AT = (np.repeat(maps.col_pos, np.diff(AT.indptr)),
               maps.row_pos[AT.indices], atv)
     AT_lane = attach_lane(dataclasses.replace(lp_host.AT, **mesh_kw),
-                          coo=coo_AT)
+                          coo=coo_AT, route=maps.route_AT)
     del coo_AT
     _tick("attach_lane(AT)")
 

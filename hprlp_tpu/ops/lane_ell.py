@@ -980,18 +980,25 @@ def hybrid_cost(rows_p: np.ndarray, cols_p: np.ndarray, m_pad: int) -> int:
 
 def schedule_hybrid(rows_p: np.ndarray, cols_p: np.ndarray,
                     vals: np.ndarray, m_pad: int, n_pad: int,
-                    with_cols: bool = False, phis=(1, 2, 4, 8)) -> dict:
+                    with_cols: bool = False, phis=(1, 2, 4, 8),
+                    route=None) -> dict:
     """Route cells and schedule both tile sets.
 
     Returns {"aligned": tiles | None, "thin": tiles | None, "phi", "G",
     "n_windows", "stats"} — the hybrid SpMV is the sum of the two kernels'
     outputs (either may be absent).  This is the TPU-native answer to the
     giant-LP regime (SURVEY §5.7; the CUDA reference caps out at one GPU's
-    memory with CSR, include/structs.h:17-19 — no counterpart)."""
+    memory with CSR, include/structs.h:17-19 — no counterpart).
+    route: optional precomputed (thin_mask, phi, stats) in this entry
+    order (the layout gate already routed the full matrix)."""
     rows_p = np.asarray(rows_p)
     cols_p = np.asarray(cols_p)
     vals = np.asarray(vals)
-    thin_mask, phi, stats = route_cells(rows_p, cols_p, m_pad, phis=phis)
+    if route is not None:
+        thin_mask, phi, stats = route
+    else:
+        thin_mask, phi, stats = route_cells(rows_p, cols_p, m_pad,
+                                            phis=phis)
     aligned = thin = None
     if (~thin_mask).any() or not thin_mask.any():
         aligned = schedule_lane_ell(rows_p[~thin_mask], cols_p[~thin_mask],

@@ -172,7 +172,8 @@ def _group_windows(w_of_entry: np.ndarray, n_groups: int) -> np.ndarray:
     return np.concatenate([[0], np.clip(cuts, 0, n_win), [n_win]])
 
 
-def _build_sharded_lane(A: EllMatrix, rows_p, cols_p, vals, dtype):
+def _build_sharded_lane(A: EllMatrix, rows_p, cols_p, vals, dtype,
+                        route=None):
     """Mesh-sharded hybrid LaneELL build: each window GROUP (one per
     mesh device) is routed, scheduled and packed independently, and each
     process materialises ONLY the groups of its addressable devices —
@@ -194,7 +195,10 @@ def _build_sharded_lane(A: EllMatrix, rows_p, cols_p, vals, dtype):
     mesh = A.mesh
     devs = mesh.devices.reshape(-1)
     n_dev = devs.size
-    thin_mask, phi, _stats = route_cells(rows_p, cols_p, A.nrows)
+    if route is not None:
+        thin_mask, phi = route[0], route[1]
+    else:
+        thin_mask, phi, _stats = route_cells(rows_p, cols_p, A.nrows)
     w_all = cols_p // WINDOW
     bounds = _group_windows(w_all, n_dev)
     group_of_entry = np.searchsorted(bounds[1:-1], w_all, side="right")
@@ -307,7 +311,7 @@ def _build_sharded_lane(A: EllMatrix, rows_p, cols_p, vals, dtype):
     return packed_a, packed_t, phi
 
 
-def attach_lane(A: EllMatrix, coo=None) -> EllMatrix:
+def attach_lane(A: EllMatrix, coo=None, route=None) -> EllMatrix:
     """Build and attach hybrid LaneELL tiles (host scheduling round-trip).
 
     Cells are routed per (window, 128-group range) between the ALIGNED
@@ -319,7 +323,10 @@ def attach_lane(A: EllMatrix, coo=None) -> EllMatrix:
 
     coo: optional (rows_p, cols_p, vals) in PADDED positions — the giant
     lane-first path derives it from its CSR directly (its ELL buckets are
-    empty stubs, so to_coo would return nothing)."""
+    empty stubs, so to_coo would return nothing).
+    route: optional (thin_mask, phi, stats) aligned with coo's entry
+    order — the layout gate's full-entry routing, reused so the
+    schedulers skip their own route_cells (two more O(nnz) routes)."""
     import os
 
     from .lane_ell import schedule_hybrid
@@ -343,11 +350,12 @@ def attach_lane(A: EllMatrix, coo=None) -> EllMatrix:
         # the addressable shards (_build_sharded_lane).
         rows_p, cols_p, vals = coo if coo is not None else to_coo(A)
         packed_a, packed_t, _phi = _build_sharded_lane(
-            A, rows_p, cols_p, vals, np.dtype(A.dtype))
+            A, rows_p, cols_p, vals, np.dtype(A.dtype), route=route)
     else:
         rows_p, cols_p, vals = coo if coo is not None else to_coo(A)
         _tick("to_coo")
-        hy = schedule_hybrid(rows_p, cols_p, vals, A.nrows, A.ncols)
+        hy = schedule_hybrid(rows_p, cols_p, vals, A.nrows, A.ncols,
+                             route=route)
         _tick("schedule_hybrid")
 
         budget_gb = float(os.environ.get("HPRLP_LANE_TILE_BUDGET_GB",

@@ -112,9 +112,60 @@ def _route_precision(params: Parameters, backend: str) -> str:
     return params.precision
 
 
+def giant_regime(problem: LpProblem) -> bool:
+    """True when a solve of this problem would take the giant lane-first
+    ingest path (used by the presolve layer to overlap presolve with the
+    optimistic ingest of the ORIGINAL problem)."""
+    return (problem.nnz >= GIANT_LANE_FIRST_NNZ
+            and (jax.default_backend() != "cpu"
+                 or "HPRLP_GIANT_LANE_FIRST_NNZ" in os.environ))
+
+
+def build_giant_ingest(problem: LpProblem, params: Parameters):
+    """Build the giant lane-first ingest for `problem` under `params`.
+
+    Returns (lp, maps, scal, host_scale_s, wall_s) or raises — the
+    caller owns the fallback (loop.py degrades to the standard pipeline;
+    model.py's overlap discards a failed optimistic ingest)."""
+    import copy
+    import time as _time
+
+    from ..ops.device_problem import build_device_problem_giant
+
+    t0 = _time.perf_counter()
+    params = copy.copy(params)
+    params.precision = _route_precision(params, jax.default_backend())
+    if params.precision == "mixed":
+        # Mixed-precision giants run through the refine driver's two
+        # solves — the optimistic single-ingest would not be reused.
+        raise ValueError("mixed-precision solve: no single giant ingest")
+    # resolve_dtype may flip the global x64 flag; restore it here — the
+    # subsequent solve_problem() call does its own scoped flip (the
+    # ingest's device arrays keep their concrete dtype either way).
+    prior_x64 = bool(jax.config.jax_enable_x64)
+    try:
+        dtype = resolve_dtype(params)
+        mesh = None
+        if params.mesh_shape:
+            from ..parallel.sharded import make_mesh
+
+            mesh = make_mesh(params.mesh_shape)
+        lp, maps, scal, host_scale_s = build_device_problem_giant(
+            problem, dtype=dtype,
+            use_cr=params.use_CR_scaling,
+            use_ruiz=params.use_Ruiz_scaling,
+            use_pc=params.use_Pock_Chambolle_scaling,
+            use_bc=params.use_bc_scaling,
+            mesh=mesh)
+        return lp, maps, scal, host_scale_s, _time.perf_counter() - t0
+    finally:
+        if bool(jax.config.jax_enable_x64) != prior_x64:
+            jax.config.update("jax_enable_x64", prior_x64)
+
+
 def solve_problem(problem: LpProblem, params: Parameters | None = None,
                   _device_data=None, x0=None, y0=None,
-                  sigma0=None) -> Results:
+                  sigma0=None, _giant_ingest=None) -> Results:
     """Full solve: upload -> scale -> power method -> HPR loop -> unscale.
 
     Parity: solve() + HPRLP_main_solve() (reference: src/HPRLP.cu:116-310,
@@ -146,14 +197,15 @@ def solve_problem(problem: LpProblem, params: Parameters | None = None,
     prior_x64 = bool(jax.config.jax_enable_x64)
     try:
         return _solve_problem_impl(problem, params, _device_data, x0, y0,
-                                   sigma0)
+                                   sigma0, _giant_ingest)
     finally:
         if bool(jax.config.jax_enable_x64) != prior_x64:
             jax.config.update("jax_enable_x64", prior_x64)
 
 
 def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
-                        _device_data, x0, y0, sigma0=None) -> Results:
+                        _device_data, x0, y0, sigma0=None,
+                        _giant_ingest=None) -> Results:
     params = params or Parameters()
     params.validate()
     dtype = resolve_dtype(params)
@@ -168,7 +220,18 @@ def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
                      # env override also unlocks CPU (interpret-mode lane)
                      # so tests can drive this path on a CPU backend
                      or "HPRLP_GIANT_LANE_FIRST_NNZ" in os.environ))
-    if _device_data is None:
+    if _device_data is None and _giant_ingest is not None:
+        # Pre-built ingest (model.py overlapped it with presolve); its
+        # wall ran concurrently but is reported in the same phases the
+        # serial path would use.
+        lp, maps, scal, host_scale_s, ingest_wall = _giant_ingest
+        out.scaling_time = host_scale_s
+        # Shift t_setup so the generic accounting below reports the
+        # ingest's own wall as setup_time (minus scaling, as usual).
+        t_setup = time.perf_counter() - ingest_wall
+        log(f"[giant] lane-first ingest (overlapped with presolve): "
+            f"{ingest_wall:.2f} s")
+    elif _device_data is None:
         if is_giant:
             # Giant lane-first ingest: host scaling + single tile upload
             # (ops/device_problem.build_device_problem_giant); with

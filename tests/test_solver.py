@@ -348,7 +348,8 @@ class TestPrecisionRouting:
                             lambda: "tpu")
         seen = {}
 
-        def fake_impl(problem, params, _device_data, x0, y0, sigma0=None):
+        def fake_impl(problem, params, _device_data, x0, y0, sigma0=None,
+                      _giant_ingest=None):
             seen["precision"] = params.precision
             from hprlp_tpu.results import Results
             return Results()
