@@ -600,3 +600,56 @@ def test_host_scale_native_matches_numpy():
                                        rtol=1e-12)
             np.testing.assert_allclose(r_np[7].col_norm, r_nat[7].col_norm,
                                        rtol=1e-12)
+
+
+def test_presolve_overlap_reuses_or_discards_giant_ingest(monkeypatch):
+    """Model.solve in the giant regime overlaps presolve with an
+    optimistic ingest of the ORIGINAL problem (model.py): when presolve
+    removes <=10% of nnz the overlapped ingest is REUSED and the original
+    model is solved; when it removes more, the ingest is discarded and
+    the reduced model is solved + postsolved.  Both paths must produce
+    the standard pipeline's optimum."""
+    import scipy.sparse as sp
+
+    from hprlp_tpu.model import Model
+    from hprlp_tpu.params import Parameters
+    from hprlp_tpu.problem import LpProblem
+    from hprlp_tpu.solver import loop as loop_mod
+    from tests.conftest import random_lp
+
+    monkeypatch.setenv("HPRLP_GIANT_LANE_FIRST_NNZ", "50")
+    monkeypatch.setattr(loop_mod, "GIANT_LANE_FIRST_NNZ", 50)
+
+    p = Parameters(verbose=False, stop_tol=1e-4, use_presolve=True)
+
+    # Case 1: nothing to presolve away (dense-ish rows, finite 2-sided
+    # bounds) -> reuse branch.
+    prob = random_lp(7, m=160, n=256, density=0.08)
+    res = Model(prob).solve(p)
+    ref = loop_mod.solve_problem(prob, Parameters(verbose=False,
+                                                  stop_tol=1e-4))
+    assert res.status == "OPTIMAL"
+    np.testing.assert_allclose(res.primal_obj, ref.primal_obj, rtol=1e-3)
+
+    # Case 2: a block of FIXED columns (l == u) and empty rows the
+    # presolver removes (>10% of nnz) -> discard-and-re-ingest branch.
+    base = random_lp(8, m=128, n=192, density=0.08)
+    A = base.A.tocsr()
+    n_fix = 96
+    extra = sp.random(128, n_fix, density=0.3, random_state=3,
+                      data_rvs=lambda k: np.random.default_rng(4).normal(
+                          size=k)).tocsr()
+    A2 = sp.hstack([A, extra]).tocsr()
+    fixed_vals = np.linspace(-1.0, 1.0, n_fix)
+    l2 = np.concatenate([base.l, fixed_vals])
+    u2 = np.concatenate([base.u, fixed_vals])
+    c2 = np.concatenate([base.c, np.ones(n_fix)])
+    shift = extra @ fixed_vals
+    prob2 = LpProblem.from_arrays(A2, base.AL + shift, base.AU + shift,
+                                  l2, u2, c2)
+    res2 = Model(prob2).solve(p)
+    p_nopre = Parameters(verbose=False, stop_tol=1e-4, use_presolve=False)
+    ref2 = loop_mod.solve_problem(prob2, p_nopre)
+    assert res2.status == "OPTIMAL"
+    np.testing.assert_allclose(res2.primal_obj, ref2.primal_obj,
+                               rtol=1e-3)
