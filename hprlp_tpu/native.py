@@ -96,6 +96,10 @@ def _configure(lib):
         ct.c_int64]
 
     _i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.hprlp_parallel_touch.restype = None
+    lib.hprlp_parallel_touch.argtypes = [_u8p, ct.c_int64]
+
     lib.hprlp_lane_fill_thin.restype = ct.c_int64
     lib.hprlp_lane_fill_thin.argtypes = [
         ct.c_int64, _i64p, _i64p, _f64p, _i64p, _i32p, _i64p, ct.c_int64,

@@ -440,13 +440,23 @@ def build_device_problem_giant(problem: LpProblem, dtype=jnp.float32,
         _t = _time.perf_counter()
 
     np_dtype = np.dtype(dtype)
-    t0 = _time.perf_counter()
+    # Pre-fault the working set once (parallel, hugepage-advised) when
+    # the brk tuning is active: first-touch faulting of fresh multi-GB
+    # numpy temporaries otherwise dominates the ingest on the target VMs
+    # (~130 MB/s single-threaded; the first matrix's passes measured
+    # 2-3x the second's from this alone).  ~120 B/nnz covers the COO
+    # triples, sort keys, masks and tile buffers.
+    from .._malloc import preheat
+
+    preheat(min(problem.nnz * 120, 24 << 30))
+    _tick("preheat")
     A = problem.A.tocsr()
     A.sum_duplicates()
     AT = A.T.tocsr()
     AT.sum_duplicates()
     m, n = A.shape
     _tick("csr/transpose")
+    t0 = _time.perf_counter()
 
     av, atv, AL_s, AU_s, l_s, u_s, c_s, info = host_scale(
         A, AT, problem.AL, problem.AU, problem.l, problem.u, problem.c,

@@ -69,6 +69,31 @@ void parallel_ranges(int64_t n, F f) {
 
 extern "C" {
 
+/* Pre-fault a buffer in parallel with hugepage advice.  Page-zero
+ * faulting on the target VMs runs ~130 MB/s single-threaded but scales
+ * with threads (and THP cuts the fault count 512x): the giant ingest
+ * preheats the brk heap's working set once through this (see
+ * hprlp_tpu/_malloc.py::preheat), after which numpy's multi-GB
+ * temporaries reuse already-faulted pages. */
+void hprlp_parallel_touch(char *p, int64_t bytes) {
+    if (!p || bytes <= 0) return;
+    advise_huge(p, (size_t)bytes);
+    const int64_t pages = (bytes + 4095) / 4096;
+    unsigned hw = std::thread::hardware_concurrency();
+    const int T = (int)std::min<int64_t>(
+        std::min<unsigned>(hw ? hw : 1, 8),
+        std::max<int64_t>(1, pages / 1024));
+    std::vector<std::thread> ts;
+    for (int t = 0; t < T; ++t) {
+        const int64_t a = pages * t / T, b = pages * (t + 1) / T;
+        if (a >= b) continue;
+        ts.emplace_back([=] {
+            for (int64_t i = a; i < b; ++i) p[i * 4096] = 0;
+        });
+    }
+    for (auto &th : ts) th.join();
+}
+
 /* Thin (packed) tile fill.
  * rows_p/cols_p/vals: per entry (padded positions, any order).
  * sb_ent: PADDED sub-block id per entry; sub_ent: sublane within the
