@@ -30,6 +30,20 @@ import scipy.sparse as sp
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 os.pardir))
 
+# Persistent compile cache (same as bench.py): first-time compiles
+# through the axon remote-compile tunnel take minutes per program; cached
+# reruns are seconds.  Must be set before the first jax use.
+import jax  # noqa: E402
+
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       os.path.expanduser("~/.cache/jax_tpu")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+except Exception:
+    pass
+
 from hprlp_tpu import Model, Parameters, solve_batched  # noqa: E402
 from hprlp_tpu.problem import LpProblem  # noqa: E402
 

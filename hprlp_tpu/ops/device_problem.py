@@ -222,7 +222,8 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
         _, _, sAT = route_cells(cp[col_of_at], rp[row_of_at], n_pad_a,
                                 want_mask=False)
         return (sA["total_cost"] + sAT["total_cost"],
-                sA["aligned_sb"] + sAT["aligned_sb"])
+                sA["aligned_sb"] + sAT["aligned_sb"],
+                sA["phi"], sAT["phi"])
 
     # Thin-dominance gate (giant inputs): the window-balance candidate
     # and the residue pass only improve ALIGNED-routed cells — window
@@ -245,11 +246,12 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
     cost_plain = cost_loc = None
     if (nnz_tot >= THIN_SKIP_MIN_NNZ and row_multiple <= 8
             and _os.environ.get("HPRLP_GIANT_FULL_BALANCE") != "1"):
-        cost_plain, _ = pair_cost(plan_A, plan_AT)
+        cost_plain, _, phiA_p, phiAT_p = pair_cost(plan_A, plan_AT)
         if have_loc:
-            cost_loc, _ = pair_cost(plan_A_loc, plan_AT_loc)
+            cost_loc, _, phiA_l, phiAT_l = pair_cost(plan_A_loc,
+                                                     plan_AT_loc)
         else:
-            cost_loc = cost_plain + 1
+            cost_loc, phiA_l, phiAT_l = cost_plain + 1, phiA_p, phiAT_p
         # The thin/aligned SHARE must come from a FULL-entry route: the
         # sampled costs above deflate per-cell density, which flips thin
         # cells to aligned routing (a cell with one sampled entry per
@@ -268,11 +270,19 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
         # want_mask=True: when the gate fires the winner's positions are
         # FINAL, so this full route IS the hybrid routing — stash it and
         # attach_lane skips its own route_cells (two more full-entry
-        # routes at 113M nnz otherwise).
+        # routes at 113M nnz otherwise).  The fold factor comes from the
+        # SAMPLED winner (phis are pinned, so the full route skips the
+        # 4-phi term loop — it runs over ~nnz (window, row) pairs on
+        # uniform giants, ~30 s of the gate before this).
+        loc_won = have_loc and cost_loc < cost_plain
+        phis_A = ((phiA_l,) if loc_won else (phiA_p,))
+        phis_AT = ((phiAT_l,) if loc_won else (phiAT_p,))
         mask_A, phi_A, sA = route_cells(
-            np.repeat(rp, np.diff(A.indptr)), cp[A.indices], m_pad_w)
+            np.repeat(rp, np.diff(A.indptr)), cp[A.indices], m_pad_w,
+            phis=phis_A)
         mask_AT, phi_AT, sAT = route_cells(
-            np.repeat(cp, np.diff(AT.indptr)), rp[AT.indices], n_pad_w)
+            np.repeat(cp, np.diff(AT.indptr)), rp[AT.indices], n_pad_w,
+            phis=phis_AT)
         w_al = sA["aligned_sb"] + sAT["aligned_sb"]
         w_cost = sA["total_cost"] + sAT["total_cost"]
         if w_al < 0.2 * max(w_cost, 1):
