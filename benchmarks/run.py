@@ -292,6 +292,17 @@ def main():
                     help="run only configs whose name contains this "
                          "substring (still requires the gating flag, "
                          "e.g. --giant --only giant)")
+    ap.add_argument("--no-isolate", action="store_true",
+                    help="run every config in THIS process instead of "
+                         "one subprocess per config.  Isolation is the "
+                         "default because the axon TPU relay can wedge "
+                         "its compile channel mid-session (measured: "
+                         "after the two mixed-precision configs + two "
+                         "f32 solves, EVERY later compile fails "
+                         "INVALID_ARGUMENT and the client stays dead), "
+                         "which previously poisoned the remaining 9 "
+                         "configs of a report run; the on-disk compile "
+                         "cache keeps per-config startup cheap.")
     args = ap.parse_args()
 
     if args.giant or args.huge or args.giant_mesh:
@@ -303,9 +314,55 @@ def main():
 
     tl = args.time_limit
     report = {"timestamp": time.time(), "configs": {}}
+    isolate = not args.no_isolate and not os.environ.get(
+        "HPRLP_RUN_CHILD")
+
+    def run_in_subprocess(name):
+        """Re-invoke this script for exactly `name` and merge its
+        report (config-level crash isolation; see --no-isolate)."""
+        import subprocess
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".json",
+                                         delete=False) as f:
+            tmp = f.name
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--only", name, "--out", tmp,
+               "--time-limit", str(args.time_limit),
+               "--giant-mesh-scale", str(args.giant_mesh_scale)]
+        for flag in ("quick", "huge", "giant"):
+            if getattr(args, flag):
+                cmd.append(f"--{flag}")
+        if args.giant_mesh:
+            cmd += ["--giant-mesh", str(args.giant_mesh)]
+        env = dict(os.environ, HPRLP_RUN_CHILD="1")
+        t0 = time.perf_counter()
+        proc = subprocess.run(cmd, env=env)
+        try:
+            with open(tmp) as f:
+                child = json.load(f)["configs"]
+        except Exception:
+            child = {}
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+        if name in child:
+            report["configs"][name] = child[name]
+        else:
+            report["configs"][name] = {
+                "error": f"subprocess exited rc={proc.returncode} "
+                         f"without a result",
+                "config_wall": time.perf_counter() - t0,
+            }
+            print(f"[{name}] {json.dumps(report['configs'][name])}")
 
     def record(name, fn):
         if args.only and args.only not in name:
+            return
+        if isolate:
+            run_in_subprocess(name)
             return
         t0 = time.perf_counter()
         try:
