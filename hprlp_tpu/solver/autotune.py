@@ -71,13 +71,17 @@ def autotune_backends(run: Callable, lp: LpDevice, probe_args,
     Returns lp reconfigured with the winning backends.
     """
     log = print if verbose else (lambda *a, **k: None)
-    if lp.A.nnz < AUTOTUNE_MIN_NNZ:
-        return lp
-    dense_ok = (lp.A.nrows * lp.A.ncols * jnp.dtype(lp.c.dtype).itemsize
-                <= DENSE_BYTES_LIMIT)
     # Lane kernel: TPU-only (interpret mode is too slow on CPU).  f64
     # problems use the compensated double-f32 kernel (lane_spmv_df64).
     lane_ok = jax.default_backend() != "cpu"
+    f64_pin = (lane_ok and jnp.dtype(lp.c.dtype) == jnp.float64
+               and lp.A.backend != "lane")  # already pinned (giant path)
+    if lp.A.nnz < AUTOTUNE_MIN_NNZ and not f64_pin:
+        # Too small for speed probing to matter — but the f64 precision
+        # pin below applies at ANY size.
+        return lp
+    dense_ok = (lp.A.nrows * lp.A.ncols * jnp.dtype(lp.c.dtype).itemsize
+                <= DENSE_BYTES_LIMIT)
     if lane_ok and lp.A.nnz >= AUTOTUNE_LANE_DIRECT_NNZ:
         cand = None
         try:
@@ -101,6 +105,28 @@ def autotune_backends(run: Callable, lp: LpDevice, probe_args,
             print(f"[hprlp_tpu] direct lane selection failed "
                   f"({type(e).__name__}: {e}); probing other backends",
                   flush=True)
+    if f64_pin:
+        # f64 on TPU is PINNED to the lane backend regardless of timing:
+        # the gather/dense paths run the chunk elementwise through XLA's
+        # TPU f64 emulation, whose fused chains are only ~1e-11 accurate
+        # — large sigmas (1e5-1e6 on structured LPs) amplify that into a
+        # 1e-3..1e-5 KKT floor (round-4 finding; the lane path instead
+        # runs every iteration on compensated double-f32 pairs, ~2^-48).
+        # Speed is secondary to reaching 1e-8 at all; gather remains the
+        # fallback only when the lane build itself fails.
+        try:
+            cand = LpDevice(A=with_backend(lp.A, "lane"),
+                            AT=with_backend(lp.AT, "lane"),
+                            AL=lp.AL, AU=lp.AU, c=lp.c, l=lp.l, u=lp.u)
+            _state, metrics = run(cand, *probe_args)
+            float(metrics["nrm_Rp"])
+            log("[autotune] f64 on TPU: lane pinned (precision)")
+            return cand
+        except Exception as e:
+            print(f"[hprlp_tpu] f64 lane pinning failed "
+                  f"({type(e).__name__}: {e}); falling back to probing "
+                  f"(reduced f64 accuracy)", flush=True)
+
     if lane_ok:
         # A dense matvec reads nrows*ncols*4 bytes per SpMV vs LaneELL's
         # ~30 bytes/nnz; below ~1% density dense cannot win — skip the

@@ -215,11 +215,26 @@ def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
 
     t_setup = time.perf_counter()
     lp = scal = None
-    is_giant = (problem.nnz >= GIANT_LANE_FIRST_NNZ
-                and (jax.default_backend() != "cpu"
-                     # env override also unlocks CPU (interpret-mode lane)
-                     # so tests can drive this path on a CPU backend
-                     or "HPRLP_GIANT_LANE_FIRST_NNZ" in os.environ))
+    on_accel = (jax.default_backend() != "cpu"
+                # env override also unlocks CPU (interpret-mode lane)
+                # so tests can drive this path on a CPU backend
+                or "HPRLP_GIANT_LANE_FIRST_NNZ" in os.environ)
+    # f64 solves on TPU take the lane-first HOST-SCALED ingest at ANY
+    # size, not just the giant regime: the device scaling pipeline runs
+    # through XLA's TPU f64 emulation, whose fused elementwise chains
+    # are only ~1e-11 accurate — that perturbs the SCALED PROBLEM DATA
+    # itself, and on degenerate structured LPs (staircase/transport
+    # families at 1e-8) the perturbed problem's HPR dynamics entered a
+    # restart limit cycle that the exact-f64 problem escapes (round-4
+    # finding: CPU converged in 2.1k iterations, every TPU variant —
+    # any backend, any chunk arithmetic — cycled forever on identical
+    # trajectories).  Host scaling is the tested numpy/C++ twin with
+    # exact f64 factors; the lane tiles carry (hi, lo) value pairs, so
+    # no precision is lost at upload either.
+    is_giant = on_accel and (problem.nnz >= GIANT_LANE_FIRST_NNZ
+                             or (dtype == jnp.float64
+                                 and params.spmv_backend in ("auto",
+                                                             "lane")))
     if _device_data is None and _giant_ingest is not None:
         # Pre-built ingest (model.py overlapped it with presolve); its
         # wall ran concurrently but is reported in the same phases the

@@ -199,7 +199,7 @@ class TestDf64Chunk:
         from hprlp_tpu.ops.device_problem import build_device_problem
         from hprlp_tpu.ops.sparse import with_backend
         from hprlp_tpu.problem import LpProblem
-        from hprlp_tpu.solver.chunk import (_df64_middle_iters,
+        from hprlp_tpu.solver.chunk import (_df64_chunk_iters,
                                             _halpern_factors, _x_half,
                                             _y_half)
         from hprlp_tpu.solver.scaling import scale_problem
@@ -234,21 +234,29 @@ class TestDf64Chunk:
             # round-3 length (the suite's slowest test at 76 s).
             n_iters = jnp.asarray(10, jnp.int32)
 
-            # Plain f64 reference (gather backend).
+            # Plain f64 reference: the full chunk (first check-style,
+            # middle stretch, final check-style) = n_iters iterations.
             x, y = x1, y1
-            for _ in range(1, 9):
+            for k in range(int(n_iters)):
                 f1, f2 = _halpern_factors(inner, jnp.float64)
-                x, x_hat, _, _ = _x_half(lp, x, y, last_x, sigma, f1, f2)
-                y, _, _ = _y_half(lp, y, x_hat, last_y, lam_sigma, f1, f2)
+                x, x_hat, x_bar, z_tmp = _x_half(lp, x, y, last_x, sigma,
+                                                 f1, f2)
+                y, y_bar, _ = _y_half(lp, y, x_hat, last_y, lam_sigma,
+                                      f1, f2)
                 inner = inner + 1
+            z_bar = (x_bar - z_tmp) / sigma
 
             with jax.disable_jit():
-                x_df, y_df, inner_df = _df64_middle_iters(
+                (x_df, y_df, xb_df, yb_df, zb_df, _yobj, _x2, _y2,
+                 _xb1, _yb1, inner_df) = _df64_chunk_iters(
                     lp_lane, x1, y1, last_x, last_y, sigma, lam_sigma,
                     jnp.asarray(1, jnp.int32), n_iters)
 
             assert int(inner_df) == int(inner)
-            for name, a, b in (("x", x, x_df), ("y", y, y_df)):
+            for name, a, b in (("x", x, x_df), ("y", y, y_df),
+                               ("x_bar", x_bar, xb_df),
+                               ("y_bar", y_bar, yb_df),
+                               ("z_bar", z_bar, zb_df)):
                 a, b = np.asarray(a), np.asarray(b)
                 scale = max(1.0, np.abs(a).max())
                 assert np.abs(a - b).max() / scale < 1e-11, name
