@@ -562,7 +562,11 @@ hpmps_handle *hpmps_read_ex(const char *path, int ignore_quadobj,
     // heuristics: src/mps_reader.cpp:222-256): a COLUMNS card entry is
     // ~25 bytes of text; growth reallocations of three multi-GB vectors
     // were a measurable slice of giant parses.  Gz files assume ~4x
-    // compression.  Cap so a wild guess can't exhaust memory.
+    // compression.  Cap so a wild guess can't exhaust memory.  The
+    // reserved capacity is PRE-FAULTED in parallel (hprlp_parallel_touch,
+    // lane_fill.cpp): page-zero faulting is single-thread-bound on the
+    // target VMs, and the parse loop's push_backs otherwise fault the
+    // whole span serially at ~130 MB/s.
     {
         struct stat st;
         if (stat(path, &st) == 0 && st.st_size > (1 << 20)) {
@@ -574,6 +578,13 @@ hpmps_handle *hpmps_read_ex(const char *path, int ignore_quadobj,
             p.rows_i.reserve(est);
             p.cols_j.reserve(est);
             p.vals.reserve(est);
+            extern void hprlp_parallel_touch(char *, int64_t);
+            hprlp_parallel_touch((char *)p.rows_i.data(),
+                                 (int64_t)(est * sizeof(int64_t)));
+            hprlp_parallel_touch((char *)p.cols_j.data(),
+                                 (int64_t)(est * sizeof(int64_t)));
+            hprlp_parallel_touch((char *)p.vals.data(),
+                                 (int64_t)(est * sizeof(double)));
         }
     }
 
