@@ -82,6 +82,37 @@ def make_problem():
         rng.normal(size=N))
 
 
+def chip_hbm_gbps():
+    """(hbm_gbps, device_kind) for the attached chip (public specs)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    hbm_gbps = 819.0  # v5e default
+    for pat, bw in (("v5p", 2765.0), ("v5 lite", 819.0),
+                    ("v5e", 819.0), ("v6e", 1640.0),
+                    ("v6 lite", 1640.0), ("v4", 1228.0),
+                    ("cpu", 100.0)):
+        if pat in kind:
+            hbm_gbps = bw
+            break
+    return hbm_gbps, kind
+
+
+def model_bytes_per_iter(nnz: int, m: int, n: int,
+                         itemsize: int = 4) -> int:
+    """IDEAL per-iteration HBM traffic of the hot loop at the given
+    element size (4 = f32, 8 = f64/df64 pairs): two SpMVs (vals + i32
+    col indices + gathered x + y/rowptr) plus the elementwise halves'
+    vector traffic (8 n-vectors + 7 m-vectors; solver/chunk.py).  Ideal
+    = no tile padding, so roofline fractions derived from it are
+    conservative lower bounds (bench.py's in-process roofline() measures
+    the ACTUAL attached tile bytes instead)."""
+    spmv_bytes = 2 * (nnz * (itemsize + 4) + nnz * itemsize
+                      + (m + n) * itemsize)
+    vec_bytes = (8 * n + 7 * m) * itemsize
+    return spmv_bytes + vec_bytes
+
+
 def reference_model_its_per_sec(nnz: int, m: int, n: int) -> float:
     """Bandwidth model of the reference hot loop (HPR_cuda_kernels.cu:
     297-427 fused kernels; BASELINE.md grounding): per iteration, two
@@ -151,11 +182,18 @@ def main():
     m_prev = initial_metrics(lp, scal, state)
     obj_c = jnp.asarray(0.0, dtype)
 
+    best_pt = {"x_bar": state.x_bar, "y_bar": state.y_bar, "sigma": sigma}
+
     def superchunk(state, rd, sigma, lam, m_prev, it):
         # stop_tol=0 so the synthetic LP never converges mid-dispatch and
-        # every superchunk runs all N_CHUNKS.
-        return run_superchunk(lp, scal, state, rd, sigma, lam, m_prev,
-                              it, obj_c, 0.0, N_CHUNKS, CHUNK_ITERS)
+        # every superchunk runs all N_CHUNKS.  stall_patience=0: the
+        # bench measures raw steady-state iteration cost.
+        nonlocal best_pt
+        out = run_superchunk(lp, scal, state, rd, sigma, lam, m_prev,
+                             it, obj_c, 0.0, N_CHUNKS, CHUNK_ITERS, 0,
+                             best_pt)
+        best_pt = out[7]
+        return out[:7]
 
     # Warm-up: compile + one superchunk.  A host fetch forces real
     # completion (block_until_ready can return early on experimental PJRT
@@ -198,16 +236,7 @@ def main():
         bytes_per_iter = spmv_bytes(lp.AT) + spmv_bytes(lp.A) + vec_bytes
         achieved_gbps = bytes_per_iter * its_per_sec / 1e9
 
-        # Chip HBM bandwidth by device kind (public specs).
-        kind = jax.devices()[0].device_kind.lower()
-        hbm_gbps = 819.0  # v5e default
-        for pat, bw in (("v5p", 2765.0), ("v5 lite", 819.0),
-                        ("v5e", 819.0), ("v6e", 1640.0),
-                        ("v6 lite", 1640.0), ("v4", 1228.0),
-                        ("cpu", 100.0)):
-            if pat in kind:
-                hbm_gbps = bw
-                break
+        hbm_gbps, kind = chip_hbm_gbps()
         return bytes_per_iter, achieved_gbps, hbm_gbps, kind
 
     baseline = reference_model_its_per_sec(problem.nnz, M, N)

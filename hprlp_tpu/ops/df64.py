@@ -22,8 +22,17 @@ accumulation ... as the high-precision mode"); no reference counterpart
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-_SPLIT = jnp.float32(4097.0)  # 2^12 + 1: Dekker splitter for f32
+# 2^12 + 1: Dekker splitter for f32.  A NUMPY scalar on purpose: a
+# module-level jnp.float32 is a concrete DEVICE array, and because this
+# module is imported lazily from inside traced functions (chunk.py,
+# device_loop.py), that buffer used to materialise MID-TRACE — on the
+# axon TPU backend the resulting superchunk program died with a runtime
+# INVALID_ARGUMENT (round-5 finding: importing df64 before tracing made
+# the identical program run; the only delta was this constant's import-
+# time device placement).  numpy scalars embed as pure HLO constants.
+_SPLIT = np.float32(4097.0)
 
 
 def _san(h, l):
@@ -78,6 +87,20 @@ def add(x, y):
     return _san(*_quick_two_sum(s, e))
 
 
+def add_strict(x, y):
+    """Accurate double-double add (two TwoSums + renormalize): keeps
+    RELATIVE accuracy under catastrophic cancellation, where the sloppy
+    `add` only bounds the ABSOLUTE error (measured 2e-12 relative on the
+    merit norm's near-cancelling w).  Used for scalar decision math; the
+    hot loop keeps the cheaper `add`."""
+    s1, s2 = _two_sum(x[0], y[0])
+    t1, t2 = _two_sum(x[1], y[1])
+    s1, s2 = _san(s1, s2 + t1)
+    s1, s2 = _quick_two_sum(s1, s2)
+    s1, s2 = _san(s1, s2 + t2)
+    return _san(*_quick_two_sum(s1, s2))
+
+
 def neg(x):
     return -x[0], -x[1]
 
@@ -124,3 +147,40 @@ def minimum(x, y):
 def zeros_like(x):
     z = jnp.zeros_like(x[0])
     return z, z
+
+
+def div(x, y):
+    """Pair / pair (long division with two correction terms, the
+    standard double-double algorithm)."""
+    xh, xl = x
+    yh, yl = y
+    q1 = xh / yh
+    r = sub(x, mul((q1, jnp.zeros_like(q1)), y))
+    q2 = r[0] / yh
+    r = sub(r, mul((q2, jnp.zeros_like(q2)), y))
+    q3 = r[0] / yh
+    s, e = _two_sum(q1, q2)
+    s, e = _san(s, e + q3)
+    return _san(*_quick_two_sum(s, e))
+
+
+def sqrt(x):
+    """Pair sqrt: emulated-f64 seed + one pair Newton correction
+    (s + (x - s^2)/(2s)) — full pair precision for non-negative inputs;
+    returns 0 for x <= 0.  The seed deliberately routes through f64
+    jnp.sqrt rather than an all-f32 formulation: the f32-seed variant
+    compiled into a program that failed with a runtime INVALID_ARGUMENT
+    on the TPU backend at some (shape-dependent) programs, and the
+    Newton step erases the seed's error either way.  Decision-scalar
+    cost only — not for the hot loop."""
+    xh, xl = x
+    s64 = jnp.sqrt(jnp.maximum(to64(x), 0.0))
+    sp = from64(s64)
+    d = sub(x, mul(sp, sp))
+    corr = (d[0].astype(s64.dtype)
+            / jnp.maximum(2.0 * s64, jnp.asarray(1e-300, s64.dtype)))
+    out = from64(s64 + corr)
+    zero = jnp.float32(0.0)
+    nonpos = xh <= 0
+    return (jnp.where(nonpos, zero, out[0]),
+            jnp.where(nonpos, zero, out[1]))

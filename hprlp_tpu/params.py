@@ -70,6 +70,14 @@ class Parameters:
     refine_max_stages: int = 6
     refine_stage_tol: float = 1e-6   # per-stage tolerance on the zoomed LP
     refine_zoom_cap: float = 1e12    # max cumulative zoom factor
+    # Stage precision for the refinement driver: "f32" (classic mixed
+    # mode) or "f64" (df64 pair stages).  "f64" is what precision="auto"
+    # routes 1e-8 TPU solves to: the pair REPRESENTATION caps iterate
+    # accuracy at ~2^-48, which on degenerate LP families floors the
+    # direct df64 solve at ~1e-6 KKT (round-5 measurement, transport
+    # family) — zooming the residual problem resets that noise scale
+    # per stage, and the true KKT is certified in host f64.
+    refine_stage_precision: str = "f32"
 
     # Internal: iteration window for stall detection (no new best KKT for
     # this many iterations ends the solve with status "STALLED").  Set by
@@ -77,9 +85,22 @@ class Parameters:
     # semantics).
     stall_window: Optional[int] = None
 
+    # Stall RECOVERY (device-side, run_superchunk): when the KKT error has
+    # not improved by >=3% for this many consecutive checkpoints, force a
+    # restart from best_sigma on an alternating escape ladder.  Breaks the
+    # emulated-f64 restart limit cycle on degenerate structured LPs at
+    # 1e-8 (round-4 diagnosis, docs/ROADMAP.md); dormant on converging
+    # solves (any 3% improvement re-arms the counter).  0 disables.  The
+    # reference needs no such mechanism — its decision scalars are native
+    # f64 (src/main_iterate.cu:367-404).
+    stall_recovery: int = 50
+
     def validate(self) -> None:
         if self.precision not in ("auto", "f32", "f64", "mixed"):
             raise ValueError(f"invalid precision: {self.precision!r}")
+        if self.refine_stage_precision not in ("f32", "f64"):
+            raise ValueError("invalid refine_stage_precision: "
+                             f"{self.refine_stage_precision!r}")
         if self.spmv_backend == "xla":
             self.spmv_backend = "gather"
         if self.spmv_backend not in ("auto", "gather", "dense", "lane"):

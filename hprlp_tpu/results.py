@@ -50,6 +50,9 @@ class Results:
 
     # Restart statistics (reference HPRLP_restart counters).
     restarts: int = 0
+    # Stall-recovery interventions fired (TPU addition, Parameters.
+    # stall_recovery; always 0 on converging solves).
+    stall_recoveries: int = 0
 
     # SpMV backend the solve ran on (gather / dense / lane) — autotune
     # outcome, useful for asserting the fast path was kept (e.g. under a

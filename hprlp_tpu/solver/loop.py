@@ -99,16 +99,20 @@ def resolve_dtype(params: Parameters):
 
 def _route_precision(params: Parameters, backend: str) -> str:
     """Resolve precision="auto" to a concrete mode for this backend:
-    below 1e-5 on accelerators plain f32 stalls, so route to f64 — the
-    compensated double-f32 hot loop (chunk._df64_middle_iters + the df64
-    lane kernel) runs at ~2.15x the f32 per-iteration cost, which beats
-    the mixed refinement driver's extra stage iterations on every
-    instance measured (assignment128 1e-8: f64 1350 iters / 0.27 s vs
-    mixed 13350 iters / 27.9 s).  precision="mixed" (solver/refine.py)
-    remains available explicitly."""
+    below 1e-5 on accelerators plain f32 stalls, so route to the
+    refinement driver with df64 STAGES (refine.py, stage precision
+    "f64"): stage 0 is exactly the direct compensated-pair solve (which
+    beat classic f32-stage mixed on every instance measured —
+    assignment128 1e-8: f64 1350 iters / 0.27 s vs mixed 13350 iters /
+    27.9 s), and instances where the pair representation's ~2^-48 cap
+    floors the direct solve at ~1e-6 KKT (degenerate transport-family
+    LPs, round-5 measurement) hand over to zoomed residual stages that
+    reset the noise scale and certify the true KKT in host f64.
+    precision="f64" (direct) and "mixed" (f32 stages) remain available
+    explicitly."""
     if params.precision == "auto" and backend != "cpu" \
             and params.stop_tol < 1e-5:
-        return "f64"
+        return "mixed"
     return params.precision
 
 
@@ -187,8 +191,14 @@ def solve_problem(problem: LpProblem, params: Parameters | None = None,
         # here would silently leave "auto" -> f32 on accelerators).
         import copy
 
+        was_auto = params.precision == "auto"
         params = copy.copy(params)
         params.precision = precision
+        if precision == "mixed" and was_auto:
+            # Auto-routed refinement runs df64 stages (see
+            # _route_precision); explicit precision="mixed" keeps the
+            # classic f32 stages.
+            params.refine_stage_precision = "f64"
     if precision == "mixed" and _device_data is None:
         from .refine import solve_refined
 
@@ -387,6 +397,10 @@ def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
     check = params.check_iter
 
     metrics_prev = initial_metrics(lp, scal, state)
+    # Stall-recovery best point, threaded across dispatches (always
+    # constructed here so every dispatch shares ONE compiled trace).
+    best_pt = {"x_bar": state.x_bar, "y_bar": state.y_bar,
+               "sigma": sigma_dev}
 
     # Pre-compile the production superchunk variant OUTSIDE the algorithm
     # clock: the reference's loop contains no compilation (CUDA graphs are
@@ -404,7 +418,8 @@ def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
         try:
             run_superchunk.lower(
                 lp, scal, state, rd, sigma_dev, lam_dev, metrics_prev, 0,
-                obj_c_dev, params.stop_tol, n_main, check).compile()
+                obj_c_dev, params.stop_tol, n_main, check,
+                int(params.stall_recovery or 0), best_pt).compile()
         except Exception:
             pass  # compile inside the loop instead (correct, slower)
 
@@ -433,6 +448,7 @@ def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
         out.dual_obj = res.dual_obj
         out.time = elapsed()
         out.restarts = restarts
+        out.stall_recoveries = stall_events
         out.sigma_final = float(sigma_val)
         if out.time4 == 0.0 and first[1e-4]:
             out.iter4, out.time4 = out.iter, out.time
@@ -464,6 +480,7 @@ def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
                 log(f"Residual < {tol:.0e} at iter = {at_it}")
 
     # Iteration-0 bookkeeping.
+    stall_events = 0
     m0 = {k: float(v) for k, v in jax.device_get(metrics_prev).items()}
     res = host_res(m0, 0)
     log(f"{0:5d}    {res.err_Rp:.2e}    {res.err_Rd:.2e}    "
@@ -493,10 +510,12 @@ def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
                               (params.max_iter - it + check - 1) // check))
 
         t_disp = time.perf_counter()
-        state, rd, sigma_dev, lam_dev, metrics_prev, stacked, k_done = \
-            run_superchunk(lp, scal, state, rd, sigma_dev, lam_dev,
-                           metrics_prev, it, obj_c_dev,
-                           params.stop_tol, n_chunks, check)
+        (state, rd, sigma_dev, lam_dev, metrics_prev, stacked, k_done,
+         best_pt) = run_superchunk(lp, scal, state, rd, sigma_dev,
+                                   lam_dev, metrics_prev, it, obj_c_dev,
+                                   params.stop_tol, n_chunks, check,
+                                   int(params.stall_recovery or 0),
+                                   best_pt)
         k_done = int(k_done)
         stacked = {k: np.asarray(v, np.float64)
                    for k, v in jax.device_get(stacked).items()}
@@ -510,6 +529,7 @@ def _solve_problem_impl(problem: LpProblem, params: Parameters | None,
             res = host_res(m_k, it)
             sigma = float(stacked["sigma"][k])
             restarts += int(stacked["flag"][k])
+            stall_events += int(stacked["stall"][k])
             milestones(res, it, t_k)
             if params.verbose and (it % _print_step(it) == 0
                                    or res.kkt < params.stop_tol):

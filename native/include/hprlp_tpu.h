@@ -97,6 +97,20 @@ hprlp_model *hprlp_create_model_from_arrays(
     const double *l, const double *u, const double *c,
     double obj_constant);
 
+/* As hprlp_create_model_from_arrays, but the matrix arrives in CSC
+ * (column-compressed) layout: Ap has n+1 entries, Ai holds ROW indices
+ * (< m), Ax column-major values.  Converted to CSR host-side with a
+ * counting-sort transpose (parity: the reference accepts is_csc in
+ * create_model_from_arrays and transposes, src/HPRLP.cu:354-396 /
+ * src/utils.cu:203 — MATLAB/SciPy CSC consumers need no client-side
+ * transpose). */
+hprlp_model *hprlp_create_model_from_arrays_csc(
+    int64_t m, int64_t n,
+    const int64_t *Ap, const int32_t *Ai, const double *Ax,
+    const double *AL, const double *AU,
+    const double *l, const double *u, const double *c,
+    double obj_constant);
+
 /* Model backed by an MPS file (parsed server-side at solve time). */
 hprlp_model *hprlp_create_model_from_mps(const char *path);
 

@@ -467,6 +467,39 @@ hprlp_model *hprlp_create_model_from_arrays(
     return mod;
 }
 
+hprlp_model *hprlp_create_model_from_arrays_csc(
+    int64_t m, int64_t n, const int64_t *Ap, const int32_t *Ai,
+    const double *Ax, const double *AL, const double *AU, const double *l,
+    const double *u, const double *c, double obj_constant) {
+    /* CSC -> CSR counting-sort transpose (parity: src/HPRLP.cu:354-396,
+     * src/utils.cu:203).  CSC of A == CSR of A^T, so transposing the
+     * (n x m) CSR view yields A's CSR. */
+    auto *mod = new (std::nothrow) hprlp_model();
+    if (!mod) return nullptr;
+    mod->m = m;
+    mod->n = n;
+    const int64_t nnz = Ap[n];
+    mod->Ap.assign((size_t)m + 1, 0);
+    mod->Ai.resize((size_t)nnz);
+    mod->Ax.resize((size_t)nnz);
+    for (int64_t k = 0; k < nnz; ++k) mod->Ap[(size_t)Ai[k] + 1]++;
+    for (int64_t i = 0; i < m; ++i) mod->Ap[i + 1] += mod->Ap[i];
+    std::vector<int64_t> next(mod->Ap.begin(), mod->Ap.end() - 1);
+    for (int64_t j = 0; j < n; ++j)
+        for (int64_t k = Ap[j]; k < Ap[j + 1]; ++k) {
+            const int64_t dst = next[Ai[k]]++;
+            mod->Ai[(size_t)dst] = j;
+            mod->Ax[(size_t)dst] = Ax[k];
+        }
+    mod->AL.assign(AL, AL + m);
+    mod->AU.assign(AU, AU + m);
+    mod->l.assign(l, l + n);
+    mod->u.assign(u, u + n);
+    mod->c.assign(c, c + n);
+    mod->obj_constant = obj_constant;
+    return mod;
+}
+
 hprlp_model *hprlp_create_model_from_mps(const char *path) {
     auto *mod = new (std::nothrow) hprlp_model();
     if (!mod) return nullptr;

@@ -318,3 +318,53 @@ def test_cpp_example_compiles_and_solves(tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr
     assert "status: OPTIMAL" in r.stdout
     assert "OK" in r.stdout
+
+
+def test_ctypes_csc_ingestion():
+    """hprlp_create_model_from_arrays_csc accepts the demo LP's matrix in
+    CSC layout and solves to the same ground truth (parity: the
+    reference's is_csc path, src/HPRLP.cu:354-396 — MATLAB/SciPy CSC
+    consumers need no client-side transpose)."""
+    os.environ.setdefault("HPRLP_TPU_PYTHON", sys.executable)
+    os.environ["HPRLP_TPU_ROOT"] = REPO
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    lib = ct.CDLL(LIB)
+    lib.hprlp_parameters_default.argtypes = [ct.POINTER(_Params)]
+    dp = ct.POINTER(ct.c_double)
+    lib.hprlp_create_model_from_arrays_csc.restype = ct.c_void_p
+    lib.hprlp_create_model_from_arrays_csc.argtypes = [
+        ct.c_int64, ct.c_int64, ct.POINTER(ct.c_int64),
+        ct.POINTER(ct.c_int32), dp, dp, dp, dp, dp, dp, ct.c_double]
+    lib.hprlp_solve.restype = ct.POINTER(_Results)
+    lib.hprlp_solve.argtypes = [ct.c_void_p, ct.POINTER(_Params)]
+    lib.hprlp_free_results.argtypes = [ct.POINTER(_Results)]
+    lib.hprlp_free_model.argtypes = [ct.c_void_p]
+
+    # Demo A = [[1, 2], [3, 1]] in CSC: col0 rows (0,1) vals (1,3);
+    # col1 rows (0,1) vals (2,1).
+    Ap = (ct.c_int64 * 3)(0, 2, 4)
+    Ai = (ct.c_int32 * 4)(0, 1, 0, 1)
+    Ax = (ct.c_double * 4)(1.0, 3.0, 2.0, 1.0)
+    inf = float("inf")
+    AL = (ct.c_double * 2)(-inf, -inf)
+    AU = (ct.c_double * 2)(10.0, 12.0)
+    lo = (ct.c_double * 2)(0.0, 0.0)
+    hi = (ct.c_double * 2)(inf, inf)
+    c = (ct.c_double * 2)(-3.0, -5.0)
+    model = lib.hprlp_create_model_from_arrays_csc(
+        2, 2, Ap, Ai, Ax, AL, AU, lo, hi, c, 0.0)
+    assert model
+
+    p = _Params()
+    lib.hprlp_parameters_default(ct.byref(p))
+    p.stop_tol = 1e-6
+    p.precision = b"f64"
+    res = lib.hprlp_solve(model, ct.byref(p))
+    assert res, lib.hprlp_last_error()
+    r = res.contents
+    assert r.status == b"OPTIMAL"
+    assert abs(r.primal_obj - (-26.4)) < 1e-2
+    x = np.ctypeslib.as_array(r.x, shape=(r.n,)).copy()
+    np.testing.assert_allclose(x, [2.8, 3.6], atol=1e-3)
+    lib.hprlp_free_results(res)
+    lib.hprlp_free_model(model)

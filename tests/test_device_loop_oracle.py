@@ -342,3 +342,52 @@ def test_batched_decide_matches_single_memberwise():
 
         metrics = m_next
         it += CHECK
+
+
+def test_pair_merit_norm_matches_native_f64():
+    """_m_norm_dev_pair (df64 pair arithmetic, used for TPU-f64 restart
+    decisions) must match the native-f64 _m_norm_dev to ~2^-45 across
+    the HPR-realistic scalar ranges (sigma up to 1e6, mixed-sign dots,
+    the negative-norm lambda branch).  On CPU both run in true f64, so
+    this pins the pair algebra itself.  Bound: pair precision is ~2^-48;
+    the w sum legitimately cancels up to ~10^3x on HPR merit inputs, so
+    the observed worst case is ~7e-13 (still 40x tighter than the
+    ~1e-11-per-chain emulated-f64 error this path replaces, and the
+    restart thresholds are 0.2/0.6 ratios — decisions flip only within
+    ~1e-12 of a threshold)."""
+    from hprlp_tpu.solver.device_loop import _m_norm_dev, _m_norm_dev_pair
+
+    rng = np.random.default_rng(42)
+    for trial in range(500):
+        sigma = float(rng.lognormal(np.log(10.0) * rng.uniform(-2, 6), 1))
+        lam = float(rng.lognormal(1, 2))
+        s = 10.0 ** rng.uniform(-12, 4)
+        dy2 = float(rng.lognormal(0, 1)) * s
+        dx2 = float(rng.lognormal(0, 1)) * s
+        sign = -1.0 if trial % 3 == 0 else 1.0
+        dot = sign * float(rng.lognormal(0, 1)) * s * (
+            3.0 if sign < 0 else 0.3)
+        args = [jnp.asarray(v, jnp.float64)
+                for v in (sigma, lam, dot, dy2, dx2)]
+        n0, l0 = _m_norm_dev(*args)
+        n1, l1 = _m_norm_dev_pair(*args)
+        assert float(n0) == pytest.approx(float(n1), rel=5e-12,
+                                          abs=1e-300), trial
+        assert float(l0) == pytest.approx(float(l1), rel=5e-12), trial
+
+
+def test_df64_div_sqrt():
+    from hprlp_tpu.ops import df64 as dd
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.lognormal(0, 5, 1000))
+    y = jnp.asarray(rng.lognormal(0, 5, 1000))
+    q = dd.to64(dd.div(dd.from64(x), dd.from64(y)))
+    np.testing.assert_allclose(np.asarray(q), np.asarray(x / y),
+                               rtol=1e-13)
+    r = dd.to64(dd.sqrt(dd.from64(x)))
+    np.testing.assert_allclose(np.asarray(r), np.sqrt(np.asarray(x)),
+                               rtol=1e-13)
+    # sqrt of non-positive clamps to zero (merit-norm guard semantics).
+    z = dd.to64(dd.sqrt(dd.from64(jnp.asarray([-1.0, 0.0]))))
+    np.testing.assert_array_equal(np.asarray(z), [0.0, 0.0])

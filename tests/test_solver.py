@@ -328,7 +328,10 @@ class TestPrecisionRouting:
         from hprlp_tpu.solver.loop import _route_precision
 
         p = Parameters(stop_tol=1e-8, precision="auto")
-        assert _route_precision(p, "tpu") == "f64"
+        # 1e-8 on accelerators routes to the refinement driver (df64
+        # stages — solve_problem also flips refine_stage_precision to
+        # "f64" for auto-routed solves).
+        assert _route_precision(p, "tpu") == "mixed"
         assert _route_precision(p, "cpu") == "auto"
         p4 = Parameters(stop_tol=1e-4, precision="auto")
         assert _route_precision(p4, "tpu") == "auto"
@@ -355,11 +358,21 @@ class TestPrecisionRouting:
             return Results()
 
         monkeypatch.setattr(loop_mod, "_solve_problem_impl", fake_impl)
+
+        def fake_refined(problem, params, x0=None, y0=None):
+            seen["precision"] = params.precision
+            seen["stage_precision"] = params.refine_stage_precision
+            from hprlp_tpu.results import Results
+            return Results()
+
+        import hprlp_tpu.solver.refine as refine_mod
+        monkeypatch.setattr(refine_mod, "solve_refined", fake_refined)
         from tests.conftest import random_lp
         prob = random_lp(0, m=5, n=8)
         loop_mod.solve_problem(
             prob, Parameters(stop_tol=1e-8, precision="auto"))
-        assert seen["precision"] == "f64"
+        assert seen["precision"] == "mixed"
+        assert seen["stage_precision"] == "f64"
 
 
 class TestInputValidation:
@@ -653,3 +666,26 @@ def test_presolve_overlap_reuses_or_discards_giant_ingest(monkeypatch):
     assert res2.status == "OPTIMAL"
     np.testing.assert_allclose(res2.primal_obj, ref2.primal_obj,
                                rtol=1e-3)
+
+
+def test_presolve_budget_clipped_to_time_limit(demo_lp, monkeypatch):
+    """The presolve wall budget is the 60 s default clipped to the
+    solver's time limit (parity: src/pslp_integration.cpp:232-234 — a
+    time_limit=5 solve must not burn the 60 s presolve default)."""
+    import hprlp_tpu.presolve as ps
+    from hprlp_tpu.model import solve_with_presolve
+
+    seen = {}
+    orig = ps.presolve_problem
+
+    def spy(problem, **kw):
+        seen.update(kw)
+        return orig(problem, **kw)
+
+    monkeypatch.setattr(ps, "presolve_problem", spy)
+    prob = demo_lp
+    solve_with_presolve(prob, Parameters(verbose=False, time_limit=5.0))
+    assert seen.get("max_time") == 5.0
+    seen.clear()
+    solve_with_presolve(prob, Parameters(verbose=False))  # default 3600
+    assert seen.get("max_time") == 60.0
