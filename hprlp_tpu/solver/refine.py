@@ -107,6 +107,13 @@ def solve_refined(problem: LpProblem, params: Parameters,
     out = Results()
     best = None  # (kkt, x, y, z, metrics)
     total_iter = 0
+    # Algorithm clock: sum of the stages'/tail's own solve clocks (each
+    # excludes setup/scaling/autotune/power/compile, reference parity
+    # src/HPRLP.cu:141-178).  Wall time still governs the time budget;
+    # out.time reports this clock so refined solves stay comparable to
+    # direct ones (a stage's setup+compile was inflating solve_time 0.3
+    # -> 16 s on assignment128).
+    alg_time = 0.0
     restarts = 0
     first = {1e-4: True, 1e-6: True, 1e-8: True}
     res = None
@@ -151,7 +158,14 @@ def solve_refined(problem: LpProblem, params: Parameters,
                 zoom * (problem.AL - Ax), zoom * (problem.AU - Ax),
                 zoom * (problem.l - x), zoom * (problem.u - x),
                 problem.c)
-            res = solve_problem(sub, stage_params)
+            # f64 stages warm-start the sub's DUAL at the incumbent y:
+            # the sub shares the parent's dual geometry (cost unchanged),
+            # and on degenerate instances a cold dual never re-forms on
+            # TPU (measured: the multicommodity stage-1 sub stalls at
+            # gap 0.3 cold vs 2.4e-3 y-warm — and stages compound, so a
+            # mediocre warm stage still divides the true KKT by ~zoom).
+            res = solve_problem(sub, stage_params,
+                                y0=y if f64_stages else None)
             if res.x is None or res.status == "ERROR":
                 break
             x = np.clip(x + res.x / zoom, problem.l, problem.u)
@@ -162,6 +176,11 @@ def solve_refined(problem: LpProblem, params: Parameters,
             stage_params.spmv_backend = res.spmv_backend
         total_iter += res.iter
         restarts += res.restarts
+        alg_time += res.time
+        out.setup_time += res.setup_time
+        out.scaling_time += res.scaling_time
+        out.power_time += res.power_time
+        out.autotune_time += res.autotune_time
 
         if f64_stages:
             # Host-exact dual repair: at optimality stationarity defines
@@ -179,7 +198,7 @@ def solve_refined(problem: LpProblem, params: Parameters,
             f"stage_iter={res.iter} kkt={kkt:.3e} "
             f"(Rp={metrics['err_Rp']:.1e} Rd={metrics['err_Rd']:.1e} "
             f"gap={metrics['rel_gap']:.1e})")
-        note_milestones(kkt, time.perf_counter() - t_start)
+        note_milestones(kkt, alg_time)
 
         # f64 stages taper more gently near the dual floor — keep
         # zooming while a stage still buys >= 10% (the f32 stages keep
@@ -198,7 +217,7 @@ def solve_refined(problem: LpProblem, params: Parameters,
     if best is None:
         # Time budget expired before the first stage finished.
         out.status = "TIME_LIMIT" if res is None else res.status
-        out.time = time.perf_counter() - t_start
+        out.time = alg_time
         if res is not None and res.x is not None:
             out.x, out.y, out.z = res.x, res.y, res.z
             out.iter = res.iter
@@ -257,9 +276,10 @@ def solve_refined(problem: LpProblem, params: Parameters,
                 break
             total_iter += res_t.iter
             restarts += res_t.restarts
+            alg_time += res_t.time
             yt, zt = _project_duals(problem, A, res_t.y, res_t.z)
             mt = problem.kkt_error(res_t.x, yt, zt)
-            note_milestones(mt["kkt"], time.perf_counter() - t_start)
+            note_milestones(mt["kkt"], alg_time)
             if mt["kkt"] < kkt:
                 kkt, x, y, z, metrics = (mt["kkt"], res_t.x, yt, zt, mt)
             status = ("OPTIMAL" if kkt < target
@@ -269,7 +289,7 @@ def solve_refined(problem: LpProblem, params: Parameters,
 
     out.status = status
     out.iter = total_iter
-    out.time = time.perf_counter() - t_start
+    out.time = alg_time
     out.x, out.y, out.z = x, y, z
     out.primal_obj = metrics["primal_obj"]
     out.dual_obj = metrics["dual_obj"]
