@@ -219,6 +219,10 @@ def run_single(problem, tol, time_limit, max_iter=500_000,
     p = Parameters(verbose=False, stop_tol=tol, time_limit=time_limit,
                    max_iter=max_iter, precision=precision,
                    mesh_shape=mesh_shape)
+    if mesh_shape:
+        from hprlp_tpu.ops import sparse as _sparse
+
+        _sparse.sharded_build_stats_log.clear()
     t0 = time.perf_counter()
     res = Model(problem).solve(p)
     wall = time.perf_counter() - t0
@@ -244,7 +248,27 @@ def run_single(problem, tol, time_limit, max_iter=500_000,
                                itemsize)
     hbm_gbps, kind = chip_hbm_gbps()
     achieved_gbps = bpi * its_per_sec / 1e9
+    mesh_mem = {}
+    if mesh_shape:
+        from hprlp_tpu.ops import sparse as _sparse
+
+        entries = _sparse.sharded_build_stats_log
+        if entries:
+            # Per-device tile memory vs the unpadded total (= the
+            # single-device layout of the same routing) — the giant-mesh
+            # memory evidence (BASELINE config 5).
+            per_dev = sum(e["per_device_tile_bytes"] for e in entries)
+            unpadded = sum(e["unpadded_tile_bytes"] for e in entries)
+            mesh_mem = {
+                "mesh_per_device_tile_bytes": per_dev,
+                "mesh_total_tile_bytes": sum(e["total_tile_bytes"]
+                                             for e in entries),
+                "mesh_unpadded_tile_bytes": unpadded,
+                "mesh_per_device_frac_of_single":
+                    per_dev / unpadded if unpadded else 0.0,
+            }
     return {
+        **mesh_mem,
         "m": problem.m, "n": problem.n, "nnz": problem.nnz,
         "mesh_shape": mesh_shape,
         "status": res.status, "iter": res.iter, "solve_time": res.time,
@@ -480,6 +504,15 @@ def main():
         s = args.giant_mesh_scale
         mm = max(int(1572864 * s) // (256 * n_dev) * 256 * n_dev,
                  256 * n_dev)
+        # The giant LANE-FIRST ingest (host scaling + chunk-sharded
+        # tile upload, _build_sharded_lane) is the path under test;
+        # setting the env threshold unlocks it on CPU backends (virtual
+        # meshes) and keeps small --giant-mesh-scale smokes on the same
+        # path as the full-scale run.
+        nnz_est = mm * 72
+        os.environ.setdefault(
+            "HPRLP_GIANT_LANE_FIRST_NNZ",
+            str(min(20_000_000, max(1, int(nnz_est * 0.8)))))
         record(f"banded_giant_mesh{n_dev}_1e-4",
                lambda: run_single(
                    banded_lp(mm, 2 * mm, 72, 16384, 5),

@@ -308,7 +308,41 @@ def _build_sharded_lane(A: EllMatrix, rows_p, cols_p, vals, dtype,
 
     packed_a = assemble("aligned", 0)
     packed_t = assemble("thin", 1)
+
+    # Memory accounting for the giant-mesh evidence (BASELINE config 5):
+    # bytes of one device's tile shard (C_max-padded) vs the unpadded
+    # total (= what a single-device layout of the same routing holds).
+    # Read by benchmarks/run.py after a mesh solve.
+    def kind_bytes(C, kind):
+        if C == 0:
+            return 0
+        per_chunk = (SUBBLOCKS * LANES * LANES
+                     * (2                      # idx1t + idx2 (i8)
+                        + (8 if df64 else 4))  # vals (+ vals_lo)
+                     + SUBBLOCKS * 4 + 4)      # gbase + wid
+        if kind == "thin":
+            per_chunk += SUBBLOCKS * LANES * LANES  # invt (i8)
+        return C * per_chunk
+
+    unpadded = int(sum(kind_bytes(int(counts[g, j]), kind)
+                       for g in range(n_dev)
+                       for j, kind in enumerate(("aligned", "thin"))))
+    per_device = int(kind_bytes(int(C_max[0]), "aligned")
+                     + kind_bytes(int(C_max[1]), "thin"))
+    sharded_build_stats_log.append({
+        "n_devices": int(n_dev),
+        "per_device_tile_bytes": per_device,
+        "total_tile_bytes": per_device * int(n_dev),
+        "unpadded_tile_bytes": unpadded,
+    })
     return packed_a, packed_t, phi
+
+
+# One entry per _build_sharded_lane call (a mesh solve appends two: A
+# then AT).  benchmarks/run.py clears it before a mesh solve and sums
+# the entries for the giant-mesh memory evidence (BASELINE config 5:
+# per-device tile bytes ~ 1/N of the single-device layout).
+sharded_build_stats_log: list = []
 
 
 def attach_lane(A: EllMatrix, coo=None, route=None) -> EllMatrix:

@@ -115,6 +115,7 @@ def solve_refined(problem: LpProblem, params: Parameters,
     # -> 16 s on assignment128).
     alg_time = 0.0
     restarts = 0
+    retries = 0  # consecutive regressed f64 stages (zoom damping)
     first = {1e-4: True, 1e-6: True, 1e-8: True}
     res = None
 
@@ -142,8 +143,15 @@ def solve_refined(problem: LpProblem, params: Parameters,
             zoom = 1.0
         else:
             kkt_prev = best[0]
+            # retries > 0: a previous stage at full zoom REGRESSED — the
+            # incumbent was restored below; damp the zoom exponent
+            # (sqrt, then 4th root) so the gentler sub stays solvable
+            # (measured: staircase stage 2 at zoom 4.5e6 regressed
+            # 2.2e-8 -> 8.5e-8 where stage 1's ~100x-per-stage gain
+            # pattern suggests zoom ~2e3 suffices).
             zoom = min(params.refine_zoom_cap,
-                       max(1.0, 0.1 / max(kkt_prev, 1e-300)))
+                       max(1.0, (0.1 / max(kkt_prev, 1e-300))
+                           ** (0.5 ** retries)))
             Ax = A @ x
             # NOTE (round-5 negative result, do not retry): a Gleixner-
             # style primal-DUAL sub (cost = zoom * (c - A'y - z), stitch
@@ -209,7 +217,17 @@ def solve_refined(problem: LpProblem, params: Parameters,
                    and kkt > stall_factor * best[0])
         if best is None or kkt < best[0]:
             best = (kkt, x.copy(), y.copy(), z.copy(), metrics)
-        if kkt < target or stalled:
+            retries = 0
+        if kkt < target:
+            break
+        if stalled and f64_stages and retries < 2:
+            # Restore the incumbent (the regressed point must not seed
+            # the next sub's residuals) and retry at a damped zoom.
+            retries += 1
+            _, x, y, z, _ = best
+            x, y, z = x.copy(), y.copy(), z.copy()
+            continue
+        if stalled:
             break
         if not f64_stages and best[0] < F32_CERT_FLOOR:
             break  # below what f32 stages can certify; tail decides
