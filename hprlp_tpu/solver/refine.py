@@ -116,6 +116,7 @@ def solve_refined(problem: LpProblem, params: Parameters,
     alg_time = 0.0
     restarts = 0
     retries = 0  # consecutive regressed f64 stages (zoom damping)
+    last_sub_sigma = 0.0
     first = {1e-4: True, 1e-6: True, 1e-8: True}
     res = None
 
@@ -172,8 +173,21 @@ def solve_refined(problem: LpProblem, params: Parameters,
             # TPU (measured: the multicommodity stage-1 sub stalls at
             # gap 0.3 cold vs 2.4e-3 y-warm — and stages compound, so a
             # mediocre warm stage still divides the true KKT by ~zoom).
-            res = solve_problem(sub, stage_params,
-                                y0=y if f64_stages else None)
+            # Retries must change something MATERIAL: the scaling
+            # pipeline normalises the zoom away, so a re-zoomed sub
+            # alone re-solves bit-identically (measured: multicommodity
+            # stages 2-4 at zooms 2.7e5/5.2e2/23 returned the same
+            # kkt to 16 digits).  Retry 1 resumes the regressed sub's
+            # ADAPTED sigma; retry 2 goes cold-dual.
+            y0_stage = y if f64_stages else None
+            sig0 = None
+            if f64_stages and retries == 1 and last_sub_sigma:
+                sig0 = last_sub_sigma
+            elif f64_stages and retries >= 2:
+                y0_stage = None
+            res = solve_problem(sub, stage_params, y0=y0_stage,
+                                sigma0=sig0)
+            last_sub_sigma = res.sigma_final
             if res.x is None or res.status == "ERROR":
                 break
             x = np.clip(x + res.x / zoom, problem.l, problem.u)

@@ -17,9 +17,11 @@
 #include <cctype>
 #include <cmath>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <deque>
 #include <limits>
+#include <memory>
 #include <string>
 #include <string_view>
 #include <thread>
@@ -27,6 +29,10 @@
 #include <vector>
 
 #include <sys/stat.h>
+
+// lane_fill.cpp: parallel first-touch of fresh allocations (page-zero
+// faulting is single-thread-bound on the target VMs).
+extern "C" void hprlp_parallel_touch(char *, int64_t);
 
 namespace {
 
@@ -43,15 +49,54 @@ constexpr double NaN = std::numeric_limits<double>::quiet_NaN();
 class LineReader {
   public:
     explicit LineReader(const char *path) {
+        // PLAIN files above a threshold load fully into memory: lines
+        // become direct views (no block memmove), and the COLUMNS
+        // section — the giant-parse hot loop — can then be parsed in
+        // PARALLEL over line-aligned chunks (parse_columns_parallel).
+        // gz streams keep the block reader (decompression is inherently
+        // serial and dominates anyway).
+        struct stat st;
+        const size_t len = std::strlen(path);
+        const bool is_gz = len > 3 && !std::strcmp(path + len - 3, ".gz");
+        const char *thr = std::getenv("HPRLP_MPS_PARALLEL_MIN_BYTES");
+        const size_t min_sz = thr ? (size_t)std::atoll(thr) : (32u << 20);
+        if (!is_gz && stat(path, &st) == 0 && (size_t)st.st_size >= min_sz) {
+            if (FILE *fp = std::fopen(path, "rb")) {
+                const size_t sz = (size_t)st.st_size;
+                mem_.reset(new (std::nothrow) char[sz]);
+                if (mem_) {
+                    hprlp_parallel_touch(mem_.get(), (int64_t)sz);
+                    mem_len_ = std::fread(mem_.get(), 1, sz, fp);
+                    mem_mode_ = true;
+                }
+                std::fclose(fp);
+                if (mem_mode_) return;
+            }
+        }
         gz_ = gzopen(path, "rb");  // zlib reads uncompressed files too
         buf_.resize(1 << 20);
     }
     ~LineReader() {
         if (gz_) gzclose(gz_);
     }
-    bool ok() const { return gz_ != nullptr; }
+    bool ok() const { return mem_mode_ || gz_ != nullptr; }
+
+    bool mem_mode() const { return mem_mode_; }
+    size_t tell() const { return pos_; }       // mem mode only
+    void seek(size_t p) { pos_ = p; }          // mem mode only
+    std::string_view mem() const { return {mem_.get(), mem_len_}; }
 
     bool getline(std::string_view &out) {
+        if (mem_mode_) {
+            if (pos_ >= mem_len_) return false;
+            const char *base = mem_.get();
+            const char *nl = (const char *)std::memchr(
+                base + pos_, '\n', mem_len_ - pos_);
+            const size_t eol = nl ? (size_t)(nl - base) : mem_len_;
+            out = trim_cr(base + pos_, eol - pos_);
+            pos_ = nl ? eol + 1 : mem_len_;
+            return true;
+        }
         while (true) {
             if (pos_ < len_) {
                 const char *base = buf_.data();
@@ -111,6 +156,9 @@ class LineReader {
 
     gzFile gz_ = nullptr;
     std::vector<char> buf_;
+    std::unique_ptr<char[]> mem_;   // mem mode: the whole file
+    size_t mem_len_ = 0;
+    bool mem_mode_ = false;
     size_t pos_ = 0, len_ = 0;
     bool eof_ = false;
     bool bad_ = false;
@@ -390,6 +438,165 @@ struct Parser {
     }
 };
 
+/* Parallel COLUMNS parse (mem-mode reader only).
+ *
+ * The COLUMNS section dominates giant parses (~nnz cards; the round-4
+ * profile measured the single-threaded tokenizer loop as the new
+ * bottleneck at 31.5 MB/s).  Three passes:
+ *
+ *   1. one memchr sweep records line starts and finds the section end
+ *      (the first column-0 non-space, non-'*' line);
+ *   2. a SERIAL prepass assigns variable ids in first-appearance order
+ *      (get_var mutates var_index/name_arena — ids must match the
+ *      serial reader exactly) while only peeking at the first tokens;
+ *   3. the full tokenize + number-parse + row-lookup work — the
+ *      expensive part — runs on threads over line-aligned chunks into
+ *      per-thread COO arenas, merged in chunk order so the triplet
+ *      order is bit-identical to the serial parse.  con_index/var_index
+ *      are read-only in this pass.
+ *
+ * On a malformed number the earliest offending line wins (serial parity:
+ * FORMAT_ERROR status; the model is discarded either way). */
+void parse_columns_parallel(Parser &p, LineReader &rd, bool fixed_format) {
+    const std::string_view mem = rd.mem();
+    const size_t start = rd.tell();
+
+    // Pass 1: line starts + section end.
+    std::vector<std::pair<uint64_t, uint32_t>> lines;  // (offset, length)
+    lines.reserve((mem.size() - start) / 24);
+    size_t pos = start;
+    size_t section_end = mem.size();
+    while (pos < mem.size()) {
+        const char c0 = mem[pos];
+        const char *nl = (const char *)std::memchr(
+            mem.data() + pos, '\n', mem.size() - pos);
+        const size_t eol = nl ? (size_t)(nl - mem.data()) : mem.size();
+        if (c0 != ' ' && c0 != '\t' && c0 != '*' && c0 != '\r'
+            && c0 != '\n') {
+            section_end = pos;  // next section header
+            break;
+        }
+        size_t len = eol - pos;
+        while (len && (mem[pos + len - 1] == '\r')) --len;
+        if (len) lines.emplace_back(pos, (uint32_t)len);
+        pos = nl ? eol + 1 : mem.size();
+    }
+
+    // Pass 2: serial variable-id prepass.
+    std::vector<int64_t> vids(lines.size(), -1);
+    {
+        std::vector<std::string_view> f;
+        for (size_t i = 0; i < lines.size(); ++i) {
+            std::string_view line(mem.data() + lines[i].first,
+                                  lines[i].second);
+            size_t ns = line.find_first_not_of(" \t");
+            if (ns == std::string_view::npos || line[ns] == '*') continue;
+            if (fixed_format) {
+                split_fixed(line, f);
+                if (f.size() >= 3 && eq_ci_unquoted(f[1], "MARKER"))
+                    continue;
+                if (f.size() < 3) continue;
+                vids[i] = p.get_var(f[0]);
+            } else {
+                // Peek the first three tokens without a full split.
+                std::string_view t[3];
+                size_t k = 0, q = 0;
+                const size_t n = line.size();
+                while (q < n && k < 3) {
+                    while (q < n && std::isspace((unsigned char)line[q]))
+                        ++q;
+                    size_t a = q;
+                    while (q < n && !std::isspace((unsigned char)line[q]))
+                        ++q;
+                    if (q > a) t[k++] = line.substr(a, q - a);
+                }
+                if (k >= 3 && eq_ci_unquoted(t[1], "MARKER")) continue;
+                if (k < 3) continue;
+                vids[i] = p.get_var(t[0]);
+            }
+        }
+    }
+
+    // Pass 3: parallel tokenize/parse into per-thread arenas.
+    unsigned nt = std::thread::hardware_concurrency();
+    if (nt == 0) nt = 1;
+    nt = std::min<unsigned>(std::min<size_t>(nt, 16),
+                            (unsigned)std::max<size_t>(lines.size() / 4096,
+                                                       1));
+    struct Arena {
+        std::vector<int64_t> rows, cols;
+        std::vector<double> vals;
+        std::vector<std::pair<int64_t, double>> obj;
+        size_t err_line = SIZE_MAX;
+        std::string err;
+    };
+    std::vector<Arena> arenas(nt);
+    auto worker = [&](unsigned t) {
+        Arena &ar = arenas[t];
+        const size_t lo = lines.size() * t / nt;
+        const size_t hi = lines.size() * (t + 1) / nt;
+        ar.rows.reserve((hi - lo) * 2);
+        ar.cols.reserve((hi - lo) * 2);
+        ar.vals.reserve((hi - lo) * 2);
+        std::vector<std::string_view> f;
+        for (size_t i = lo; i < hi; ++i) {
+            if (vids[i] < 0) continue;
+            std::string_view line(mem.data() + lines[i].first,
+                                  lines[i].second);
+            if (fixed_format) split_fixed(line, f);
+            else split(line, f);
+            const int64_t j = vids[i];
+            for (size_t k = 1; k + 1 < f.size(); k += 2) {
+                double val;
+                if (!parse_num(f[k + 1], val)) {
+                    if (i < ar.err_line) {
+                        ar.err_line = i;
+                        ar.err = "bad number '" + std::string(f[k + 1])
+                                 + "' in COLUMNS";
+                    }
+                    break;
+                }
+                const int64_t *rp = p.con_index.find(f[k]);
+                if (!rp) continue;
+                const int64_t row = *rp;
+                if (row == 0) ar.obj.emplace_back(j, val);
+                else if (row > 0) {
+                    ar.rows.push_back(row - 1);
+                    ar.cols.push_back(j);
+                    ar.vals.push_back(val);
+                }
+            }
+        }
+    };
+    if (nt == 1) {
+        worker(0);
+    } else {
+        std::vector<std::thread> ts;
+        for (unsigned t = 0; t < nt; ++t) ts.emplace_back(worker, t);
+        for (auto &th : ts) th.join();
+    }
+
+    // Merge in chunk order (triplet order == serial order).
+    size_t add = 0;
+    for (const Arena &ar : arenas) add += ar.vals.size();
+    p.rows_i.reserve(p.rows_i.size() + add);
+    p.cols_j.reserve(p.cols_j.size() + add);
+    p.vals.reserve(p.vals.size() + add);
+    size_t best_err = SIZE_MAX;
+    for (const Arena &ar : arenas) {
+        p.rows_i.insert(p.rows_i.end(), ar.rows.begin(), ar.rows.end());
+        p.cols_j.insert(p.cols_j.end(), ar.cols.begin(), ar.cols.end());
+        p.vals.insert(p.vals.end(), ar.vals.begin(), ar.vals.end());
+        for (const auto &jv : ar.obj) p.cvec[jv.first] += jv.second;
+        if (ar.err_line < best_err) {
+            best_err = ar.err_line;
+            p.status = HPMPS_FORMAT_ERROR;
+            p.error = ar.err;
+        }
+    }
+    rd.seek(section_end);
+}
+
 }  // namespace
 
 struct hpmps_handle {
@@ -635,7 +842,14 @@ hpmps_handle *hpmps_read_ex(const char *path, int ignore_quadobj,
                     pending_objsense = true;
                 }
             } else if (head == "ROWS") sec = ROWS;
-            else if (head == "COLUMNS") sec = COLUMNS;
+            else if (head == "COLUMNS") {
+                sec = COLUMNS;
+                if (rd.mem_mode()) {
+                    // Hot section, whole file in memory: parse it in
+                    // parallel and resume at the next section header.
+                    parse_columns_parallel(p, rd, fixed_format);
+                }
+            }
             else if (head == "RHS") sec = RHS;
             else if (head == "RANGES") sec = RANGES;
             else if (head == "BOUNDS") sec = BOUNDS;
