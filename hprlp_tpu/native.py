@@ -119,6 +119,11 @@ def _configure(lib):
     lib.hprlp_sort_index_u64.restype = ct.c_int
     lib.hprlp_sort_index_u64.argtypes = [_u64p, ct.c_int64, _i64p]
 
+    lib.hprlp_gather_i64.restype = None
+    lib.hprlp_gather_i64.argtypes = [_i64p, _i64p, ct.c_int64, _i64p]
+    lib.hprlp_gather_f64.restype = None
+    lib.hprlp_gather_f64.argtypes = [_f64p, _i64p, ct.c_int64, _f64p]
+
     lib.hpres_balance_cells.restype = ct.c_int64
     lib.hpres_balance_cells.argtypes = [
         ct.c_int64, _i64p, _i32p, ct.c_int64, _i64p, _i32p, _i32p, _i32p,

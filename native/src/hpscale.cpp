@@ -481,3 +481,39 @@ extern "C" int hprlp_sort_index_u64(const uint64_t *keys, int64_t n,
     for (auto &th : pool) th.join();
     return 0;
 }
+
+/* Parallel permutation gathers for the lane schedulers: out[i] =
+ * src[idx[i]].  numpy fancy indexing holds the GIL and runs single-
+ * threaded — at giant nnz the three reorder gathers after the schedule
+ * sort were a measurable serial slice (round-5 profile: ~2.5 s of a
+ * ~10 s thin schedule at 28M nnz on a 4-core host). */
+namespace {
+template <typename T>
+void gather_par(const T *src, const int64_t *idx, int64_t n, T *out) {
+    if (n <= 0) return;
+    unsigned hw = std::thread::hardware_concurrency();
+    unsigned nt = std::min<unsigned>(hw ? hw : 1, 16);
+    if (n < (1 << 18) || nt <= 1) {
+        for (int64_t i = 0; i < n; ++i) out[i] = src[idx[i]];
+        return;
+    }
+    std::vector<std::thread> ts;
+    for (unsigned t = 0; t < nt; ++t) {
+        const int64_t lo = n * t / nt, hi = n * (t + 1) / nt;
+        ts.emplace_back([=] {
+            for (int64_t i = lo; i < hi; ++i) out[i] = src[idx[i]];
+        });
+    }
+    for (auto &th : ts) th.join();
+}
+}  // namespace
+
+extern "C" void hprlp_gather_i64(const int64_t *src, const int64_t *idx,
+                                 int64_t n, int64_t *out) {
+    gather_par(src, idx, n, out);
+}
+
+extern "C" void hprlp_gather_f64(const double *src, const int64_t *idx,
+                                 int64_t n, double *out) {
+    gather_par(src, idx, n, out);
+}
