@@ -285,14 +285,35 @@ def build_device_problem(problem: LpProblem, dtype=jnp.float32,
             phis=phis_AT)
         w_al = sA["aligned_sb"] + sAT["aligned_sb"]
         w_cost = sA["total_cost"] + sAT["total_cost"]
-        if w_al < 0.2 * max(w_cost, 1):
+        # TOTAL-TIME decision (round-5): skipping the balance passes
+        # trades at most the modeled solve-cost difference for the
+        # balance passes' wall time.  The generous saving BOUND below
+        # assumes balancing could eliminate the routed cost entirely
+        # (it cannot — measured best case ~35% sub-block reduction);
+        # the balance estimate is per-entry, calibrated mid-range
+        # between the banded (1.0 us/nnz) and uniform (12 us/nnz)
+        # round-4 measurements.  Expected solve length defaults to
+        # 2000 iterations (HPRLP_LAYOUT_EXPECTED_ITERS overrides, e.g.
+        # for repeated warm-started re-solves of one model).
+        SUBBLOCK_S = 0.3e-6        # measured pair kernel us/sub-block
+        BAL_S_PER_NNZ = 5e-6
+        exp_iters = float(_os.environ.get(
+            "HPRLP_LAYOUT_EXPECTED_ITERS", "2000"))
+        saving_bound_s = w_cost * SUBBLOCK_S * exp_iters
+        balance_est_s = nnz_tot * BAL_S_PER_NNZ
+        thin_dominant = w_al < 0.2 * max(w_cost, 1)
+        if thin_dominant or balance_est_s > saving_bound_s:
             skip_balance = True
             route_A = (mask_A, phi_A, sA)
             route_AT = (mask_AT, phi_AT, sAT)
             if _verbose:
-                print(f"[layout] thin-dominant (aligned {w_al} / "
-                      f"{w_cost}): skipping window/residue balance",
-                      file=_sys.stderr, flush=True)
+                why = ("thin-dominant" if thin_dominant
+                       else "balance cost exceeds solve-saving bound")
+                print(f"[layout] {why} (aligned {w_al} / {w_cost}; "
+                      f"balance est {balance_est_s:.0f} s > saving "
+                      f"bound {saving_bound_s:.0f} s at "
+                      f"{exp_iters:.0f} iters): skipping window/"
+                      f"residue balance", file=_sys.stderr, flush=True)
 
     if skip_balance:
         plan_A_bal, plan_AT_bal = plan_A, plan_AT
