@@ -689,3 +689,23 @@ def test_presolve_budget_clipped_to_time_limit(demo_lp, monkeypatch):
     seen.clear()
     solve_with_presolve(prob, Parameters(verbose=False))  # default 3600
     assert seen.get("max_time") == 60.0
+
+
+def test_refine_f64_stages_driver(demo_lp):
+    """The df64-stage refinement driver (what precision="auto" routes
+    1e-8 accelerator solves to): stage 0 is a direct f64 solve; on a
+    converging instance it certifies in one stage with the summed
+    algorithm clock (round-5)."""
+    prob = demo_lp
+    p = Parameters(verbose=False, stop_tol=1e-8, precision="mixed",
+                   refine_stage_precision="f64")
+    res = h.solve_problem(prob, p) if hasattr(h, "solve_problem") else None
+    if res is None:
+        from hprlp_tpu.solver.loop import solve_problem
+
+        res = solve_problem(prob, p)
+    assert res.status == "OPTIMAL"
+    assert res.residuals < 1e-8
+    assert abs(res.primal_obj - (-26.4)) < 1e-6
+    # Milestones backfilled/inherited from the stage solves.
+    assert res.iter4 <= res.iter
