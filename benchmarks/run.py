@@ -336,6 +336,13 @@ def main():
     ap.add_argument("--giant-mesh-scale", type=float, default=0.02,
                     help="instance scale for --giant-mesh (1.0 = the "
                          "full 113M-nnz giant)")
+    ap.add_argument("--giant-mesh-iters", type=int, default=500_000,
+                    help="iteration cap for the --giant-mesh solve.  On "
+                         "VIRTUAL CPU meshes the lane kernel runs in the "
+                         "Pallas interpreter (~50x slower than real "
+                         "chips), so full-scale runs bound the solve and "
+                         "record the kkt trajectory + the ingest/memory "
+                         "evidence; real-chip meshes leave the default.")
     ap.add_argument("--out", default=os.path.join(HERE, "report.json"))
     ap.add_argument("--time-limit", type=float, default=600.0)
     ap.add_argument("--only", default="",
@@ -379,7 +386,8 @@ def main():
         cmd = [sys.executable, os.path.abspath(__file__),
                "--only", name, "--out", tmp,
                "--time-limit", str(args.time_limit),
-               "--giant-mesh-scale", str(args.giant_mesh_scale)]
+               "--giant-mesh-scale", str(args.giant_mesh_scale),
+               "--giant-mesh-iters", str(args.giant_mesh_iters)]
         for flag in ("quick", "huge", "giant"):
             if getattr(args, flag):
                 cmd.append(f"--{flag}")
@@ -516,7 +524,8 @@ def main():
         record(f"banded_giant_mesh{n_dev}_1e-4",
                lambda: run_single(
                    banded_lp(mm, 2 * mm, 72, 16384, 5),
-                   1e-4, tl, mesh_shape=n_dev))
+                   1e-4, tl, mesh_shape=n_dev,
+                   max_iter=args.giant_mesh_iters))
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2, default=float)
