@@ -269,6 +269,7 @@ def run_single(problem, tol, time_limit, max_iter=500_000,
             }
     return {
         **mesh_mem,
+        "host_cpus": os.cpu_count(),
         "m": problem.m, "n": problem.n, "nnz": problem.nnz,
         "mesh_shape": mesh_shape,
         "status": res.status, "iter": res.iter, "solve_time": res.time,
