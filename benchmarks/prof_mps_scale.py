@@ -111,8 +111,18 @@ def main() -> None:
         out["native"] = {
             "parse_s": round(dt, 2), "mb_per_s": round(mb / dt, 1),
             "nnz": int(prob.nnz), "nnz_per_s": round(prob.nnz / dt / 1e6, 2),
+            "host_cpus": os.cpu_count(),
         }
         print("native:", out["native"])
+
+        # Warm repeat (page cache + faulted arenas): the parallel
+        # COLUMNS path's steady-state rate.
+        t0 = time.perf_counter()
+        native_mps.read_mps_native(path)
+        dt = time.perf_counter() - t0
+        out["native_warm"] = {"parse_s": round(dt, 2),
+                              "mb_per_s": round(mb / dt, 1)}
+        print("native warm:", out["native_warm"])
 
         # gzip path (zlib stream decode, reference: mps_reader.cpp:24-58)
         gz = path + ".gz"
